@@ -1,0 +1,130 @@
+"""Text-analysis functions for training-data pipelines.
+
+Language-ID heuristic, quality scoring, token counting, and word-level
+hashing/fingerprinting over the ``documents`` table. Every function is a pure
+Catalyst column expression built ONLY from engine-agnostic primitives
+(``length``/``ascii``/``split``/higher-order functions), so a DuckDB oracle
+can reproduce values bit-for-bit — the engine's analogue of fs2-data pinning
+exact expected token lists in its specs (reference
+``json/src/test/scala/fs2/data/json/jq/JqSpec.scala:40-458``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+HASH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace tokenization with empty-string filtering."""
+    return F.filter(F.split(_c(text), " "), lambda w: w != "")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (bigint)."""
+    return F.size(words(text)).cast("bigint")
+
+
+def word_code(w: Column) -> Column:
+    """Deterministic engine-agnostic word hash: first/second/last char codes
+    mixed with length. Collision-tolerant (used for MinHash/SimHash banding,
+    not identity)."""
+    return (
+        F.ascii(F.substring(w, 1, 1)).cast("bigint") * 65536
+        + F.ascii(F.substring(w, 2, 1)).cast("bigint") * 256
+        + F.ascii(F.substring(w, -1, 1)).cast("bigint")
+        + F.length(w).cast("bigint") * 16_777_216
+    )
+
+
+def word_codes(text: Column | str) -> Column:
+    return F.transform(words(text), word_code)
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    ws = words(text)
+    stop = F.filter(ws, lambda w: w.isin(*STOPWORDS))
+    return F.when(F.size(ws) > 0, F.size(stop).cast("double") / F.size(ws)).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column | str) -> Column:
+    ws = words(text)
+    total = F.aggregate(ws, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w).cast("bigint"))
+    return F.when(F.size(ws) > 0, total.cast("double") / F.size(ws)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    mean word length band + repetition penalty (distinct/total words)."""
+    ws = words(text)
+    n = F.size(ws)
+    length_ok = F.when((n >= 10) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(text) >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+    mwl = mean_word_len(text)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    rep = F.when(n > 0, F.size(F.array_distinct(ws)).cast("double") / n).otherwise(F.lit(0.0))
+    return F.round((length_ok + stop_ok + mwl_ok + rep) / 4.0, 6)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language guess from character-class evidence: scripts first
+    (CJK / Cyrillic via code points), then an English stopword vote. Returns
+    'zh', 'ru', 'en' or 'other'. Deterministic + oracle-reproducible."""
+    t = _c(text)
+    first_cp = F.ascii(t)  # code point of first char (engine-agnostic)
+    ws = words(t)
+    en_hits = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    return (
+        F.when(first_cp >= 0x4E00, F.lit("zh"))
+        .when((first_cp >= 0x0400) & (first_cp < 0x0500), F.lit("ru"))
+        .when(en_hits >= 1, F.lit("en"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def doc_fingerprint(text: Column | str, mod: int = 1_000_000_007) -> Column:
+    """Order-sensitive rolling fingerprint over word codes:
+    ``h = (h * 31 + code(w)) mod m`` — the text-side analogue of
+    ``tok_fingerprint``."""
+    return F.aggregate(
+        word_codes(text),
+        F.lit(0).cast("bigint"),
+        lambda a, x: F.pmod(a * 31 + x, F.lit(mod)),
+    )
+
+
+def minhash_signature(text: Column | str, k: int = 8) -> list[Column]:
+    """k MinHash components over the word-code set: ``min((a_i*c + b_i) mod p)``.
+    Deterministic coefficients; aliased ``mh0..mh{k-1}``."""
+    codes = word_codes(text)
+    sig = []
+    for i in range(k):
+        a, b = 1_103_515_245 + 2 * i + 1, 12_345 + 7919 * i
+        h = F.array_min(
+            F.transform(codes, lambda c, a=a, b=b: F.pmod(c * a + b, F.lit(HASH_PRIME)))
+        )
+        sig.append(h.alias(f"mh{i}"))
+    return sig
+
+
+def simhash(text: Column | str, bits: int = 16) -> Column:
+    """SimHash over word codes: per-bit majority vote of ``(code*a+b) mod p``
+    bit b; returns a ``bits``-wide bigint. Near-duplicate docs have small
+    Hamming distance."""
+    codes = word_codes(text)
+    hashed = F.transform(codes, lambda c: F.pmod(c * 2_654_435_761 + 104_729, F.lit(HASH_PRIME)))
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        vote = F.aggregate(
+            hashed,
+            F.lit(0).cast("bigint"),
+            lambda a, h, b=b: a + (F.shiftright(h, b).cast("bigint") % 2) * 2 - 1,
+        )
+        out = out + F.when(vote > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return out

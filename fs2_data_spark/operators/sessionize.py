@@ -1,0 +1,60 @@
+"""Gap-based sessionization.
+
+Assigns a per-key session ordinal: a new session starts when the gap to the
+previous event exceeds ``gap``. Built from two window passes over the SAME
+window spec (lag -> flag -> running sum), so Catalyst plans a single shuffle
++ sort. The running counter mirrors fs2-data's per-stream element counters
+(reference ``json/src/main/scala/fs2/data/json/tagged/JsonTagger.scala:84-103``).
+
+For streaming, see ``fs2_data_spark.streaming.sessions`` (session_window /
+applyInPandasWithState).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from fs2_data_spark.functions.timeutil import epoch_us
+
+
+def sessionize(
+    df: DataFrame,
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    gap_s: int = 1800,
+    out_col: str = "session_seq",
+) -> DataFrame:
+    """Adds ``session_seq`` (1-based bigint ordinal of the session within the
+    key's timeline). Ties (equal ts) never open a new session."""
+    key = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*key).orderBy(ts)
+    gap_us = F.lit(int(gap_s) * 1_000_000)
+    new_session = F.when(
+        F.lag(ts).over(w).isNull()
+        | ((epoch_us(F.col(ts)) - epoch_us(F.lag(ts).over(w))) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out_col, F.sum(new_session).over(run).cast("bigint"))
+
+
+def session_aggregate(
+    df: DataFrame,
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    gap_s: int = 1800,
+    value: str | None = "value",
+) -> DataFrame:
+    """Session-level rollup: bounds, event count, optional value sum."""
+    key = [key] if isinstance(key, str) else list(key)
+    s = sessionize(df, key, ts, gap_s)
+    aggs = [
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value is not None:
+        aggs.append(F.sum(value).alias(f"sum_{value}"))
+    return s.groupBy(*key, "session_seq").agg(*aggs)

@@ -1,0 +1,95 @@
+"""Windowed feature stack: lag/lead, rolling frames, ranking.
+
+fs2-data's per-element stateful passes are windows in disguise (SURVEY §2.5):
+the renderer's prev-event context is ``lag`` (reference
+``json/src/main/scala/fs2/data/json/tokens.scala:159-246``), the tagger's
+running element index is ``row_number`` (reference
+``json/src/main/scala/fs2/data/json/tagged/JsonTagger.scala:84-103``), the
+depth counter is a running sum. All stay JVM-side (WindowExec, one shuffle on
+the partition key shared by every feature computed over the same window).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+
+
+def timeline(key: str | Sequence[str], ts: str | Sequence[str]) -> WindowSpec:
+    """The per-entity ordered window every feature in a stack should share
+    (one shuffle total)."""
+    key = [key] if isinstance(key, str) else list(key)
+    ts = [ts] if isinstance(ts, str) else list(ts)
+    return Window.partitionBy(*key).orderBy(*ts)
+
+
+def with_lag_lead(
+    df: DataFrame,
+    cols: Sequence[str],
+    key: str | Sequence[str] = "doc_id",
+    ts: str = "event_time",
+    offsets: Sequence[int] = (1,),
+) -> DataFrame:
+    """Adds ``lag{k}_{col}`` and ``lead{k}_{col}`` for each col/offset."""
+    w = timeline(key, ts)
+    exprs: list[Column] = [F.col(c) for c in df.columns]
+    for c in cols:
+        for k in offsets:
+            exprs.append(F.lag(c, k).over(w).alias(f"lag{k}_{c}"))
+            exprs.append(F.lead(c, k).over(w).alias(f"lead{k}_{c}"))
+    return df.select(*exprs)
+
+
+def with_rolling(
+    df: DataFrame,
+    col: str,
+    key: str | Sequence[str] = "doc_id",
+    ts: str = "event_time",
+    n_rows: int = 5,
+    aggs: Sequence[str] = ("sum", "avg", "min", "max", "count"),
+    prefix: str | None = None,
+) -> DataFrame:
+    """Rolling-frame aggregates over the last ``n_rows`` rows (inclusive)."""
+    w = timeline(key, ts).rowsBetween(-(n_rows - 1), Window.currentRow)
+    prefix = prefix or f"roll{n_rows}"
+    out = df
+    fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+           "count": F.count, "stddev": F.stddev}
+    for a in aggs:
+        out = out.withColumn(f"{prefix}_{a}_{col}", fns[a](col).over(w))
+    return out
+
+
+def with_ranks(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order: str | Column,
+    desc: bool = False,
+    kinds: Sequence[str] = ("row_number", "rank", "dense_rank"),
+) -> DataFrame:
+    """row_number/rank/dense_rank/percent_rank/ntile over one window."""
+    oc = F.col(order) if isinstance(order, str) else order
+    w = Window.partitionBy(*([key] if isinstance(key, str) else list(key))).orderBy(
+        oc.desc() if desc else oc
+    )
+    fns = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank,
+           "percent_rank": F.percent_rank, "cume_dist": F.cume_dist}
+    out = df
+    for k in kinds:
+        out = out.withColumn(k, fns[k]().over(w))
+    return out
+
+
+def top_k_per_group(
+    df: DataFrame, key: str | Sequence[str], order: str | Column, k: int, desc: bool = True
+) -> DataFrame:
+    """Top-k rows per group — the relational analogue of fs2-data's
+    ``maxMatch`` short-circuit (reference
+    ``finite-state/shared/src/main/scala/fs2/data/pfsa/TreeQueryPipe.scala:99-107``)."""
+    oc = F.col(order) if isinstance(order, str) else order
+    w = Window.partitionBy(*([key] if isinstance(key, str) else list(key))).orderBy(
+        oc.desc() if desc else oc
+    )
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= k).drop("__rn"))

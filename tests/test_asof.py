@@ -1,0 +1,124 @@
+"""As-of join correctness: pandas merge_asof oracle, zero-leakage probe,
+strategy equivalence, partitioning invariance (the fs2-data chunking-
+invariance contract, SURVEY §5)."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fs2_data_spark.operators.asof import asof_join, backfill_locf
+from fs2_data_spark.tables import observations, token_sequences
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    left = spark.createDataFrame(
+        [
+            ("a", ts(0), 1), ("a", ts(10), 2), ("a", ts(20), 3), ("a", ts(20), 4),
+            ("b", ts(5), 5),
+            ("c", ts(1), 6),  # key missing on the right -> nulls
+        ],
+        "doc_id string, event_time timestamp, seq int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", ts(0), 100.0),   # exact tie with left @0
+            ("a", ts(15), 115.0),
+            ("a", ts(25), 125.0),  # after every left row @<=20: must never match
+            ("b", ts(4), 204.0),
+        ],
+        "doc_id string, obs_time timestamp, feat double",
+    )
+    return left, right
+
+
+def _sorted_rows(df, cols=("doc_id", "event_time", "seq")):
+    return sorted([tuple(r) for r in df.collect()], key=lambda t: str(t))
+
+
+def pandas_asof(lpdf, rpdf, allow_exact=True, tolerance_us=None):
+    out = []
+    for key, lg in lpdf.groupby("doc_id"):
+        rg = rpdf[rpdf.doc_id == key].sort_values("obs_time")
+        lg = lg.sort_values("event_time")
+        m = pd.merge_asof(
+            lg, rg[["obs_time", "feat"]], left_on="event_time", right_on="obs_time",
+            direction="backward", allow_exact_matches=allow_exact,
+            tolerance=pd.Timedelta(microseconds=tolerance_us) if tolerance_us else None,
+        )
+        out.append(m)
+    return pd.concat(out, ignore_index=True)
+
+
+@pytest.mark.parametrize("strategy", ["union", "pandas"])
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_asof_matches_pandas_oracle(spark, small, strategy, allow_exact):
+    left, right = small
+    got = asof_join(left, right, on="doc_id", left_ts="event_time", right_ts="obs_time",
+                    right_cols=["feat"], allow_exact=allow_exact, strategy=strategy)
+    gpdf = got.toPandas().sort_values(["doc_id", "event_time", "seq"]).reset_index(drop=True)
+    exp = pandas_asof(left.toPandas(), right.toPandas(), allow_exact=allow_exact)
+    exp = exp.sort_values(["doc_id", "event_time", "seq"]).reset_index(drop=True)
+    assert list(gpdf["seq"]) == list(exp["seq"])
+    assert np.allclose(gpdf["feat"].fillna(-1), exp["feat"].fillna(-1))
+
+
+def test_asof_tolerance(spark, small):
+    left, right = small
+    got = asof_join(left, right, right_cols=["feat"], tolerance_us=5 * 60 * 1_000_000)
+    rows = {(r.doc_id, r.event_time): r.feat for r in got.collect()}
+    assert rows[("a", ts(0))] == 100.0        # exact tie, within tolerance
+    assert rows[("a", ts(10))] is None        # last obs @0 is 10min old > 5min
+    assert rows[("a", ts(20))] == 115.0       # obs @15 is 5min old == tolerance
+    assert rows[("c", ts(1))] is None
+
+
+def test_zero_temporal_leakage(spark, small):
+    """Future right rows (t' > all left t) must not influence any output."""
+    left, right = small
+    base = asof_join(left, right, right_cols=["feat"]).collect()
+    poisoned = right.union(
+        spark.createDataFrame([("a", ts(21), 999.0), ("c", ts(2), 999.0)], right.schema)
+    )
+    got = asof_join(left, poisoned, right_cols=["feat"]).collect()
+    assert sorted(map(tuple, base), key=str) == sorted(map(tuple, got), key=str)
+
+
+def test_strategies_agree_on_generated_data(spark):
+    left = token_sequences(spark, 400, n_docs=20).select("doc_id", "event_time", "n_tok")
+    right = observations(spark, 100, n_docs=20)
+    a = asof_join(left, right, right_cols=["feature_vec"], strategy="union")
+    b = asof_join(left, right, right_cols=["feature_vec"], strategy="pandas")
+    ra = sorted([tuple(map(str, r)) for r in a.collect()])
+    rb = sorted([tuple(map(str, r)) for r in b.collect()])
+    assert ra == rb
+
+
+def test_partitioning_invariance(spark, small):
+    left, right = small
+    a = asof_join(left.repartition(1), right.repartition(1), right_cols=["feat"])
+    b = asof_join(left.repartition(16), right.repartition(7), right_cols=["feat"])
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+def test_backfill_locf(spark):
+    df = spark.createDataFrame(
+        [("a", ts(0), None), ("a", ts(1), 1.0), ("a", ts(2), None), ("a", ts(3), None),
+         ("a", ts(4), 4.0), ("b", ts(0), None)],
+        "doc_id string, event_time timestamp, x double",
+    )
+    got = backfill_locf(df, ["x"], key="doc_id", ts="event_time")
+    vals = {(r.doc_id, r.event_time): r.x_ff for r in got.collect()}
+    assert vals[("a", ts(0))] is None
+    assert vals[("a", ts(2))] == 1.0
+    assert vals[("a", ts(3))] == 1.0
+    assert vals[("a", ts(4))] == 4.0
+    assert vals[("b", ts(0))] is None

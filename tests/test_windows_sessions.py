@@ -1,0 +1,81 @@
+"""Window feature stack + sessionization vs pandas oracles."""
+
+import datetime as dt
+
+import numpy as np
+
+from fs2_data_spark.operators.sessionize import session_aggregate, sessionize
+from fs2_data_spark.operators.windows import top_k_per_group, with_lag_lead, with_ranks, with_rolling
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_lag_lead_matches_pandas(spark):
+    df = spark.createDataFrame(
+        [("a", ts(i), float(i)) for i in range(6)] + [("b", ts(i), 10.0 + i) for i in range(3)],
+        "doc_id string, event_time timestamp, v double",
+    )
+    got = with_lag_lead(df, ["v"], key="doc_id", ts="event_time", offsets=(1, 2)).toPandas()
+    got = got.sort_values(["doc_id", "event_time"]).reset_index(drop=True)
+    pdf = df.toPandas().sort_values(["doc_id", "event_time"]).reset_index(drop=True)
+    for k in (1, 2):
+        exp_lag = pdf.groupby("doc_id")["v"].shift(k)
+        exp_lead = pdf.groupby("doc_id")["v"].shift(-k)
+        assert np.allclose(got[f"lag{k}_v"].fillna(-9), exp_lag.fillna(-9))
+        assert np.allclose(got[f"lead{k}_v"].fillna(-9), exp_lead.fillna(-9))
+
+
+def test_rolling_matches_pandas(spark, events):
+    got = with_rolling(events, "value", key="user_id", ts="ts", n_rows=5,
+                       aggs=("sum", "avg", "min", "max")).toPandas()
+    got = got.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    pdf = events.toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+    g = pdf.groupby("user_id")["value"]
+    assert np.allclose(got["roll5_sum_value"], g.rolling(5, min_periods=1).sum().reset_index(drop=True))
+    assert np.allclose(got["roll5_avg_value"], g.rolling(5, min_periods=1).mean().reset_index(drop=True))
+    assert np.allclose(got["roll5_max_value"], g.rolling(5, min_periods=1).max().reset_index(drop=True))
+
+
+def test_ranks_and_topk(spark, events):
+    ranked = with_ranks(events, key="user_id", order="value", desc=True)
+    top3 = top_k_per_group(events, "user_id", "value", k=3, desc=True)
+    pdf = events.toPandas()
+    exp_top3 = pdf.sort_values("value", ascending=False).groupby("user_id").head(3)
+    assert top3.count() == len(exp_top3)
+    r1 = {r.user_id: r.value for r in ranked.filter("row_number = 1").collect()}
+    exp_max = pdf.groupby("user_id")["value"].max()
+    for uid, v in r1.items():
+        assert np.isclose(v, exp_max[uid])
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        ("u", ts(0),), ("u", ts(10),), ("u", ts(50),),   # gap 40 > 30 -> new session
+        ("u", ts(60),), ("u", ts(200),),                 # gap 140 -> new session
+        ("v", ts(0),),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {(r.user_id, r.ts): r.session_seq
+           for r in sessionize(df, key="user_id", ts="ts", gap_s=1800).collect()}
+    assert got[("u", ts(0))] == 1
+    assert got[("u", ts(10))] == 1
+    assert got[("u", ts(50))] == 2
+    assert got[("u", ts(60))] == 2
+    assert got[("u", ts(200))] == 3
+    assert got[("v", ts(0))] == 1
+
+
+def test_session_aggregate(spark, events):
+    agg = session_aggregate(events, key="user_id", ts="ts", gap_s=1800, value="value")
+    # every event belongs to exactly one session
+    assert agg.selectExpr("sum(n_events) s").first().s == events.count()
+    # sessions are disjoint, ordered intervals per user
+    pdf = agg.toPandas().sort_values(["user_id", "session_seq"])
+    for _, g in pdf.groupby("user_id"):
+        starts, ends = list(g.session_start), list(g.session_end)
+        assert all(s <= e for s, e in zip(starts, ends))
+        assert all(ends[i] < starts[i + 1] for i in range(len(g) - 1))

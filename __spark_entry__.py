@@ -1,38 +1,60 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship point-in-time feature pipeline on
+sf0.001; ``queries()``/``oracle_sql()`` expose every implemented operator
+from SURVEY.md §2 with its DuckDB oracle (see ``fs2_data_spark/queries.py``).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _tz(spark: SparkSession) -> None:
+    # pin parity-relevant conf (harmless if already set by the driver)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: as-of join (clicks <- last purchase, strict point-in-time)
+    + lag/lead + rolling + sessionization feature stack on sf0.001 events."""
+    _tz(spark)
+    from fs2_data_spark.operators.asof import asof_join
+    from fs2_data_spark.operators.sessionize import sessionize
+    from fs2_data_spark.operators.windows import with_lag_lead, with_rolling
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("purchase_value")))
+    out = asof_join(clicks, purch, on="user_id", left_ts="ts", right_ts="ts",
+                    right_cols=["purchase_value"], strategy="union")
+    out = with_lag_lead(out, ["value"], key="user_id", ts=["ts", "event_id"])
+    out = with_rolling(out, "value", key="user_id", ts=["ts", "event_id"], n_rows=5,
+                       aggs=("sum", "avg"))
+    out = sessionize(out, key="user_id", ts="ts", gap_s=1800)
+    return out.select(
+        "event_id", "user_id", "value", "purchase_value",
+        "lag1_value", "lead1_value", "roll5_sum_value", "roll5_avg_value",
+        "session_seq",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from fs2_data_spark.queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _tz(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    return {name: wrap(fn) for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fs2_data_spark.queries import REGISTRY
+
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

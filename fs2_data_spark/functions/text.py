@@ -32,14 +32,14 @@ def token_count(text: Column | str) -> Column:
 
 
 def word_code(w: Column) -> Column:
-    """Deterministic engine-agnostic word hash: first/second/last char codes
-    mixed with length. Collision-tolerant (used for MinHash/SimHash banding,
-    not identity)."""
+    """Deterministic engine-agnostic word hash: first char code, last char
+    code and length (``first*65536 + last*256 + len``). Collision-tolerant
+    (used for MinHash/SimHash banding, not identity); reproducible verbatim
+    in ANSI SQL (``ascii``/``substr``/``length`` only)."""
     return (
         F.ascii(F.substring(w, 1, 1)).cast("bigint") * 65536
-        + F.ascii(F.substring(w, 2, 1)).cast("bigint") * 256
-        + F.ascii(F.substring(w, -1, 1)).cast("bigint")
-        + F.length(w).cast("bigint") * 16_777_216
+        + F.ascii(F.substring(w, F.length(w), F.lit(1))).cast("bigint") * 256
+        + F.length(w).cast("bigint")
     )
 
 
@@ -103,13 +103,16 @@ def minhash_signature(text: Column | str, k: int = 8) -> list[Column]:
     """k MinHash components over the word-code set: ``min((a_i*c + b_i) mod p)``.
     Deterministic coefficients; aliased ``mh0..mh{k-1}``."""
     codes = word_codes(text)
+
+    def perm(a: int, b: int):
+        # factory: PySpark derives HOF arity from the lambda signature, so
+        # coefficients must be closed over, not bound as default args
+        return lambda c: F.pmod(c * a + b, F.lit(HASH_PRIME))
+
     sig = []
     for i in range(k):
         a, b = 1_103_515_245 + 2 * i + 1, 12_345 + 7919 * i
-        h = F.array_min(
-            F.transform(codes, lambda c, a=a, b=b: F.pmod(c * a + b, F.lit(HASH_PRIME)))
-        )
-        sig.append(h.alias(f"mh{i}"))
+        sig.append(F.array_min(F.transform(codes, perm(a, b))).alias(f"mh{i}"))
     return sig
 
 
@@ -119,12 +122,12 @@ def simhash(text: Column | str, bits: int = 16) -> Column:
     Hamming distance."""
     codes = word_codes(text)
     hashed = F.transform(codes, lambda c: F.pmod(c * 2_654_435_761 + 104_729, F.lit(HASH_PRIME)))
+
+    def vote_fn(b: int):
+        return lambda a, h: a + (F.shiftright(h, b).cast("bigint") % 2) * 2 - 1
+
     out = F.lit(0).cast("bigint")
     for b in range(bits):
-        vote = F.aggregate(
-            hashed,
-            F.lit(0).cast("bigint"),
-            lambda a, h, b=b: a + (F.shiftright(h, b).cast("bigint") % 2) * 2 - 1,
-        )
+        vote = F.aggregate(hashed, F.lit(0).cast("bigint"), vote_fn(b))
         out = out + F.when(vote > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
     return out

@@ -125,26 +125,39 @@ def _asof_pandas(left, right, on, left_ts, right_ts, right_cols,
     rschema = {f.name: f for f in right.schema.fields}
     out_fields += [f"`{c}{suffix}` {rschema[c].dataType.simpleString()}" for c in right_cols]
     out_schema = ", ".join(out_fields)
-    lcols, ltsc, rtsc = list(left.columns), left_ts, right_ts
+    # cogrouped applyInPandas silently drops right-side columns whose names
+    # collide with the left side — rename to reserved names first
+    right = right.select(
+        *on, F.col(right_ts).alias("__r_ts"),
+        *[F.col(c).alias(f"__r_{i}") for i, c in enumerate(right_cols)],
+    )
+    internal = [f"__r_{i}" for i in range(len(right_cols))]
+    out_names = [c + suffix for c in right_cols]
+    lcols, ltsc, rtsc = list(left.columns), left_ts, "__r_ts"
     tol = pd.Timedelta(microseconds=tolerance_us) if tolerance_us is not None else None
 
     def kernel(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0:
+            return pd.DataFrame(columns=lcols + out_names)
         lpdf = lpdf.sort_values(ltsc, kind="mergesort")
-        rp = rpdf[[rtsc, *right_cols]].sort_values(rtsc, kind="mergesort")
+        if len(rpdf.columns) == 0 or len(rpdf) == 0:
+            # key absent on the right: cogroup hands over an empty (even
+            # column-less) frame -> null payload for every left row
+            out = lpdf[lcols].copy()
+            for c in out_names:
+                out[c] = None
+            return out
+        rp = rpdf[[rtsc, *internal]].sort_values(rtsc, kind="mergesort")
         merged = pd.merge_asof(
             lpdf, rp, left_on=ltsc, right_on=rtsc,
-            direction="backward", allow_exact_matches=allow_exact,
-            tolerance=tol, suffixes=("", "__r"),
+            direction="backward", allow_exact_matches=allow_exact, tolerance=tol,
         )
-        keep = lcols + [c if c in merged.columns and c not in lcols else c + "__r"
-                        for c in right_cols]
-        merged = merged[keep]
-        merged.columns = lcols + [c + suffix for c in right_cols]
+        merged = merged[lcols + internal]
+        merged.columns = lcols + out_names
         # no-match rows: merge_asof fills scalar NaN even into array-typed
         # columns — normalize to None so Arrow conversion accepts them
-        for c in right_cols:
-            col = c + suffix
-            merged[col] = merged[col].map(
+        for c in out_names:
+            merged[c] = merged[c].map(
                 lambda v: None if (v is None or (isinstance(v, float) and pd.isna(v))) else v
             )
         return merged
@@ -156,7 +169,7 @@ def backfill_locf(
     df: DataFrame,
     cols: list[str],
     key: str | list[str] = "doc_id",
-    ts: str = "event_time",
+    ts: str | list[str] = "event_time",
     suffix: str = "_ff",
 ) -> DataFrame:
     """Last-observation-carried-forward over an ordered per-key timeline.
@@ -166,7 +179,8 @@ def backfill_locf(
     replaced by the latest preceding non-null of the same key.
     """
     key = [key] if isinstance(key, str) else list(key)
-    w = (Window.partitionBy(*key).orderBy(ts)
+    ts = [ts] if isinstance(ts, str) else list(ts)
+    w = (Window.partitionBy(*key).orderBy(*ts)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     out = df
     for c in cols:

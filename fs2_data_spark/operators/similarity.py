@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+``cosine_topk`` is the exact baseline: broadcast the (small) query set against
+the corpus and rank by cosine. At 100 TB the corpus side stays partitioned
+and only queries are broadcast — the join is a BroadcastNestedLoopJoin whose
+cost is (|corpus| x |queries|) vectorized JVM arithmetic, embarrassingly
+parallel across corpus partitions.
+
+``lsh_bucket_topk`` is the scale path: random-hyperplane signatures (LSH)
+bucket the corpus so each query only scans its bucket — turning the full scan
+into an equi-join on the signature. Deterministic pseudo-random hyperplanes
+(seeded arithmetic) keep results reproducible across runs/partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+HASH_PRIME = 2_147_483_647
+
+
+def _as_double(vec: F.Column) -> F.Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _norm(v: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                              F.lit(0.0), lambda a, x: a + x))
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    round_dp: int | None = 4,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (q_vec_id, n_vec_id, cos_sim).
+
+    The ranking key is the *rounded* cosine (+ id tie-break) so results are
+    deterministic under floating-point summation-order differences.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_vec_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("n_vec_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
+    pairs = (F.broadcast(q).join(c, F.col("n_vec_id") != F.col("q_vec_id"))
+             .select("q_vec_id", "n_vec_id", cos.alias("cos_sim")))
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"), "n_vec_id")
+    return (pairs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def hyperplane_signature(vec: F.Column, n_planes: int = 8, dim: int = 64,
+                         seed: int = 42) -> F.Column:
+    """Random-hyperplane LSH signature (bigint in [0, 2^n_planes)).
+
+    Plane p, dim j weight = deterministic pseudo-random in [-0.5, 0.5):
+    ``((j*2654435761 + p*40503 + seed) mod 1000003)/1000003 - 0.5`` — pure
+    arithmetic, reproducible anywhere (incl. an ANSI-SQL oracle)."""
+    v = _as_double(vec)
+
+    def weight_fn(p: int):
+        return lambda x, j: x * (
+            F.pmod(j.cast("bigint") * 2_654_435_761 + p * 40_503 + seed,
+                   F.lit(1_000_003)).cast("double") / 1_000_003.0 - 0.5
+        )
+
+    sig = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(0), F.lit(dim - 1)), weight_fn(p)),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint"))
+    return sig
+
+
+def lsh_bucket_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 8,
+    dim: int = 64,
+    round_dp: int | None = 4,
+) -> DataFrame:
+    """ANN via LSH bucketing: candidates share the hyperplane signature, then
+    exact cosine ranks within the bucket. Recall < 1 by design; the equi-join
+    on ``sig`` replaces the full cross product (shuffle on sig instead of
+    broadcast scan) — the 100 TB-friendly variant."""
+    q = queries.select(
+        F.col(id_col).alias("q_vec_id"), _as_double(F.col(vec_col)).alias("qv"),
+        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("sig"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("n_vec_id"), _as_double(F.col(vec_col)).alias("cv"),
+        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("sig"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
+    pairs = (q.join(c, "sig")
+             .filter(F.col("n_vec_id") != F.col("q_vec_id"))
+             .select("q_vec_id", "n_vec_id", cos.alias("cos_sim")))
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"), "n_vec_id")
+    return (pairs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))

@@ -1,0 +1,722 @@
+"""Query registry: every implemented operator exposed as a (Spark fn, oracle
+SQL) pair over the driver-provided parquet tables.
+
+Each entry maps a name to ``(fn(spark, sf_dir) -> DataFrame, sql | None)``
+where ``sql`` is the DuckDB-runnable ANSI mirror producing identical
+row-count, schema, and (column-name-sorted, order-insensitive) values.
+
+Cross-engine determinism rules used throughout (empirically pinned by
+``tests/test_oracle_parity.py``):
+
+- double SUMs go through exact DECIMAL accumulation
+  (``CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE)``) — decimal addition is
+  associative, so shuffle/aggregation order cannot change the result;
+- per-row double arithmetic (mul/div/sqrt) is IEEE-identical across engines;
+  only multi-row accumulation order varies;
+- rankings/limits always carry a deterministic tie-break key;
+- Spark indexed lambdas are 0-based, DuckDB's 1-based; Spark double->int
+  casts truncate while DuckDB rounds (use FLOOR); DuckDB ``len``/``count``
+  are BIGINT (Spark sides cast to match);
+- timestamps never appear in outputs (events are keyed by ``event_id``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from fs2_data_spark.functions import text as TXT
+from fs2_data_spark.functions import tokens as TOK
+from fs2_data_spark.functions.timeutil import epoch_us
+from fs2_data_spark.operators.asof import asof_join
+from fs2_data_spark.operators.sessionize import sessionize
+from fs2_data_spark.operators.windows import with_lag_lead, with_rolling
+from fs2_data_spark.tables import TOKENS_SQL, tokens_col
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn: QueryFn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(c: F.Column) -> F.Column:
+    """Order-independent double sum via exact decimal accumulation."""
+    return F.sum(c.cast("decimal(27,6)")).cast("double")
+
+
+def _DSUM(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Relational core (TPC-H-shaped; scans/filters/aggs/joins/sorts/limits)
+# ---------------------------------------------------------------------------
+
+@_q("q1_pricing_summary", f"""
+SELECT l_returnflag, l_linestatus,
+       {_DSUM('l_quantity')} AS sum_qty,
+       {_DSUM('l_extendedprice')} AS sum_base_price,
+       {_DSUM('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_DSUM('l_quantity')} / count(*) AS avg_qty,
+       {_DSUM('l_extendedprice')} / count(*) AS avg_price,
+       {_DSUM('l_discount')} / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dsum(disc).alias("sum_disc_price"),
+        _dsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+        (_dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+        (_dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+        (_dsum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_q("q3_shipping_priority", f"""
+SELECT o_orderkey, {_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def q3(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15 00:00:00")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15 00:00:00")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@_q("q5_local_supplier_volume", f"""
+SELECT n_name, {_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""")
+def q5(spark, sf_dir):
+    cu, o, li = (_t(spark, sf_dir, x) for x in ("customer", "orders", "lineitem"))
+    s, n, r = (_t(spark, sf_dir, x) for x in ("supplier", "nation", "region"))
+    o = o.filter((F.col("o_orderdate") >= "1996-01-01 00:00:00")
+                 & (F.col("o_orderdate") < "1997-01-01 00:00:00"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (cu.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@_q("q6_forecast_revenue", f"""
+SELECT {_DSUM('l_extendedprice * l_discount')} AS revenue, count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 25
+""")
+def q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+        & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 25)
+    ).agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_q("q4_order_priority", """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""")
+def q4(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-01-01 00:00:00"))
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+               "left_semi")
+        .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_q("top_customers_per_segment", f"""
+WITH spend AS (
+  SELECT c_mktsegment, c_custkey, {_DSUM('o_totalprice')} AS total_spend
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, c_custkey)
+SELECT c_mktsegment, c_custkey, total_spend, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY c_mktsegment ORDER BY total_spend DESC, c_custkey) AS rnk
+  FROM spend) WHERE rnk <= 3
+""")
+def top_customers(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = (cu.join(o, o.o_custkey == cu.c_custkey)
+             .groupBy("c_mktsegment", "c_custkey")
+             .agg(_dsum(F.col("o_totalprice")).alias("total_spend")))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("total_spend"), "c_custkey")
+    return (spend.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= 3))
+
+
+@_q("part_type_stats", f"""
+SELECT p_type, count(*) AS n_parts,
+       {_DSUM('p_retailprice')} / count(*) AS avg_retail,
+       max(p_size) AS max_size, min(p_size) AS min_size
+FROM part GROUP BY p_type
+""")
+def part_stats(spark, sf_dir):
+    return _t(spark, sf_dir, "part").groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (_dsum(F.col("p_retailprice")) / F.count(F.lit(1))).alias("avg_retail"),
+        F.max("p_size").alias("max_size"),
+        F.min("p_size").alias("min_size"),
+    )
+
+
+@_q("orders_by_status_priority", f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       {_DSUM('o_totalprice')} AS total_price
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+""")
+def orders_cube(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window / as-of / sessionization (the feature-engineering core)
+# ---------------------------------------------------------------------------
+
+@_q("w_lag_lead", """
+SELECT event_id, value,
+       lag(value) OVER w AS lag1_value,
+       lead(value) OVER w AS lead1_value
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def w_lag_lead(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = with_lag_lead(ev, ["value"], key="user_id", ts=["ts", "event_id"], offsets=(1,))
+    return out.select("event_id", "value", "lag1_value", "lead1_value")
+
+
+@_q("w_rolling", """
+SELECT event_id,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS roll5_sum,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / count(*) OVER w AS roll5_avg,
+       count(*) OVER w AS roll5_n
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""")
+def w_rolling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("vdec", F.col("value").cast("decimal(18,6)"))
+    out = with_rolling(ev, "vdec", key="user_id", ts=["ts", "event_id"],
+                       n_rows=5, aggs=("sum", "count"))
+    return out.select(
+        "event_id",
+        F.col("roll5_sum_vdec").cast("double").alias("roll5_sum"),
+        (F.col("roll5_sum_vdec").cast("double") / F.col("roll5_count_vdec")).alias("roll5_avg"),
+        F.col("roll5_count_vdec").alias("roll5_n"),
+    )
+
+
+@_q("w_rank", """
+SELECT event_id,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY CAST(FLOOR(value) AS BIGINT) DESC, event_id) AS rn,
+       rank() OVER (PARTITION BY user_id
+                    ORDER BY CAST(FLOOR(value) AS BIGINT) DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY user_id
+                          ORDER BY CAST(FLOOR(value) AS BIGINT) DESC) AS drnk
+FROM events
+""")
+def w_rank(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "vkey", F.floor("value").cast("bigint"))
+    w_det = Window.partitionBy("user_id").orderBy(F.desc("vkey"), "event_id")
+    w_tie = Window.partitionBy("user_id").orderBy(F.desc("vkey"))
+    return ev.select(
+        "event_id",
+        F.row_number().over(w_det).cast("bigint").alias("rn"),
+        F.rank().over(w_tie).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w_tie).cast("bigint").alias("drnk"),
+    )
+
+
+@_q("locf_backfill", """
+SELECT event_id,
+       last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+FROM events
+""")
+def locf(spark, sf_dir):
+    from fs2_data_spark.operators.asof import backfill_locf
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v_or_null",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")),
+    )
+    out = backfill_locf(ev, ["v_or_null"], key="user_id", ts=["ts", "event_id"], suffix="_ff")
+    return out.select("event_id", F.col("v_or_null_ff").alias("v_ff"))
+
+
+@_q("sessionize_events", """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS flag
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+SELECT event_id,
+       CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+FROM g
+""")
+def sess(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, key="user_id", ts="ts", gap_s=1800).select("event_id", "session_seq")
+
+
+@_q("session_stats", f"""
+WITH g AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS flag
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT *, CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM g)
+SELECT user_id, session_seq, count(*) AS n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s,
+       {_DSUM('value')} AS sum_value
+FROM s GROUP BY user_id, session_seq
+""")
+def sess_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, key="user_id", ts="ts", gap_s=1800)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor((epoch_us(F.max("ts")) - epoch_us(F.min("ts"))) / 1_000_000)
+         .cast("bigint").alias("duration_s"),
+        _dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+_ASOF_SQL = """
+WITH p AS (SELECT user_id, ts, max(value) AS pvalue
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, p.pvalue AS last_purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def _asof_events(spark, sf_dir, strategy):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("pvalue")))
+    out = asof_join(clicks, purch, on="user_id", left_ts="ts", right_ts="ts",
+                    right_cols=["pvalue"], allow_exact=True, strategy=strategy)
+    return out.select("event_id", F.col("pvalue").alias("last_purchase_value"))
+
+
+@_q("asof_join_events", _ASOF_SQL)
+def asof_events(spark, sf_dir):
+    return _asof_events(spark, sf_dir, "union")
+
+
+@_q("asof_join_events_pandas", _ASOF_SQL)
+def asof_events_pandas(spark, sf_dir):
+    return _asof_events(spark, sf_dir, "pandas")
+
+
+@_q("asof_join_events_strict", """
+WITH p AS (SELECT user_id, ts, max(value) AS pvalue
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, p.pvalue AS last_purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts > p.ts
+""")
+def asof_events_strict(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("pvalue")))
+    out = asof_join(clicks, purch, on="user_id", left_ts="ts", right_ts="ts",
+                    right_cols=["pvalue"], allow_exact=False, strategy="union")
+    return out.select("event_id", F.col("pvalue").alias("last_purchase_value"))
+
+
+# ---------------------------------------------------------------------------
+# Token-array operators over the tokenized documents table (input_hint payload)
+# ---------------------------------------------------------------------------
+
+def _doc_tokens(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col("text").alias("tokens"), "source")
+
+
+@_q("tokenize_docs", f"""
+SELECT doc_id, {TOKENS_SQL} AS tokens,
+       CAST(len({TOKENS_SQL}) AS INTEGER) AS n_tok, source
+FROM documents
+""")
+def tokenize_docs(spark, sf_dir):
+    d = _doc_tokens(spark, sf_dir)
+    return d.select("doc_id", "tokens", F.size("tokens").alias("n_tok"), "source")
+
+
+@_q("tok_slice_docs", f"""
+SELECT doc_id, ({TOKENS_SQL})[3:10] AS mid, ({TOKENS_SQL})[1:3] AS head3
+FROM documents
+""")
+def tok_slice_docs(spark, sf_dir):
+    d = _doc_tokens(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TOK.tok_slice("tokens", 2, 10).alias("mid"),
+        TOK.tok_slice("tokens", 0, 3).alias("head3"),
+    )
+
+
+@_q("tok_index_docs", f"""
+SELECT doc_id, ({TOKENS_SQL})[5] AS tok5, ({TOKENS_SQL})[-1] AS tok_last
+FROM documents
+""")
+def tok_index_docs(spark, sf_dir):
+    d = _doc_tokens(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TOK.tok_index("tokens", 4).alias("tok5"),
+        TOK.tok_index("tokens", -1).alias("tok_last"),
+    )
+
+
+@_q("tok_stats_docs", f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents)
+SELECT doc_id,
+       CAST(len(tokens) AS INTEGER) AS n_tok,
+       list_min(tokens) AS tok_min, list_max(tokens) AS tok_max,
+       CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+       CAST(len(list_distinct(tokens)) AS INTEGER) AS tok_distinct,
+       ROUND(CAST(list_sum(tokens) AS DOUBLE) / len(tokens), 6) AS tok_mean
+FROM t
+""")
+def tok_stats_docs(spark, sf_dir):
+    d = TOK.tok_stats(_doc_tokens(spark, sf_dir))
+    return d.select(
+        "doc_id", F.size("tokens").alias("n_tok"),
+        "tok_min", "tok_max", "tok_sum", "tok_distinct",
+        F.round("tok_mean", 6).alias("tok_mean"),
+    )
+
+
+@_q("tok_fingerprint_docs", f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents)
+SELECT doc_id,
+       CAST(list_sum(list_transform(tokens, (x, i) -> i * CAST(x AS BIGINT)))
+            % 1000000007 AS BIGINT) AS fp
+FROM t
+""")
+def tok_fp_docs(spark, sf_dir):
+    d = _doc_tokens(spark, sf_dir)
+    return d.select("doc_id", TOK.tok_fingerprint("tokens").alias("fp"))
+
+
+@_q("tok_positions", f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents WHERE doc_id < 25)
+SELECT doc_id,
+       CAST(UNNEST(generate_series(1, len(tokens))) - 1 AS INTEGER) AS pos,
+       UNNEST(tokens) AS token
+FROM t
+""")
+def tok_positions(spark, sf_dir):
+    d = _doc_tokens(spark, sf_dir).filter(F.col("doc_id") < 25)
+    return TOK.tok_iterate(d, "tokens", keep=["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data pipeline: quality, lang-id, fingerprints)
+# ---------------------------------------------------------------------------
+
+_WS_SQL = "list_filter(string_split(text, ' '), w -> w <> '')"
+_STOP_SQL = "('the','a','of','to','and','in','is','it')"
+_WC_SQL = (
+    f"list_transform({_WS_SQL}, w -> "
+    "CAST(ascii(substr(w, 1, 1)) AS BIGINT) * 65536 + "
+    "CAST(ascii(substr(w, CAST(length(w) AS INTEGER), 1)) AS BIGINT) * 256 + "
+    "CAST(length(w) AS BIGINT))"
+)
+
+
+@_q("text_quality", f"""
+WITH s AS (
+  SELECT doc_id, len({_WS_SQL}) AS n,
+         len(list_filter({_WS_SQL}, w -> w IN {_STOP_SQL})) AS nstop,
+         list_sum(list_transform({_WS_SQL}, w -> CAST(length(w) AS BIGINT))) AS totlen,
+         len(list_distinct({_WS_SQL})) AS ndist
+  FROM documents)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+       ROUND(CASE WHEN n > 0 THEN CAST(nstop AS DOUBLE)/n ELSE 0.0 END, 6) AS stop_ratio,
+       ROUND(CASE WHEN n > 0 THEN CAST(totlen AS DOUBLE)/n ELSE 0.0 END, 6) AS mean_wlen,
+       ROUND(((CASE WHEN n BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN (CASE WHEN n > 0 THEN CAST(nstop AS DOUBLE)/n ELSE 0.0 END) >= 0.01
+                    THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN (CASE WHEN n > 0 THEN CAST(totlen AS DOUBLE)/n ELSE 0.0 END)
+                         BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN n > 0 THEN CAST(ndist AS DOUBLE)/n ELSE 0.0 END)) / 4.0, 6) AS quality
+FROM s
+""")
+def text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TXT.token_count("text").alias("n_words"),
+        F.round(TXT.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(TXT.mean_word_len("text"), 6).alias("mean_wlen"),
+        TXT.quality_score("text").alias("quality"),
+    )
+
+
+@_q("lang_guess", f"""
+SELECT doc_id, lang,
+       CASE WHEN ascii(text) >= 19968 THEN 'zh'
+            WHEN ascii(text) >= 1024 AND ascii(text) < 1280 THEN 'ru'
+            WHEN len(list_filter({_WS_SQL}, w -> w IN {_STOP_SQL})) >= 1 THEN 'en'
+            ELSE 'other' END AS lang_pred
+FROM documents
+""")
+def lang_guess(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TXT.lang_id("text").alias("lang_pred"))
+
+
+@_q("doc_fingerprint", f"""
+SELECT doc_id,
+       list_reduce({_WC_SQL}, (a, x) -> (a * 31 + x) % 1000000007) AS fp
+FROM documents
+""")
+def doc_fp(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TXT.doc_fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (exact / MinHash-LSH / SimHash / Jaccard)
+# ---------------------------------------------------------------------------
+
+@_q("dedup_exact", """
+SELECT doc_id, md5(text) AS text_md5,
+       count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+       (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1) AS is_canonical
+FROM documents
+""")
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumn("text_md5", F.md5("text"))
+    w = Window.partitionBy("text_md5")
+    wo = Window.partitionBy("text_md5").orderBy("doc_id")
+    return d.select(
+        "doc_id", "text_md5",
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+        (F.row_number().over(wo) == 1).alias("is_canonical"),
+    )
+
+
+def _minhash_sql_exprs(k: int = 8) -> list[str]:
+    exprs = []
+    for i in range(k):
+        a, b = 1_103_515_245 + 2 * i + 1, 12_345 + 7919 * i
+        exprs.append(
+            f"list_min(list_transform({_WC_SQL}, c -> (c * {a} + {b}) % 2147483647)) AS mh{i}"
+        )
+    return exprs
+
+
+@_q("minhash_signatures", f"""
+SELECT doc_id, {', '.join(_minhash_sql_exprs(8))}
+FROM documents
+""")
+def minhash_sigs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", *TXT.minhash_signature("text", k=8))
+
+
+@_q("minhash_band_buckets", f"""
+WITH sig AS (SELECT doc_id, {', '.join(_minhash_sql_exprs(8))} FROM documents),
+b AS (
+  SELECT 0 AS band_id, mh0 * 2147483647 + mh1 AS band_val, doc_id FROM sig
+  UNION ALL SELECT 1, mh2 * 2147483647 + mh3, doc_id FROM sig
+  UNION ALL SELECT 2, mh4 * 2147483647 + mh5, doc_id FROM sig
+  UNION ALL SELECT 3, mh6 * 2147483647 + mh7, doc_id FROM sig)
+SELECT band_id, band_val, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM b GROUP BY band_id, band_val HAVING count(*) > 1
+""")
+def minhash_buckets(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", *TXT.minhash_signature("text", k=8))
+    P = F.lit(2_147_483_647).cast("bigint")
+    bands = [
+        d.select(F.lit(i).alias("band_id"),
+                 (F.col(f"mh{2*i}") * P + F.col(f"mh{2*i+1}")).alias("band_val"),
+                 "doc_id")
+        for i in range(4)
+    ]
+    u = bands[0]
+    for x in bands[1:]:
+        u = u.unionByName(x)
+    return (u.groupBy("band_id", "band_val")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+            .filter(F.col("n_docs") > 1))
+
+
+@_q("simhash_docs", None)  # SQL mirror generated below (needs bit loop)
+def simhash_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TXT.simhash("text", bits=16).alias("sh"))
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    hashed = f"list_transform({_WC_SQL}, c -> (c * 2654435761 + 104729) % 2147483647)"
+    terms = []
+    for b in range(bits):
+        vote = (f"list_sum(list_transform({hashed}, "
+                f"h -> ((h >> {b}) & 1) * 2 - 1))")
+        terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << b} AS BIGINT) "
+                     f"ELSE CAST(0 AS BIGINT) END)")
+    return f"SELECT doc_id, {' + '.join(terms)} AS sh FROM documents"
+
+
+REGISTRY["simhash_docs"] = (simhash_docs, _simhash_sql(16))
+
+
+@_q("jaccard_pairs", f"""
+WITH w AS (SELECT doc_id, lang,
+                  UNNEST(list_distinct({_WS_SQL})) AS word
+           FROM documents),
+sz AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ninter
+          FROM w a JOIN w b ON a.word = b.word AND a.lang = b.lang
+                            AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT d1, d2,
+       ROUND(CAST(ninter AS DOUBLE) / (s1.nw + s2.nw - ninter), 6) AS jaccard
+FROM inter
+JOIN sz s1 ON s1.doc_id = d1
+JOIN sz s2 ON s2.doc_id = d2
+WHERE CAST(ninter AS DOUBLE) / (s1.nw + s2.nw - ninter) >= 0.3
+""")
+def jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", "lang",
+                 F.explode(F.array_distinct(TXT.words("text"))).alias("word"))
+    sz = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
+    a, b = w.alias("a"), w.alias("b")
+    inter = (a.join(b, (F.col("a.word") == F.col("b.word"))
+                    & (F.col("a.lang") == F.col("b.lang"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+             .agg(F.count(F.lit(1)).alias("ninter")))
+    s1 = sz.select(F.col("doc_id").alias("d1"), F.col("nw").alias("nw1"))
+    s2 = sz.select(F.col("doc_id").alias("d2"), F.col("nw").alias("nw2"))
+    jac = F.col("ninter").cast("double") / (F.col("nw1") + F.col("nw2") - F.col("ninter"))
+    return (inter.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
+            .filter(jac >= 0.3)
+            .select("d1", "d2", F.round(jac, 6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@_q("ann_cosine_topk", """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+pairs AS (SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+                 ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos_sim
+          FROM q JOIN n c ON c.vec_id <> q.vec_id)
+SELECT q_vec_id, n_vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                               ORDER BY cos_sim DESC, n_vec_id) AS rn
+  FROM pairs) WHERE rn <= 3
+""")
+def ann_topk(spark, sf_dir):
+    from fs2_data_spark.operators.similarity import cosine_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk(q, emb, id_col="vec_id", vec_col="embedding", k=3, round_dp=4)
+
+
+@_q("emb_label_stats", """
+SELECT label, count(*) AS n,
+       ROUND(CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+             / count(*), 6) AS centroid_d1,
+       ROUND(CAST(SUM(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+             / count(*), 6) AS centroid_d2
+FROM embeddings GROUP BY label
+""")
+def emb_label_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    def cd(i):
+        return F.round(
+            F.sum(F.element_at("embedding", i).cast("double").cast("decimal(18,9)"))
+            .cast("double") / F.count(F.lit(1)), 6)
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        cd(1).alias("centroid_d1"),
+        cd(2).alias("centroid_d2"),
+    )

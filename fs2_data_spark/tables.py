@@ -106,6 +106,22 @@ def observations(
     )
 
 
+def tokens_col(text_col: str = "text") -> F.Column:
+    """Engine-agnostic deterministic tokenizer expression over a text column:
+    ``token = len(word)*256 + ascii(word[0])`` for each whitespace word.
+    Reproducible verbatim in DuckDB (``list_transform``/``ascii``), enabling
+    token-array-equality oracles."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    return F.transform(words, lambda w: (F.length(w) * 256 + F.ascii(w)).cast("int"))
+
+
+# the DuckDB rendering of tokens_col, for oracle SQL strings
+TOKENS_SQL = (
+    "list_transform(list_filter(string_split(text, ' '), w -> w <> ''), "
+    "w -> CAST(length(w)*256 + ascii(w) AS INTEGER))"
+)
+
+
 def tokenize_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """documents(doc_id, text, lang, source, n_chars) -> input_hint token table.
 
@@ -115,8 +131,7 @@ def tokenize_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     whole-stage codegen: split/filter/transform are JVM higher-order
     functions, no Python.
     """
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    tokens = F.transform(words, lambda w: (F.length(w) * 256 + F.ascii(w)).cast("int"))
+    tokens = tokens_col(text_col)
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         tokens.alias("tokens"),

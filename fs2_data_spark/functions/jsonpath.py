@@ -1,0 +1,82 @@
+"""JSON selection / re-framing — the Selector & JSONPath surface (SURVEY P1-P3, P6).
+
+fs2-data compiles path expressions to automata over token streams; on Spark
+the same *queries* are nested-column projections planned by Catalyst:
+
+- ``select_path`` — ``$.a.b`` child steps, ``[i]`` index steps on a JSON
+  string column (``get_json_object``) or parsed struct (column refs);
+  non-matching path -> null, mirroring the non-mandatory ``NameSelector``
+  (reference ``json/src/main/scala/fs2/data/json/selectors.scala:30-57``)
+- ``iterate_array`` — ``$.a[*]`` iterator with document-order ordinals
+  (``StartArrayElement(idx)`` tagging, reference
+  ``json/src/main/scala/fs2/data/json/tagged/JsonTagger.scala:84-103``)
+- ``wrap_as_array`` / ``unwrap_array`` — ``json.wrap.asTopLevelArray`` /
+  ``unwrap.stripTopLevelArray`` (reference
+  ``json/src/main/scala/fs2/data/json/package.scala:117-187``)
+- ``render_json`` — token -> string rendering (``render.compact``,
+  reference ``json/package.scala:200-265``)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def select_path(col: Column | str, path: str) -> Column:
+    """Evaluate a dotted/indexed JSONPath (``$.a.b[0].c``) against a JSON
+    *string* column. Missing paths yield null (lenient mode)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if not path.startswith("$"):
+        path = "$." + path
+    return F.get_json_object(c, path)
+
+
+def select_fields(df: DataFrame, col: str, schema: str, *fields: str) -> DataFrame:
+    """Typed multi-field selection: parse once with an explicit schema, then
+    project nested fields (strict mode: FAILFAST parse)."""
+    parsed = F.from_json(F.col(col), schema, {"mode": "FAILFAST"})
+    return df.withColumn("__p", parsed).select(
+        *df.columns, *[F.col(f"__p.{f}").alias(f.replace(".", "_")) for f in fields]
+    ).drop("__p")
+
+
+def iterate_array(df: DataFrame, array_col: str, keep: list[str] | None = None) -> DataFrame:
+    """``$.a[*]`` iterator: one row per element with its 0-based ordinal
+    (document order preserved through ``pos``)."""
+    keep = keep if keep is not None else [c for c in df.columns if c != array_col]
+    return df.select(*keep, F.posexplode_outer(array_col).alias("pos", "element"))
+
+
+def wrap_as_array(df: DataFrame, group: list[str], value_col: str,
+                  order_col: str | None = None) -> DataFrame:
+    """Re-frame a stream of values into one array per group (document), in
+    stream order when ``order_col`` is given."""
+    v = F.struct(F.col(order_col), F.col(value_col)) if order_col else F.col(value_col)
+    agg = F.collect_list(v).alias("__raw")
+    out = df.groupBy(*group).agg(agg)
+    if order_col:
+        arr = F.transform(F.array_sort("__raw"), lambda s: s.getField(value_col))
+    else:
+        arr = F.col("__raw")
+    return out.select(*group, arr.alias(value_col + "s"))
+
+
+def unwrap_array(df: DataFrame, array_col: str, strict: bool = False) -> DataFrame:
+    """``stripTopLevelArray``: explode one level. strict=True errors on
+    non-arrays (null array) like the strict selector; lenient drops them."""
+    if strict:
+        df = df.withColumn(
+            array_col,
+            F.when(F.col(array_col).isNull(),
+                   F.raise_error(F.lit("unwrap_array: null/non-array in strict mode")))
+            .otherwise(F.col(array_col)))
+        return df.select(*[c for c in df.columns if c != array_col],
+                         F.posexplode(array_col).alias("pos", "element"))
+    return iterate_array(df.filter(F.col(array_col).isNotNull()), array_col)
+
+
+def render_json(df: DataFrame, cols: list[str] | None = None,
+                out_col: str = "json") -> DataFrame:
+    """Compact JSON rendering of selected columns (token->string render)."""
+    cols = cols or df.columns
+    return df.withColumn(out_col, F.to_json(F.struct(*[F.col(c) for c in cols])))

@@ -25,11 +25,17 @@ def sessionize(
     ts: str = "ts",
     gap_s: int = 1800,
     out_col: str = "session_seq",
+    order_by: Sequence[str] | None = None,
 ) -> DataFrame:
     """Adds ``session_seq`` (1-based bigint ordinal of the session within the
-    key's timeline). Ties (equal ts) never open a new session."""
+    key's timeline). Ties (equal ts) never open a new session.
+
+    ``order_by`` (default ``[ts]``): pass the same ordering other window
+    stages in the pipeline use so Catalyst reuses one sort instead of
+    inserting a second one (tie-break columns don't change session results).
+    """
     key = [key] if isinstance(key, str) else list(key)
-    w = Window.partitionBy(*key).orderBy(ts)
+    w = Window.partitionBy(*key).orderBy(*(order_by or [ts]))
     gap_us = F.lit(int(gap_s) * 1_000_000)
     new_session = F.when(
         F.lag(ts).over(w).isNull()

@@ -25,6 +25,14 @@ def get_spark(
     ``shuffle_partitions`` defaults to the core count — on a 1000-executor
     cluster you would instead size this to ~2-3x total cores.
     """
+    # Arrow workers rapidly alloc/free large buffers; on microVM kernels the
+    # resulting munmap/TLB-shootdown storm serializes ALL vCPUs (measured:
+    # 70-94% system time, 3-4x slowdown at 32 threads). Keep big allocations
+    # on the glibc heap and use Arrow's system pool. Must be set before the
+    # JVM (and its python workers) spawn.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"

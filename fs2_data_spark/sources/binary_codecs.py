@@ -1,0 +1,342 @@
+"""CBOR and MessagePack codecs + Spark transcoding operators.
+
+From-scratch minimal binary item codecs (RFC 8949 / MessagePack spec — both
+public), re-expressing the reference's item-level parsers
+(``cbor/shared/src/main/scala/fs2/data/cbor/low/internal/ItemParser.scala``,
+``msgpack/shared/src/main/scala/fs2/data/msgpack/low/internal/ItemParser.scala``)
+and the CBOR->JSON transcoder (``cbor-json/.../cbor/package.scala:32-62``:
+byte strings render as base64url, like the reference's tag-aware rules).
+
+The Spark surface is columnar: ``transcode_cbor_to_json`` /
+``transcode_msgpack_to_json`` turn a ``binary`` column into a JSON string
+column inside Arrow-batched ``mapInPandas`` (binary payloads never explode
+row counts; per-batch memory is bounded by Arrow batch size). Python-side
+decoding is the honest cost of a format Spark has no native reader for —
+exactly the "(b) Pandas-UDF-backed" tier of the build rules.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+BREAK = object()
+
+
+# --------------------------- CBOR (RFC 8949) -------------------------------
+
+def _cbor_read_uint(b: bytes, i: int, info: int) -> tuple[int, int]:
+    if info < 24:
+        return info, i
+    if info == 24:
+        return b[i], i + 1
+    if info == 25:
+        return int.from_bytes(b[i:i + 2], "big"), i + 2
+    if info == 26:
+        return int.from_bytes(b[i:i + 4], "big"), i + 4
+    if info == 27:
+        return int.from_bytes(b[i:i + 8], "big"), i + 8
+    raise ValueError(f"cbor: invalid additional info {info}")
+
+
+def _cbor_decode_item(b: bytes, i: int):
+    if i >= len(b):
+        raise ValueError("cbor: truncated input")
+    ib = b[i]
+    major, info = ib >> 5, ib & 0x1F
+    i += 1
+    if major == 0:
+        return _cbor_read_uint(b, i, info)
+    if major == 1:
+        n, i = _cbor_read_uint(b, i, info)
+        return -1 - n, i
+    if major == 2 or major == 3:
+        if info == 31:  # indefinite: concatenate definite chunks until break
+            parts = []
+            while b[i] != 0xFF:
+                chunk, i = _cbor_decode_item(b, i)
+                parts.append(chunk)
+            i += 1
+            return (b"".join(parts) if major == 2 else "".join(parts)), i
+        n, i = _cbor_read_uint(b, i, info)
+        raw = b[i:i + n]
+        if len(raw) < n:
+            raise ValueError("cbor: truncated string")
+        i += n
+        return (bytes(raw) if major == 2 else raw.decode("utf-8")), i
+    if major == 4:
+        out = []
+        if info == 31:
+            while b[i] != 0xFF:
+                v, i = _cbor_decode_item(b, i)
+                out.append(v)
+            return out, i + 1
+        n, i = _cbor_read_uint(b, i, info)
+        for _ in range(n):
+            v, i = _cbor_decode_item(b, i)
+            out.append(v)
+        return out, i
+    if major == 5:
+        m = {}
+        if info == 31:
+            while b[i] != 0xFF:
+                k, i = _cbor_decode_item(b, i)
+                v, i = _cbor_decode_item(b, i)
+                m[k] = v
+            return m, i + 1
+        n, i = _cbor_read_uint(b, i, info)
+        for _ in range(n):
+            k, i = _cbor_decode_item(b, i)
+            v, i = _cbor_decode_item(b, i)
+            m[k] = v
+        return m, i
+    if major == 6:  # tag: transparent (reference applies tag-aware renders)
+        _tag, i = _cbor_read_uint(b, i, info)
+        return _cbor_decode_item(b, i)
+    # major 7: simple / floats
+    if info == 20:
+        return False, i
+    if info == 21:
+        return True, i
+    if info == 22 or info == 23:
+        return None, i
+    if info == 25:
+        return struct.unpack(">e", b[i:i + 2])[0], i + 2
+    if info == 26:
+        return struct.unpack(">f", b[i:i + 4])[0], i + 4
+    if info == 27:
+        return struct.unpack(">d", b[i:i + 8])[0], i + 8
+    if info < 20 or info == 24:
+        n, i = _cbor_read_uint(b, i, info)
+        return f"simple({n})", i
+    raise ValueError(f"cbor: unsupported major=7 info={info}")
+
+
+def cbor_decode(b: bytes):
+    v, i = _cbor_decode_item(bytes(b), 0)
+    if i != len(b):
+        raise ValueError(f"cbor: {len(b) - i} trailing bytes")
+    return v
+
+
+def _cbor_head(major: int, n: int) -> bytes:
+    if n < 24:
+        return bytes([(major << 5) | n])
+    if n < 1 << 8:
+        return bytes([(major << 5) | 24, n])
+    if n < 1 << 16:
+        return bytes([(major << 5) | 25]) + n.to_bytes(2, "big")
+    if n < 1 << 32:
+        return bytes([(major << 5) | 26]) + n.to_bytes(4, "big")
+    return bytes([(major << 5) | 27]) + n.to_bytes(8, "big")
+
+
+def cbor_encode(v) -> bytes:
+    if v is False:
+        return b"\xf4"
+    if v is True:
+        return b"\xf5"
+    if v is None:
+        return b"\xf6"
+    if isinstance(v, int):
+        return _cbor_head(0, v) if v >= 0 else _cbor_head(1, -1 - v)
+    if isinstance(v, float):
+        return b"\xfb" + struct.pack(">d", v)
+    if isinstance(v, bytes):
+        return _cbor_head(2, len(v)) + v
+    if isinstance(v, str):
+        u = v.encode("utf-8")
+        return _cbor_head(3, len(u)) + u
+    if isinstance(v, (list, tuple)):
+        return _cbor_head(4, len(v)) + b"".join(cbor_encode(x) for x in v)
+    if isinstance(v, dict):
+        return _cbor_head(5, len(v)) + b"".join(
+            cbor_encode(k) + cbor_encode(x) for k, x in v.items())
+    raise TypeError(f"cbor: cannot encode {type(v)}")
+
+
+# ------------------------------ MessagePack --------------------------------
+
+def _mp_decode_item(b: bytes, i: int):
+    t = b[i]
+    i += 1
+    if t <= 0x7F:
+        return t, i
+    if t >= 0xE0:
+        return t - 256, i
+    if 0x80 <= t <= 0x8F:
+        return _mp_map(b, i, t & 0x0F)
+    if 0x90 <= t <= 0x9F:
+        return _mp_arr(b, i, t & 0x0F)
+    if 0xA0 <= t <= 0xBF:
+        n = t & 0x1F
+        return b[i:i + n].decode("utf-8"), i + n
+    if t == 0xC0:
+        return None, i
+    if t == 0xC2:
+        return False, i
+    if t == 0xC3:
+        return True, i
+    if t in (0xC4, 0xC5, 0xC6):  # bin8/16/32
+        w = 1 << (t - 0xC4)
+        n = int.from_bytes(b[i:i + w], "big")
+        i += w
+        return bytes(b[i:i + n]), i + n
+    if t == 0xCA:
+        return struct.unpack(">f", b[i:i + 4])[0], i + 4
+    if t == 0xCB:
+        return struct.unpack(">d", b[i:i + 8])[0], i + 8
+    if t in (0xCC, 0xCD, 0xCE, 0xCF):  # uint8/16/32/64
+        w = 1 << (t - 0xCC)
+        return int.from_bytes(b[i:i + w], "big"), i + w
+    if t in (0xD0, 0xD1, 0xD2, 0xD3):  # int8/16/32/64
+        w = 1 << (t - 0xD0)
+        return int.from_bytes(b[i:i + w], "big", signed=True), i + w
+    if t in (0xD9, 0xDA, 0xDB):  # str8/16/32
+        w = 1 << (t - 0xD9)
+        n = int.from_bytes(b[i:i + w], "big")
+        i += w
+        return b[i:i + n].decode("utf-8"), i + n
+    if t in (0xDC, 0xDD):  # array16/32
+        w = 2 << (t - 0xDC)
+        n = int.from_bytes(b[i:i + w], "big")
+        return _mp_arr(b, i + w, n)
+    if t in (0xDE, 0xDF):  # map16/32
+        w = 2 << (t - 0xDE)
+        n = int.from_bytes(b[i:i + w], "big")
+        return _mp_map(b, i + w, n)
+    raise ValueError(f"msgpack: unsupported type byte 0x{t:02x}")
+
+
+def _mp_arr(b, i, n):
+    out = []
+    for _ in range(n):
+        v, i = _mp_decode_item(b, i)
+        out.append(v)
+    return out, i
+
+
+def _mp_map(b, i, n):
+    m = {}
+    for _ in range(n):
+        k, i = _mp_decode_item(b, i)
+        v, i = _mp_decode_item(b, i)
+        m[k] = v
+    return m, i
+
+
+def msgpack_decode(b: bytes):
+    v, i = _mp_decode_item(bytes(b), 0)
+    if i != len(b):
+        raise ValueError(f"msgpack: {len(b) - i} trailing bytes")
+    return v
+
+
+def msgpack_encode(v) -> bytes:
+    if v is None:
+        return b"\xc0"
+    if v is False:
+        return b"\xc2"
+    if v is True:
+        return b"\xc3"
+    if isinstance(v, int):
+        if 0 <= v <= 0x7F:
+            return bytes([v])
+        if -32 <= v < 0:
+            return bytes([v & 0xFF])
+        if v >= 0:
+            for code, w in ((0xCC, 1), (0xCD, 2), (0xCE, 4), (0xCF, 8)):
+                if v < 1 << (8 * w):
+                    return bytes([code]) + v.to_bytes(w, "big")
+        for code, w in ((0xD0, 1), (0xD1, 2), (0xD2, 4), (0xD3, 8)):
+            if -(1 << (8 * w - 1)) <= v:
+                return bytes([code]) + v.to_bytes(w, "big", signed=True)
+        raise OverflowError("msgpack: int out of range")
+    if isinstance(v, float):
+        return b"\xcb" + struct.pack(">d", v)
+    if isinstance(v, bytes):
+        n = len(v)
+        if n < 1 << 8:
+            return b"\xc4" + bytes([n]) + v
+        if n < 1 << 16:
+            return b"\xc5" + n.to_bytes(2, "big") + v
+        return b"\xc6" + n.to_bytes(4, "big") + v
+    if isinstance(v, str):
+        u = v.encode("utf-8")
+        n = len(u)
+        if n < 32:
+            return bytes([0xA0 | n]) + u
+        if n < 1 << 8:
+            return b"\xd9" + bytes([n]) + u
+        if n < 1 << 16:
+            return b"\xda" + n.to_bytes(2, "big") + u
+        return b"\xdb" + n.to_bytes(4, "big") + u
+    if isinstance(v, (list, tuple)):
+        n = len(v)
+        head = (bytes([0x90 | n]) if n < 16 else
+                b"\xdc" + n.to_bytes(2, "big") if n < 1 << 16 else
+                b"\xdd" + n.to_bytes(4, "big"))
+        return head + b"".join(msgpack_encode(x) for x in v)
+    if isinstance(v, dict):
+        n = len(v)
+        head = (bytes([0x80 | n]) if n < 16 else
+                b"\xde" + n.to_bytes(2, "big") if n < 1 << 16 else
+                b"\xdf" + n.to_bytes(4, "big"))
+        return head + b"".join(msgpack_encode(k) + msgpack_encode(x)
+                               for k, x in v.items())
+    raise TypeError(f"msgpack: cannot encode {type(v)}")
+
+
+# --------------------------- Spark transcoders -----------------------------
+
+def _jsonable(v):
+    """JSON-compatible view, RFC 8949 §6.1 style: bytes -> base64url (the
+    reference's cbor-json rendering), map keys stringified."""
+    if isinstance(v, bytes):
+        return base64.urlsafe_b64encode(v).rstrip(b"=").decode("ascii")
+    if isinstance(v, list):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {str(_jsonable(k)): _jsonable(x) for k, x in v.items()}
+    return v
+
+
+def _transcode(df: DataFrame, col: str, decoder, mode: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    strict = mode == "strict"
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["json string", "ok boolean"])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            js, oks = [], []
+            for raw in pdf[col]:
+                try:
+                    js.append(json.dumps(_jsonable(decoder(raw)), sort_keys=True))
+                    oks.append(True)
+                except Exception as e:  # noqa: BLE001
+                    if strict:
+                        raise
+                    js.append(json.dumps({"__error": str(e)}))
+                    oks.append(False)
+            yield pdf.assign(json=js, ok=oks)
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def transcode_cbor_to_json(df: DataFrame, col: str = "payload",
+                           mode: str = "strict") -> DataFrame:
+    """CBOR binary column -> JSON string column (S15 ``cbor-json`` surface)."""
+    return _transcode(df, col, cbor_decode, mode)
+
+
+def transcode_msgpack_to_json(df: DataFrame, col: str = "payload",
+                              mode: str = "strict") -> DataFrame:
+    """MessagePack binary column -> JSON string column."""
+    return _transcode(df, col, msgpack_decode, mode)

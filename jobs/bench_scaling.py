@@ -1,0 +1,95 @@
+"""Scaling-efficiency evidence (BASELINE.json: >=0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so per the driver instruction the
+same job runs at two parallelism levels — local[8] (N) and local[32] (4N) —
+on the same input, reporting throughput at both plus
+``efficiency = thr_4N / (4 * thr_N)``.
+
+Measurement protocol: the sandbox VM's I/O latency swings by up to 10x
+between consecutive runs inside one JVM (shared-host block device + JVM/GC
+state), so each trial runs in a FRESH process (one warmup + one timed run),
+and each level takes the min of ``TRIALS`` trials — the standard
+noise-robust statistic. Levels are interleaved (8,32,8,32,...) so slow
+phases of the host hit both levels equally.
+
+Usage:
+    python3 jobs/bench_scaling.py [--update]     # full protocol
+    python3 jobs/bench_scaling.py --one 8        # internal: one trial
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+N_ROWS = 4_000_000
+LEVELS = (8, 32)
+TRIALS = 3
+
+
+def one_trial(cpus: int) -> None:
+    from pyspark.sql import functions as F
+
+    from bench import _noop, flagship, payload_dir
+    from fs2_data_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name=f"scaling_{cpus}",
+                      shuffle_partitions=2 * cpus,
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "33554432"})
+    d = payload_dir(spark, f"scale{N_ROWS}", N_ROWS)
+    n_tok = spark.read.parquet(f"{d}/sequences.parquet").agg(F.sum("n_tok")).first()[0]
+    pipe = flagship(spark, d, hot_keys=[])
+    _noop(pipe)  # warmup: JIT + page cache
+    t0 = time.perf_counter()
+    _noop(pipe)
+    t = time.perf_counter() - t0
+    print(json.dumps({"cpus": cpus, "sec": round(t, 3), "n_tok": int(n_tok)}))
+    spark.stop()
+
+
+def main() -> None:
+    if "--one" in sys.argv:
+        one_trial(int(sys.argv[sys.argv.index("--one") + 1]))
+        return
+    trials: dict[int, list[float]] = {c: [] for c in LEVELS}
+    n_tok = 0
+    for _ in range(TRIALS):
+        for cpus in LEVELS:  # interleaved: host noise hits both levels
+            r = subprocess.run(
+                [sys.executable, __file__, "--one", str(cpus)],
+                capture_output=True, text=True, check=True,
+                cwd=str(Path(__file__).resolve().parent.parent))
+            line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+            rec = json.loads(line)
+            trials[cpus].append(rec["sec"])
+            n_tok = rec["n_tok"]
+    results = []
+    for cpus in LEVELS:
+        t = min(trials[cpus])
+        results.append({"cpus": cpus, "sec": t, "all_sec": trials[cpus],
+                        "sequences_per_sec": round(N_ROWS / t),
+                        "tokens_per_sec": round(n_tok / t)})
+    lo, hi = results[0], results[-1]
+    eff = (hi["sequences_per_sec"] / lo["sequences_per_sec"]) / (LEVELS[-1] / LEVELS[0])
+    out = {"levels": results, "scaling_efficiency": round(eff, 3), "rows": N_ROWS}
+    print(json.dumps(out))
+    if "--update" in sys.argv:
+        with open("BASELINE.md", "a") as f:
+            f.write(
+                f"\n## Measured scaling evidence (local[{LEVELS[0]}] vs local[{LEVELS[1]}], "
+                f"{N_ROWS:,} sequences, fresh JVM per trial, min of {TRIALS})\n\n"
+                f"| level | sec | sequences/sec | tokens/sec | trials (s) |\n|---|---|---|---|---|\n"
+                + "".join(
+                    f"| local[{r['cpus']}] | {r['sec']} | {r['sequences_per_sec']:,} "
+                    f"| {r['tokens_per_sec']:,} | {r['all_sec']} |\n" for r in results)
+                + f"\nScaling efficiency (N={LEVELS[0]} -> 4N={LEVELS[1]}): **{eff:.3f}**\n")
+
+
+if __name__ == "__main__":
+    main()

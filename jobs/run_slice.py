@@ -13,30 +13,18 @@ import time
 
 from pyspark.sql import functions as F
 
-from fs2_data_spark.operators.asof import asof_join
-from fs2_data_spark.operators.sessionize import sessionize
-from fs2_data_spark.operators.windows import with_lag_lead
+
+
+
 from fs2_data_spark.session import get_spark
 from fs2_data_spark.tables import observations, token_sequences
 
 
 def build_pipeline(spark, n_rows: int):
+    from fs2_data_spark.pipeline import pit_feature_pipeline
     seqs = token_sequences(spark, n_rows)
     obs = observations(spark, max(n_rows // 4, 1), n_docs=max(n_rows // 8, 1))
-    joined = asof_join(
-        seqs, obs, on="doc_id", left_ts="event_time", right_ts="obs_time",
-        right_cols=["feature_vec"], strategy="union",
-    )
-    feats = with_lag_lead(joined, ["n_tok"], key="doc_id", ts="event_time")
-    feats = sessionize(feats, key="doc_id", ts="event_time", gap_s=3600,
-                       out_col="session_seq")
-    return feats.withColumn(
-        "feature_out",
-        F.transform(
-            F.coalesce("feature_vec", F.array(*[F.lit(0.0)] * 8)),
-            lambda x: x * F.col("n_tok").cast("double"),
-        ),
-    )
+    return pit_feature_pipeline(seqs, obs, gap_s=3600)
 
 
 def main() -> None:

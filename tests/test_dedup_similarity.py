@@ -1,0 +1,97 @@
+"""Dedup + similarity operators: planted duplicates must be found; exact
+brute-force is the oracle for the LSH variants."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from fs2_data_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    jaccard_dedup_pairs,
+    minhash_lsh_candidates,
+    simhash_groups,
+)
+from fs2_data_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    near = base + " today"                      # near-dup of base
+    other = "completely different words about spark engines and token arrays"
+    rows = [(0, base), (1, base), (2, near), (3, other), (4, other), (5, "tiny text")]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(spark, docs):
+    kept = exact_dedup(docs)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [0, 2, 3, 5]  # 1 dups 0, 4 dups 3
+
+
+def test_minhash_candidates_contain_planted_pairs(spark, docs):
+    pairs = {(r.id1, r.id2) for r in minhash_lsh_candidates(docs).collect()}
+    assert (0, 1) in pairs          # identical text always collides
+    assert (3, 4) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup should share a band
+
+
+def test_simhash_identical_texts_same_hash(spark, docs):
+    sh = {r.id: r.sh for r in simhash_groups(docs).collect()}
+    assert sh[0] == sh[1] and sh[3] == sh[4]
+    # near-dup: small Hamming distance
+    assert bin(sh[0] ^ sh[2]).count("1") <= 4
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = {(r.id1, r.id2): r.jaccard
+             for r in jaccard_dedup_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(3, 4)] == 1.0
+    assert pairs[(0, 2)] > 0.9
+    assert (0, 3) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import math
+    rows = []
+    for i in range(40):
+        ang = (i % 8) / 8.0 * math.pi
+        # groups of 5 nearly-identical directions in a 4-dim space
+        base = [math.cos(ang), math.sin(ang), 0.3, 0.1]
+        eps = (i // 8) * 1e-3
+        rows.append((i, [float(x + eps) for x in base]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark, vecs):
+    out = cosine_topk(vecs.filter("vec_id < 8"), vecs, k=3, round_dp=4)
+    rows = out.collect()
+    assert len(rows) == 8 * 3
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_vec_id, []).append(r)
+    for q, rs in by_q.items():
+        # nearest neighbours of direction (q % 8) are the same-direction vecs
+        assert all(r.n_vec_id % 8 == q % 8 for r in rs), (q, rs)
+        assert all(r.cos_sim > 0.999 for r in rs)
+
+
+def test_lsh_topk_matches_exact_on_buckets(spark, vecs):
+    exact = cosine_topk(vecs.filter("vec_id < 8"), vecs, k=1, round_dp=4)
+    lsh = lsh_bucket_topk(vecs.filter("vec_id < 8"), vecs, k=1, n_planes=4, dim=4,
+                          round_dp=4)
+    e = {r.q_vec_id: r.cos_sim for r in exact.collect()}
+    l = {r.q_vec_id: r.cos_sim for r in lsh.collect()}
+    # LSH recall: whenever a query finds a neighbour, it's the true best one
+    for q, sim in l.items():
+        assert sim == e[q]
+    assert len(l) >= 6  # near-identical vectors share buckets almost surely
+
+
+def test_embedding_near_dups(spark, vecs):
+    pairs = embedding_near_dups(vecs, threshold=0.999, n_planes=4, dim=4)
+    got = {(r.id1, r.id2) for r in pairs.collect()}
+    assert all(a % 8 == b % 8 for a, b in got)
+    assert len(got) >= 20  # 8 groups x C(5,2)=10 pairs, LSH keeps most

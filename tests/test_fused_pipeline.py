@@ -1,0 +1,78 @@
+"""fused_pit_features (one-exchange/one-sort plan) and the Arrow token
+kernel must exactly equal their composed / expression-level references."""
+
+import numpy as np
+import pytest
+
+from fs2_data_spark.functions.token_kernels import token_features_arrow
+from fs2_data_spark.functions.tokens import tok_fingerprint, tok_stats
+from fs2_data_spark.operators.asof import asof_join
+from fs2_data_spark.operators.sessionize import sessionize
+from fs2_data_spark.operators.windows import with_lag_lead
+from fs2_data_spark.pipeline import fused_pit_features
+from fs2_data_spark.tables import observations, token_sequences
+
+
+@pytest.fixture(scope="module")
+def payload(spark):
+    seqs = token_sequences(spark, 600, n_docs=30).drop("tokens").cache()
+    obs = observations(spark, 200, n_docs=30).cache()
+    seqs.count(), obs.count()
+    return seqs, obs
+
+
+def _rows(df, cols):
+    return sorted(str(tuple(r)) for r in df.select(cols).collect())
+
+
+def test_fused_equals_composed(spark, payload):
+    seqs, obs = payload
+    a = asof_join(seqs, obs, on="doc_id", left_ts="event_time", right_ts="obs_time",
+                  right_cols=["feature_vec", "obs_source"], strategy="union")
+    a = with_lag_lead(a, ["n_tok"], key="doc_id", ts=["event_time", "seq_no"])
+    a = sessionize(a, key="doc_id", ts="event_time", gap_s=1800,
+                   order_by=["event_time", "seq_no"])
+    b = fused_pit_features(seqs, obs, gap_s=1800)
+    cols = sorted(set(a.columns) & set(b.columns))
+    assert _rows(a, cols) == _rows(b, cols)
+
+
+def test_fused_strict_mode(spark, payload):
+    seqs, obs = payload
+    a = asof_join(seqs, obs, on="doc_id", left_ts="event_time", right_ts="obs_time",
+                  right_cols=["feature_vec"], strategy="union", allow_exact=False)
+    b = fused_pit_features(seqs, obs, right_cols=["feature_vec"], gap_s=None,
+                           allow_exact=False)
+    cols = sorted(set(a.columns) & set(b.columns))
+    assert _rows(a, cols) == _rows(b, cols)
+
+
+def test_fused_plan_shape(spark, payload):
+    """The whole feature stack must plan as window passes over ONE hash
+    exchange per input branch — no join node, no extra exchange after the
+    union (the scale-defining property)."""
+    seqs, obs = payload
+    b = fused_pit_features(seqs, obs, gap_s=1800)
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan or "SortMergeJoin" not in plan
+    # exchanges: one per union branch (same partitioning) + obs dedup agg
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_token_kernel_equals_expressions(spark):
+    seqs = token_sequences(spark, 300, n_docs=20).cache()
+    a = token_features_arrow(seqs).toPandas().sort_values("seq_no").reset_index(drop=True)
+    b = (tok_stats(seqs).withColumn("fp", tok_fingerprint("tokens"))
+         .toPandas().sort_values("seq_no").reset_index(drop=True))
+    assert (a.tok_fp == b.fp).all()
+    assert (a.tok_sum == b.tok_sum).all()
+    assert (a.tok_min == b.tok_min).all() and (a.tok_max == b.tok_max).all()
+    assert np.allclose(a.tok_mean, b.tok_mean)
+    assert "tokens" not in a.columns  # payload pruned from the feature table
+
+
+def test_token_kernel_partitioning_invariance(spark):
+    seqs = token_sequences(spark, 300, n_docs=20)
+    a = sorted(str(tuple(r)) for r in token_features_arrow(seqs.repartition(1)).collect())
+    b = sorted(str(tuple(r)) for r in token_features_arrow(seqs.repartition(13)).collect())
+    assert a == b

@@ -1,0 +1,80 @@
+"""Text-analysis functions: hand-computed expectations + invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fs2_data_spark.functions.text import (
+    doc_fingerprint, lang_id, mean_word_len, minhash_signature, quality_score,
+    simhash, stopword_ratio, token_count, word_code, words,
+)
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    rows = [
+        (0, "the quick fox"),
+        (1, "a a a a"),
+        (2, "中文 文本 例子"),
+        (3, "xyz qqq zzz www vvv"),
+        (4, "the quick fox"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _m(df, col):
+    return {r.doc_id: r[col] for r in df.collect()}
+
+
+def test_token_count_and_words(spark, tdf):
+    got = _m(tdf.select("doc_id", token_count("text").alias("c")), "c")
+    assert got == {0: 3, 1: 4, 2: 3, 3: 5, 4: 3}
+    # double spaces don't create empty tokens
+    df = spark.createDataFrame([(0, "a  b   c")], "doc_id bigint, text string")
+    assert df.select(token_count("text").alias("c")).first().c == 3
+
+
+def test_stopword_ratio(spark, tdf):
+    got = _m(tdf.select("doc_id", stopword_ratio("text").alias("r")), "r")
+    assert abs(got[0] - 1 / 3) < 1e-12
+    assert got[1] == 1.0
+    assert got[3] == 0.0
+
+
+def test_mean_word_len(spark, tdf):
+    got = _m(tdf.select("doc_id", mean_word_len("text").alias("m")), "m")
+    assert abs(got[0] - (3 + 5 + 3) / 3) < 1e-12
+    assert got[1] == 1.0
+
+
+def test_lang_id_heuristic(spark, tdf):
+    got = _m(tdf.select("doc_id", lang_id("text").alias("l")), "l")
+    assert got[0] == "en" and got[1] == "en"
+    assert got[2] == "zh"
+    assert got[3] == "other"
+
+
+def test_quality_score_bounds(spark, documents):
+    q = documents.select(quality_score("text").alias("q"))
+    mn, mx = q.agg(F.min("q"), F.max("q")).first()
+    assert 0.0 <= mn <= mx <= 1.0
+
+
+def test_fingerprint_identical_vs_different(spark, tdf):
+    got = _m(tdf.select("doc_id", doc_fingerprint("text").alias("f")), "f")
+    assert got[0] == got[4]          # identical text, identical fp
+    assert got[0] != got[3]
+    # word_code formula pinned: 'ab' -> 97*65536 + 98*256 + 2
+    df = spark.createDataFrame([("ab",)], "w string")
+    wc = df.select(word_code(F.col("w")).alias("c")).first().c
+    assert wc == 97 * 65536 + 98 * 256 + 2
+
+
+def test_minhash_simhash_identity_invariance(spark, tdf):
+    sig = tdf.select("doc_id", *minhash_signature("text", k=4), simhash("text").alias("sh"))
+    got = {r.doc_id: r for r in sig.collect()}
+    for f in ("mh0", "mh1", "mh2", "mh3", "sh"):
+        assert got[0][f] == got[4][f]
+    # permuted word multiset -> same minhash (set-based), since same word set
+    df = spark.createDataFrame([(0, "fox the quick")], "doc_id bigint, text string")
+    p = df.select(*minhash_signature("text", k=4)).first()
+    assert tuple(p) == tuple(got[0][f] for f in ("mh0", "mh1", "mh2", "mh3"))

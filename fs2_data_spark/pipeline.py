@@ -37,6 +37,7 @@ def fused_pit_features(
     lag_cols: tuple[str, ...] = ("n_tok",),
     gap_s: int = 3600,
     allow_exact: bool = True,
+    bucket_us: int | None = None,
 ) -> DataFrame:
     """The whole PIT feature stack in ONE exchange + ONE sort.
 
@@ -44,15 +45,18 @@ def fused_pit_features(
     every feature is a running aggregate over the same window spec:
 
     - as-of match   = last(right payload, ignorenulls) over (-inf, 0]
-    - lag1(c)       = last(left-row struct(c), ignorenulls) over (-inf, -1]
-    - lead1(c)      = first(left-row struct(c), ignorenulls) over [1, +inf)
-    - session flag  = gap vs last(left ts, ignorenulls) over (-inf, -1]
-    - session_seq   = running sum of flags over left rows, (-inf, 0]
+    - lag/lead/session flags via O(n) offset functions on the left rows
 
-    Catalyst plans a single WindowExec (one hash exchange on the key, one
-    sort) evaluating all aggregates in one pass — the minimal physical plan
-    for this operator family. Semantics identical to
-    asof_join + with_lag_lead + sessionize (pinned by tests).
+    Catalyst plans a single WindowExec chain (one hash exchange on the key,
+    one sort). Semantics identical to asof_join + with_lag_lead + sessionize
+    (pinned by tests).
+
+    ``bucket_us`` switches to the **segmented** physical plan for skewed
+    keys: windows partition by (key, time-bucket) — so a hot key's timeline
+    is processed by many parallel tasks — and cross-bucket state (as-of
+    carry, bucket-boundary lag/lead, session counts) is resolved on a tiny
+    per-(key, bucket) summary and broadcast-joined back. Output is exactly
+    equal to the unsegmented plan for every bucket size (pinned by tests).
     """
     if right_cols is None:
         right_cols = [c for c in obs.columns if c not in {key, right_ts}]
@@ -71,10 +75,14 @@ def fused_pit_features(
         _ts, F.lit(r_side).alias(_side), "__r",
     )
     u = l2.unionByName(r2)
+    is_left = F.col(_side) == l_side
+
+    if bucket_us is not None:
+        return _fused_segmented(u, key, _ts, _side, tiebreak, lcols, right_cols,
+                                lag_cols, gap_s, is_left, bucket_us)
 
     base = Window.partitionBy(key).orderBy(_ts, _side, tiebreak)
     run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    is_left = F.col(_side) == l_side
 
     # pass 1 (union rows): the as-of match — incremental O(n) running frame
     out = u.withColumn("__m", F.last("__r", ignorenulls=True).over(run)).filter(is_left)
@@ -95,6 +103,92 @@ def fused_pit_features(
                       | ((epoch_us(F.col(_ts)) - epoch_us(prev_ts))
                          > F.lit(int(gap_s) * 1_000_000)), 1).otherwise(0)
         out = out.withColumn("session_seq", F.sum(flag).over(w2run).cast("bigint"))
+    return out.select(
+        *lcols,
+        *[F.col(f"__m.{c}").alias(c) for c in right_cols],
+        *[f"lag1_{c}" for c in lag_cols],
+        *[f"lead1_{c}" for c in lag_cols],
+        *(["session_seq"] if gap_s is not None else []))
+
+
+def _fused_segmented(u, key, _ts, _side, tiebreak, lcols, right_cols,
+                     lag_cols, gap_s, is_left, bucket_us):
+    """Segmented physical plan of :func:`fused_pit_features` (see its
+    docstring). One (key, bucket) exchange over the big data; summaries and
+    carries are per-(key, bucket) rows — thousands, not billions."""
+    _b = "__f_b"
+    u = u.withColumn(_b, F.floor(epoch_us(F.col(_ts)) / F.lit(bucket_us)).cast("bigint"))
+    wb = Window.partitionBy(key, _b).orderBy(_ts, _side, tiebreak)
+    wb_run = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_s = Window.partitionBy(key).orderBy(_b)
+    w_s_prev = w_s.rowsBetween(Window.unboundedPreceding, -1)
+
+    # within-bucket as-of match (union rows)
+    d = u.withColumn("__m_in", F.last("__r", ignorenulls=True).over(wb_run))
+
+    # as-of carry: last right payload of each bucket, LOCF'd over buckets
+    sum_r = u.groupBy(key, _b).agg(
+        F.max(F.when(F.col("__r").isNotNull(),
+                     F.struct(F.col(_ts).alias("t"), F.col("__r").alias("r"))))
+        .alias("__lr"))
+    carry_r = sum_r.select(
+        key, _b,
+        F.last("__lr", ignorenulls=True).over(w_s_prev).getField("r").alias("__cr"))
+
+    # left rows: within-bucket offsets + ordinals
+    d = d.filter(is_left)
+    d = d.withColumn("__rn", F.row_number().over(wb))
+    d = d.withColumn("__cnt", F.count(F.lit(1)).over(Window.partitionBy(key, _b)))
+    for c in lag_cols:
+        d = d.withColumn(f"__lag_in_{c}", F.lag(c).over(wb))
+        d = d.withColumn(f"__lead_in_{c}", F.lead(c).over(wb))
+    gap_cond = None
+    if gap_s is not None:
+        gap_us_lit = F.lit(int(gap_s) * 1_000_000)
+        prev_ts = F.lag(_ts).over(wb)
+        flag_known = F.when(prev_ts.isNotNull()
+                            & ((epoch_us(F.col(_ts)) - epoch_us(prev_ts)) > gap_us_lit),
+                            1).otherwise(0)
+        d = d.withColumn("__flag_known", flag_known)
+        d = d.withColumn("__cum_known", F.sum("__flag_known").over(wb_run))
+
+    # per-bucket boundary summary of LEFT rows (first/last row in timeline
+    # order; struct field order IS the ordering: ts, tiebreak, then values)
+    row_struct = F.struct(F.col(_ts).alias("__t"), F.col(tiebreak).alias("__tb"),
+                          *[F.col(c).alias(c) for c in lag_cols])
+    aggs = [F.min(row_struct).alias("__first"), F.max(row_struct).alias("__last")]
+    if gap_s is not None:
+        aggs.append(F.sum("__flag_known").alias("__flags"))
+    sum_l = d.groupBy(key, _b).agg(*aggs)
+    sum_l = (sum_l.withColumn("__prev_last", F.lag("__last").over(w_s))
+             .withColumn("__next_first", F.lead("__first").over(w_s)))
+    fix_cols = [key, _b, "__prev_last", "__next_first"]
+    if gap_s is not None:
+        first_flag = F.when(F.col("__prev_last").isNull(), F.lit(1)).when(
+            (epoch_us(F.col("__first.__t")) - epoch_us(F.col("__prev_last.__t")))
+            > F.lit(int(gap_s) * 1_000_000), F.lit(1)).otherwise(F.lit(0))
+        sum_l = sum_l.withColumn("__ff", first_flag)
+        sum_l = sum_l.withColumn(
+            "__carry_n",
+            F.coalesce(F.sum(F.col("__ff") + F.col("__flags")).over(w_s_prev), F.lit(0)))
+        fix_cols += ["__ff", "__carry_n"]
+    fix = sum_l.select(*fix_cols).join(carry_r, [key, _b], "left")
+
+    out = d.join(F.broadcast(fix), [key, _b], "left")
+    out = out.withColumn("__m", F.coalesce("__m_in", "__cr"))
+    for c in lag_cols:
+        out = out.withColumn(
+            f"lag1_{c}",
+            F.when(F.col("__rn") > 1, F.col(f"__lag_in_{c}"))
+            .otherwise(F.col(f"__prev_last.{c}")))
+        out = out.withColumn(
+            f"lead1_{c}",
+            F.when(F.col("__rn") < F.col("__cnt"), F.col(f"__lead_in_{c}"))
+            .otherwise(F.col(f"__next_first.{c}")))
+    if gap_s is not None:
+        out = out.withColumn(
+            "session_seq",
+            (F.col("__carry_n") + F.col("__ff") + F.col("__cum_known")).cast("bigint"))
     return out.select(
         *lcols,
         *[F.col(f"__m.{c}").alias(c) for c in right_cols],
@@ -153,11 +247,10 @@ def pit_feature_pipeline(
                                   gap_s=gap_s)
 
     def featurize_hot(left: DataFrame, right: DataFrame) -> DataFrame:
-        out = segmented_asof_join(left, right, on=key, left_ts=left_ts,
-                                  right_ts=right_ts, right_cols=right_cols,
-                                  bucket_us=bucket_us)
-        return segmented_features(out, key=key, ts=left_ts, tiebreak=tiebreak,
-                                  lag_cols=lag_cols, gap_s=gap_s, bucket_us=bucket_us)
+        return fused_pit_features(left, right, key=key, left_ts=left_ts,
+                                  right_ts=right_ts, tiebreak=tiebreak,
+                                  right_cols=right_cols, lag_cols=lag_cols,
+                                  gap_s=gap_s, bucket_us=bucket_us)
 
     if hot_keys:
         hot_lit = F.array(*[F.lit(k) for k in hot_keys])

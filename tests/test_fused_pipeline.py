@@ -59,6 +59,28 @@ def test_fused_plan_shape(spark, payload):
     assert plan.count("Exchange hashpartitioning") <= 3
 
 
+@pytest.mark.parametrize("bucket_us", [60_000_000, 45 * 60 * 1_000_000, 10**13])
+def test_fused_segmented_equals_fused(spark, payload, bucket_us):
+    """The segmented physical plan (skew-proof (key, time-bucket) windows +
+    summary carries) must be value-identical to the single-window plan for
+    every bucket size, incl. the degenerate one-bucket case."""
+    seqs, obs = payload
+    a = fused_pit_features(seqs, obs, gap_s=1800)
+    b = fused_pit_features(seqs, obs, gap_s=1800, bucket_us=bucket_us)
+    cols = sorted(a.columns)
+    assert _rows(a, cols) == _rows(b, cols)
+
+
+def test_fused_segmented_strict_no_session(spark, payload):
+    seqs, obs = payload
+    a = fused_pit_features(seqs, obs, right_cols=["feature_vec"], gap_s=None,
+                           allow_exact=False)
+    b = fused_pit_features(seqs, obs, right_cols=["feature_vec"], gap_s=None,
+                           allow_exact=False, bucket_us=45 * 60 * 1_000_000)
+    cols = sorted(a.columns)
+    assert _rows(a, cols) == _rows(b, cols)
+
+
 def test_token_kernel_equals_expressions(spark):
     seqs = token_sequences(spark, 300, n_docs=20).cache()
     a = token_features_arrow(seqs).toPandas().sort_values("seq_no").reset_index(drop=True)

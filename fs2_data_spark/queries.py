@@ -720,3 +720,403 @@ def emb_label_stats(spark, sf_dir):
         cd(1).alias("centroid_d1"),
         cd(2).alias("centroid_d2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: pivots / grouping sets / set ops / subquery joins
+# ---------------------------------------------------------------------------
+
+@_q("pivot_status_by_priority", """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+FROM orders GROUP BY o_orderpriority
+""")
+def pivot_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    piv = (o.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["O", "F", "P"]).count().na.fill(0))
+    return piv.select(
+        "o_orderpriority",
+        F.col("O").alias("n_open"), F.col("F").alias("n_filled"),
+        F.col("P").alias("n_partial"))
+
+
+@_q("rollup_order_totals", f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, {_DSUM('o_totalprice')} AS total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""")
+def rollup_orders(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("o_totalprice")).alias("total"))
+
+
+@_q("cube_lineitem_counts", """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+""")
+def cube_lineitem(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+@_q("intersect_repeat_customers", """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+""")
+def intersect_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    y96 = o.filter((F.col("o_orderdate") >= "1996-01-01 00:00:00")
+                   & (F.col("o_orderdate") < "1997-01-01 00:00:00")).select("o_custkey")
+    y97 = o.filter((F.col("o_orderdate") >= "1997-01-01 00:00:00")
+                   & (F.col("o_orderdate") < "1998-01-01 00:00:00")).select("o_custkey")
+    return y96.intersect(y97)
+
+
+@_q("anti_join_customers_no_orders", """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def anti_customers(spark, sf_dir):
+    cu, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return cu.join(o, cu.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_q("semi_join_recent_suppliers", """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey
+                AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+""")
+def semi_suppliers(spark, sf_dir):
+    s, li = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "lineitem")
+    li = li.filter(F.col("l_shipdate") >= "2001-01-01 00:00:00")
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select("s_suppkey", "s_name")
+
+
+@_q("distinct_stats_by_segment", """
+SELECT c_mktsegment, count(*) AS n_customers,
+       count(DISTINCT c_nationkey) AS n_nations
+FROM customer GROUP BY c_mktsegment
+""")
+def distinct_stats(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"))
+
+
+@_q("min_cost_supplier_per_part", """
+SELECT l_partkey, s_suppkey FROM (
+  SELECT l_partkey, s_suppkey,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY s_acctbal, s_suppkey) AS rn
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+  JOIN supplier ON s_suppkey = l_suppkey)
+WHERE rn = 1
+""")
+def min_cost_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    s = _t(spark, sf_dir, "supplier")
+    j = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    w = Window.partitionBy("l_partkey").orderBy("s_acctbal", "s_suppkey")
+    return (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("l_partkey", "s_suppkey"))
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: scalar function families (dates / strings / math / json)
+# ---------------------------------------------------------------------------
+
+@_q("date_features", """
+SELECT event_id, year(ts) AS yr, month(ts) AS mo,
+       CAST(isodow(ts) AS INTEGER) AS dow,
+       epoch_us(date_trunc('day', ts)) AS day_start_us
+FROM events
+""")
+def date_features(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("yr"), F.month("ts").alias("mo"),
+        (F.weekday("ts") + 1).alias("dow"),
+        F.unix_micros(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+         .alias("day_start_us"))
+
+
+@_q("string_features_parts", """
+SELECT p_partkey, upper(p_name) AS uname, substr(p_name, 2, 5) AS mid,
+       replace(p_type, 'A', '_') AS repl,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       concat(p_brand, ':', p_type) AS brand_type,
+       regexp_replace(p_name, '[aeiou]', '*', 'g') AS devowel
+FROM part
+""")
+def string_features(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_name", 2, 5).alias("mid"),
+        F.replace(F.col("p_type"), F.lit("A"), F.lit("_")).alias("repl"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devowel"))
+
+
+@_q("math_features", """
+SELECT event_id,
+       round(ln(1 + value), 6) AS log1p_v,
+       round(sqrt(value), 6) AS sqrt_v,
+       round(exp(-value / 100), 6) AS decay_v,
+       round(abs(pow(value, 0.5) - sqrt(value)), 6) AS zero_v,
+       CAST(FLOOR(value / 10) AS BIGINT) AS bucket10
+FROM events
+""")
+def math_features(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(F.log1p("value"), 6).alias("log1p_v"),
+        F.round(F.sqrt("value"), 6).alias("sqrt_v"),
+        F.round(F.exp(-F.col("value") / 100), 6).alias("decay_v"),
+        F.round(F.abs(F.pow("value", F.lit(0.5)) - F.sqrt("value")), 6).alias("zero_v"),
+        F.floor(F.col("value") / 10).cast("bigint").alias("bucket10"))
+
+
+@_q("json_props_extract", """
+SELECT event_id, json_extract_string(props, '$.k') AS k_str
+FROM events
+""")
+def json_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", F.get_json_object("props", "$.k").alias("k_str"))
+
+
+@_q("percentiles_by_type", """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY event_type
+""")
+def percentiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"))
+
+
+@_q("w_time_range_rolling", """
+SELECT event_id,
+       CAST(sum(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS roll10m_sum
+FROM events
+""")
+def w_time_range(spark, sf_dir):
+    from fs2_data_spark.functions.timeutil import epoch_us as _eus
+    ev = _t(spark, sf_dir, "events").withColumn("eus", _eus(F.col("ts")))
+    w = (Window.partitionBy("user_id").orderBy("eus")
+         .rangeBetween(-600_000_000, 0))
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+         .alias("roll10m_sum"))
+
+
+@_q("session_window_native", """
+WITH g AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS flag
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + 1800000000 AS session_end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+""")
+def session_window_native(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.session_window(F.col("ts").cast("timestamp"), "30 minutes"),
+                       "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+                    F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+                    "n_events"))
+
+
+@_q("tok_bigram_shingles", f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents)
+SELECT doc_id,
+       CASE WHEN len(tokens) >= 2 THEN
+         list_transform(tokens[1:len(tokens)-1],
+                        (x, i) -> (CAST(x AS BIGINT) * 50261 + tokens[i + 1]) % 1000000007)
+       ELSE [] END AS shingles
+FROM t
+""")
+def tok_bigrams(spark, sf_dir):
+    d = _doc_tokens(spark, sf_dir)
+    return d.select("doc_id", TOK.tok_ngrams("tokens", 2).alias("shingles"))
+
+
+@_q("xml_roundtrip", """
+SELECT CAST(doc_id AS VARCHAR) AS doc_key, trim(text) AS value
+FROM documents
+""")
+def xml_roundtrip(spark, sf_dir):
+    from fs2_data_spark.sources.xmlsrc import xml_texts_at
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_key"),
+        F.concat(F.lit("<doc><t>"), F.col("text"), F.lit("</t></doc>")).alias("xml"))
+    return xml_texts_at(d, "xml", "t").select("doc_key", "value")
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: non-SQL-expressible surfaces (rows-only driver check)
+# ---------------------------------------------------------------------------
+
+@_q("streaming_session_smoke", None)
+def streaming_sessions(spark, sf_dir):
+    """Structured Streaming session_window over the events table, driven to
+    completion with availableNow (batch-equivalent rows; streaming engine
+    exercised for real). No SQL oracle: stateful streaming semantics."""
+    import os  # noqa: PLC0415
+
+    from fs2_data_spark.streaming.sessions import streaming_session_aggregate
+    ev = _t(spark, sf_dir, "events")
+    # file sources need a directory; the driver tables are single files
+    src = f"/tmp/fs2_stream_src_{abs(hash(sf_dir)) % 10**9}"
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = streaming_session_aggregate(stream, key="user_id", ts="ts",
+                                      gap="30 minutes", watermark="10000 days")
+    name = "fs2ds_stream_smoke"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", "n_events",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"))
+
+
+@_q("cbor_transcode_roundtrip", None)
+def cbor_roundtrip(spark, sf_dir):
+    """Encode each document row to CBOR binary in one Arrow pass, then stream
+    it through the CBOR->JSON transcoder; returns per-doc ok flags + payload
+    sizes. No SQL oracle: binary codec surface."""
+    import pandas as pd  # noqa: PLC0415
+
+    from fs2_data_spark.sources.binary_codecs import cbor_encode, transcode_cbor_to_json
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [cbor_encode({"t": t, "l": lg})
+                            for t, lg in zip(pdf["text"], pdf["lang"])],
+            })
+
+    enc_df = d.mapInPandas(enc, "doc_id bigint, payload binary")
+    out = transcode_cbor_to_json(enc_df, "payload", mode="attempt")
+    return out.select("doc_id", "ok", F.length("payload").alias("n_bytes"))
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: the flagship operators themselves, oracle-validated end-to-end
+# ---------------------------------------------------------------------------
+
+@_q("pit_fused_events", """
+WITH p AS (SELECT user_id, ts, max(value) AS pvalue
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+a AS (SELECT c.event_id, c.user_id, c.ts, c.value, p.pvalue
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
+g AS (SELECT *,
+        lag(value) OVER w AS lag1_value,
+        lead(value) OVER w AS lead1_value,
+        CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS flag
+      FROM a WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, pvalue, lag1_value, lead1_value,
+       CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+FROM g
+""")
+def pit_fused_events(spark, sf_dir):
+    """The flagship fused operator (as-of + lag/lead + session in one window
+    plan) validated against an independent engine's composite query."""
+    from fs2_data_spark.pipeline import fused_pit_features
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("pvalue")))
+    out = fused_pit_features(clicks, purch, key="user_id", left_ts="ts",
+                             right_ts="ts", tiebreak="event_id",
+                             right_cols=["pvalue"], lag_cols=("value",),
+                             gap_s=1800)
+    return out.select("event_id", "pvalue", "lag1_value", "lead1_value", "session_seq")
+
+
+@_q("pit_fused_events_segmented", """
+WITH p AS (SELECT user_id, ts, max(value) AS pvalue
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+a AS (SELECT c.event_id, c.user_id, c.ts, c.value, p.pvalue
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
+g AS (SELECT *,
+        lag(value) OVER w AS lag1_value,
+        lead(value) OVER w AS lead1_value,
+        CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS flag
+      FROM a WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, pvalue, lag1_value, lead1_value,
+       CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+FROM g
+""")
+def pit_fused_events_segmented(spark, sf_dir):
+    """The segmented (skew-proof) physical plan of the flagship operator,
+    validated against the same independent oracle."""
+    from fs2_data_spark.pipeline import fused_pit_features
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("pvalue")))
+    out = fused_pit_features(clicks, purch, key="user_id", left_ts="ts",
+                             right_ts="ts", tiebreak="event_id",
+                             right_cols=["pvalue"], lag_cols=("value",),
+                             gap_s=1800, bucket_us=6 * 3600 * 1_000_000)
+    return out.select("event_id", "pvalue", "lag1_value", "lead1_value", "session_seq")
+
+
+@_q("salted_agg_supplier_volume", f"""
+SELECT l_suppkey, count(*) AS n_items, {_DSUM('l_quantity')} AS total_qty
+FROM lineitem GROUP BY l_suppkey
+""")
+def salted_agg_suppliers(spark, sf_dir):
+    """Two-phase salted aggregation (skew planner) must equal a plain
+    GROUP BY — the salt is a physical detail only."""
+    from fs2_data_spark.plans.partitioning import add_salt
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    salted = add_salt(li, 16)
+    partial = salted.groupBy("l_suppkey", "__salt").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("qty_dec"))
+    return partial.groupBy("l_suppkey").agg(
+        F.sum("n_items").alias("n_items"),
+        F.sum("qty_dec").cast("double").alias("total_qty"))

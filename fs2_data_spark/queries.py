@@ -624,8 +624,25 @@ def minhash_buckets(spark, sf_dir):
 
 @_q("simhash_docs", None)  # SQL mirror generated below (needs bit loop)
 def simhash_docs(spark, sf_dir):
+    # relational formulation of functions.text.simhash (identical values,
+    # pinned by the DuckDB oracle): explode word hashes x bits, aggregate
+    # votes, fold bits — stays in whole-stage codegen instead of 16
+    # interpreted HOF passes (~10x at sf0.1)
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", TXT.simhash("text", bits=16).alias("sh"))
+    hashed = F.transform(
+        TXT.word_codes("text"),
+        lambda c: F.pmod(c * 2_654_435_761 + 104_729, F.lit(TXT.HASH_PRIME)))
+    w = d.select("doc_id", F.explode(hashed).alias("h"))
+    bits = spark.range(16).select(F.col("id").cast("int").alias("b"))
+    # column-valued shift amounts: 2^b fits a double exactly for b<=16
+    pow2b = F.pow(F.lit(2.0), F.col("b"))
+    bit = (F.floor(F.col("h") / pow2b).cast("bigint") % 2)
+    votes = (w.crossJoin(F.broadcast(bits))
+             .groupBy("doc_id", "b")
+             .agg(F.sum(bit * 2 - 1).alias("v")))
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("b")).cast("bigint"))
+              .otherwise(F.lit(0).cast("bigint"))).alias("sh"))
 
 
 def _simhash_sql(bits: int = 16) -> str:

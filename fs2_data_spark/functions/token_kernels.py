@@ -60,13 +60,19 @@ def token_features_arrow(df: DataFrame, tokens_col: str = "tokens",
             # positions within each list: global index - repeated start
             pos = np.arange(len(vals), dtype=np.int64) - np.repeat(starts, lens)
             weighted = (pos + 1) * vals
-            safe_starts = np.minimum(starts, max(len(vals) - 1, 0))
+            # reduceat boundaries: only non-empty segment starts. An empty
+            # segment's start equals its neighbor's boundary, and clamping a
+            # trailing empty's start (== len(vals)) into range would shift the
+            # preceding segment's end and silently truncate it. Consecutive
+            # non-empty starts delimit exactly one segment because empty
+            # segments contribute a zero-width interval between them.
+            ne_starts = starts[nonempty]
 
             def seg(op, src, fill):
-                if len(vals) == 0:
-                    return np.full(len(lens), fill, dtype=np.int64)
-                out = op.reduceat(src, safe_starts)
-                return np.where(nonempty, out, fill)
+                out = np.full(len(lens), fill, dtype=np.int64)
+                if len(ne_starts):
+                    out[nonempty] = op.reduceat(src, ne_starts)
+                return out
 
             # mod once at the end: values < 2^17, pos < 2^31 -> no overflow
             fp = seg(np.add, weighted, 0) % FINGERPRINT_MOD

@@ -73,7 +73,7 @@ def asof_join(
                            allow_exact, tolerance_us, suffix, dedup_right)
     if strategy == "pandas":
         return _asof_pandas(left, right, on, left_ts, right_ts, right_cols,
-                            allow_exact, tolerance_us, suffix)
+                            allow_exact, tolerance_us, suffix, dedup_right)
     raise ValueError(f"unknown asof strategy: {strategy!r}")
 
 
@@ -118,7 +118,7 @@ def _asof_union(left, right, on, left_ts, right_ts, right_cols,
 
 
 def _asof_pandas(left, right, on, left_ts, right_ts, right_cols,
-                 allow_exact, tolerance_us, suffix):
+                 allow_exact, tolerance_us, suffix, dedup_right=True):
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
     out_fields = [f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields]
@@ -147,7 +147,34 @@ def _asof_pandas(left, right, on, left_ts, right_ts, right_cols,
             for c in out_names:
                 out[c] = None
             return out
-        rp = rpdf[[rtsc, *internal]].sort_values(rtsc, kind="mergesort")
+        rp = rpdf[[rtsc, *internal]]
+        if dedup_right and internal and rp[rtsc].duplicated().any():
+            # same deterministic winner as the union strategy's max-struct:
+            # lexicographically greatest payload per duplicate ts, null
+            # smallest (Spark struct ordering). sort_values can't order
+            # array-typed cells, so rank duplicated rows with a Python key;
+            # the (0|1, value) prefix keeps nulls from ever being compared
+            # against values.
+            def skey(row):
+                out = []
+                for v in row:
+                    isnull = v is None or (isinstance(v, float) and pd.isna(v))
+                    if isnull:
+                        out.append((0, 0))
+                    else:
+                        if not isinstance(v, (str, int, float, bool)):
+                            v = tuple(v)  # ndarray/list payloads
+                        out.append((1, v))
+                return tuple(out)
+
+            dup = rp[rtsc].duplicated(keep=False)
+            dup_part = rp[dup]
+            winners = (dup_part.groupby(rtsc, sort=False)
+                       .apply(lambda g: g.index[max(
+                           range(len(g)),
+                           key=lambda i: skey(g[internal].iloc[i]))]))
+            rp = pd.concat([rp[~dup], dup_part.loc[winners.to_numpy()]])
+        rp = rp.sort_values(rtsc, kind="mergesort")
         merged = pd.merge_asof(
             lpdf, rp, left_on=ltsc, right_on=rtsc,
             direction="backward", allow_exact_matches=allow_exact, tolerance=tol,

@@ -38,13 +38,14 @@ def minhash_lsh_candidates(
     the join key is the bucket, so skew is bounded by bucket size, and the
     shuffle is linear in corpus size (vs quadratic all-pairs)."""
     n_bands = k // rows_per_band
-    P = F.lit(2_147_483_647).cast("bigint")
     sig = df.select(F.col(id_col).alias("id"), *TXT.minhash_signature(text_col, k=k))
     band_cols = []
     for b in range(n_bands):
-        v = F.col(f"mh{b * rows_per_band}")
-        for r in range(1, rows_per_band):
-            v = v * P + F.col(f"mh{b * rows_per_band + r}")
+        # bounded 64-bit mix of the band's components (a positional-base mix
+        # like v*P + mh overflows bigint for rows_per_band >= 3, silently
+        # corrupting band keys); xxhash64 is deterministic and collision-safe
+        members = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        v = F.xxhash64(*members)
         band_cols.append(F.struct(F.lit(b).alias("band_id"), v.alias("band_val")))
     bands = sig.select("id", F.explode(F.array(*band_cols)).alias("band")).select(
         "id", "band.band_id", "band.band_val")

@@ -410,26 +410,35 @@ def _doc_tokens(spark, sf_dir):
         "doc_id", tokens_col("text").alias("tokens"), "source")
 
 
+def _arr_str(col: F.Column) -> F.Column:
+    """Canonical scalar form for array outputs: the driver's pandas-based
+    canonicalizer cannot sort/hash raw list cells, so oracle-checked queries
+    emit arrays as comma-joined strings (DuckDB mirror: array_to_string)."""
+    return F.array_join(col.cast("array<string>"), ",")
+
+
 @_q("tokenize_docs", f"""
-SELECT doc_id, {TOKENS_SQL} AS tokens,
+SELECT doc_id, array_to_string({TOKENS_SQL}, ',') AS tokens_str,
        CAST(len({TOKENS_SQL}) AS INTEGER) AS n_tok, source
 FROM documents
 """)
 def tokenize_docs(spark, sf_dir):
     d = _doc_tokens(spark, sf_dir)
-    return d.select("doc_id", "tokens", F.size("tokens").alias("n_tok"), "source")
+    return d.select("doc_id", _arr_str(F.col("tokens")).alias("tokens_str"),
+                    F.size("tokens").alias("n_tok"), "source")
 
 
 @_q("tok_slice_docs", f"""
-SELECT doc_id, ({TOKENS_SQL})[3:10] AS mid, ({TOKENS_SQL})[1:3] AS head3
+SELECT doc_id, array_to_string(({TOKENS_SQL})[3:10], ',') AS mid,
+       array_to_string(({TOKENS_SQL})[1:3], ',') AS head3
 FROM documents
 """)
 def tok_slice_docs(spark, sf_dir):
     d = _doc_tokens(spark, sf_dir)
     return d.select(
         "doc_id",
-        TOK.tok_slice("tokens", 2, 10).alias("mid"),
-        TOK.tok_slice("tokens", 0, 3).alias("head3"),
+        _arr_str(TOK.tok_slice("tokens", 2, 10)).alias("mid"),
+        _arr_str(TOK.tok_slice("tokens", 0, 3)).alias("head3"),
     )
 
 
@@ -640,9 +649,13 @@ def simhash_docs(spark, sf_dir):
     votes = (w.crossJoin(F.broadcast(bits))
              .groupBy("doc_id", "b")
              .agg(F.sum(bit * 2 - 1).alias("v")))
-    return votes.groupBy("doc_id").agg(
+    sh = votes.groupBy("doc_id").agg(
         F.sum(F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("b")).cast("bigint"))
               .otherwise(F.lit(0).cast("bigint"))).alias("sh"))
+    # empty/whitespace docs explode to zero rows — restore them with sh=0 so
+    # the relational plan matches the HOF simhash (and the oracle) row-for-row
+    return (d.select("doc_id").join(sh, "doc_id", "left")
+            .select("doc_id", F.coalesce("sh", F.lit(0).cast("bigint")).alias("sh")))
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -974,15 +987,15 @@ def session_window_native(spark, sf_dir):
 @_q("tok_bigram_shingles", f"""
 WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents)
 SELECT doc_id,
-       CASE WHEN len(tokens) >= 2 THEN
+       array_to_string(CASE WHEN len(tokens) >= 2 THEN
          list_transform(tokens[1:len(tokens)-1],
                         (x, i) -> (CAST(x AS BIGINT) * 50261 + tokens[i + 1]) % 1000000007)
-       ELSE [] END AS shingles
+       ELSE [] END, ',') AS shingles
 FROM t
 """)
 def tok_bigrams(spark, sf_dir):
     d = _doc_tokens(spark, sf_dir)
-    return d.select("doc_id", TOK.tok_ngrams("tokens", 2).alias("shingles"))
+    return d.select("doc_id", _arr_str(TOK.tok_ngrams("tokens", 2)).alias("shingles"))
 
 
 @_q("xml_roundtrip", """

@@ -12,7 +12,16 @@ Emitted event rows mirror the ``XmlEvent`` ADT subset that survives
 normalization (reference ``xml/src/main/scala/fs2/data/xml/XmlEvent.scala``):
 StartTag(name, attrs) / XmlString(text) / EndTag(name), tagged with
 ``(event_no, depth)`` — the Depth counter of the ESP tag algebra
-(``finite-state/shared/src/main/scala/fs2/data/esp/Tag.scala:25-33``).
+(``finite-state/shared/src/main/scala/fs2/data/esp/Tag.scala:25-33``) — plus
+structural context maintained by the open-element stack:
+
+- ``parent``: name of the enclosing element (null at the root),
+- ``path``: '/'-joined ancestor-or-self path for StartTag events / the
+  enclosing element's path for text and EndTag events — the running
+  "location" of fs2-data's XPath matcher
+  (``xml/src/main/scala/fs2/data/xml/xpath/internals/LocationMatch.scala``),
+- ``owner_no``: event_no of the enclosing StartTag (joins text back to its
+  element without any window).
 """
 
 from __future__ import annotations
@@ -22,7 +31,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 
 EVENT_SCHEMA = ("doc_key string, event_no int, depth int, event string, "
-                "name string, attrs map<string,string>, text string, ok boolean, "
+                "name string, attrs map<string,string>, text string, "
+                "parent string, path string, owner_no int, ok boolean, "
                 "error string")
 
 
@@ -31,45 +41,68 @@ def xml_events(df: DataFrame, xml_col: str = "xml", key_col: str = "doc_key",
     """Parse an XML string column into an ordered event stream (one row per
     event). strict: malformed XML fails the job; attempt: emits a single
     ``ok=false`` row carrying the parse error for that document."""
-    import io  # noqa: PLC0415
     import xml.etree.ElementTree as ET  # noqa: PLC0415
 
     import pandas as pd  # noqa: PLC0415
 
     strict = mode == "strict"
 
+    def pull_events(xml):
+        # feed the whole document before draining: the queued (ev, elem)
+        # pairs reference live Elements, so text/tail are complete by read
+        # time (iterparse's "start" events can observe partial .text when a
+        # document spans parser read chunks)
+        parser = ET.XMLPullParser(events=("start", "end"))
+        parser.feed(xml)
+        parser.close()
+        return parser.read_events()
+
     def parse_one(key, xml):
-        events, depth, n = [], 0, 0
+        events, n = [], 0
+        # open-element stack: (name, start_event_no, path)
+        stack: list[tuple[str, int, str]] = []
         try:
-            for ev, elem in ET.iterparse(io.StringIO(xml), events=("start", "end")):
+            for ev, elem in pull_events(xml):
                 if ev == "start":
-                    events.append((key, n, depth, "StartTag", elem.tag,
-                                   dict(elem.attrib), None, True, None))
+                    parent = stack[-1][0] if stack else None
+                    ppath = stack[-1][2] if stack else ""
+                    path = f"{ppath}/{elem.tag}"
+                    events.append((key, n, len(stack), "StartTag", elem.tag,
+                                   dict(elem.attrib), None, parent, path, n,
+                                   True, None))
+                    stack.append((elem.tag, n, path))
                     n += 1
-                    depth += 1
                     if elem.text and elem.text.strip():
-                        events.append((key, n, depth, "XmlString", None, None,
-                                       elem.text.strip(), True, None))
+                        # text directly inside the just-opened element
+                        events.append((key, n, len(stack), "XmlString", None,
+                                       None, elem.text.strip(), elem.tag, path,
+                                       stack[-1][1], True, None))
                         n += 1
                 else:
-                    depth -= 1
-                    events.append((key, n, depth, "EndTag", elem.tag, None, None,
-                                   True, None))
+                    name, start_no, path = stack.pop()
+                    parent = stack[-1][0] if stack else None
+                    events.append((key, n, len(stack), "EndTag", elem.tag, None,
+                                   None, parent, path, start_no, True, None))
                     n += 1
-                    if elem.tail and elem.tail.strip():
-                        events.append((key, n, depth, "XmlString", None, None,
-                                       elem.tail.strip(), True, None))
+                    if elem.tail and elem.tail.strip() and stack:
+                        # tail text belongs to the PARENT element (mixed
+                        # content: <a><b>x</b>tail</a> -> 'tail' is a's text)
+                        pname, pno, ppath = stack[-1]
+                        events.append((key, n, len(stack), "XmlString", None,
+                                       None, elem.tail.strip(), pname, ppath,
+                                       pno, True, None))
                         n += 1
                     elem.clear()  # bounded memory: done subtrees are dropped
         except ET.ParseError as e:
             if strict:
                 raise
-            return [(key, 0, 0, "Error", None, None, None, False, str(e))]
+            return [(key, 0, 0, "Error", None, None, None, None, None, None,
+                     False, str(e))]
         return events
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_key", "event_no", "depth", "event", "name", "attrs", "text",
-                "ok", "error"]
+                "parent", "path", "owner_no", "ok", "error"]
         for pdf in batches:
             rows = []
             for key, xml in zip(pdf[key_col], pdf[xml_col]):
@@ -83,13 +116,13 @@ def xml_texts_at(df: DataFrame, xml_col: str, tag: str, key_col: str = "doc_key"
                  mode: str = "strict") -> DataFrame:
     """XPath-``//tag/text()`` analogue over the event stream: text content of
     every element named ``tag``, in document order (the ``filter.raw``
-    pipeline of reference ``xml/src/main/scala/fs2/data/xml/xpath``)."""
-    from pyspark.sql import Window, functions as F
+    pipeline of reference ``xml/src/main/scala/fs2/data/xml/xpath``).
+
+    Ownership comes straight from the parser's open-element stack (``parent``
+    column), so mixed content is attributed correctly: in
+    ``<a><b>x</b>tail</a>`` the tail text belongs to ``a``, not ``b``.
+    """
+    from pyspark.sql import functions as F
     ev = xml_events(df, xml_col, key_col, mode)
-    w = (Window.partitionBy("doc_key").orderBy("event_no")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    # a text event belongs to the nearest preceding StartTag one level up
-    owner = F.last(F.when(ev.event == "StartTag", ev.name), ignorenulls=True).over(w)
-    return (ev.withColumn("owner", owner)
-            .filter((F.col("event") == "XmlString") & (F.col("owner") == tag))
+    return (ev.filter((F.col("event") == "XmlString") & (F.col("parent") == tag))
             .select("doc_key", "event_no", F.col("text").alias("value")))

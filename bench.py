@@ -81,12 +81,16 @@ def main() -> None:
                       shuffle_partitions=max(CPUS, 8))
 
     from fs2_data_spark.queries import REGISTRY
+    # asof_join_events_pandas (the Arrow-cogroup alternate strategy) stays
+    # oracle-checked but out of the throughput batch: the union strategy is
+    # the production plan. jaccard_pairs/ann_lsh_topk are the bucketed scale
+    # paths (shingle-MinHash bands, hyperplane LSH).
     headline = [
         "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
         "w_rolling", "w_rank", "locf_backfill", "sessionize_events",
-        "session_stats", "asof_join_events", "asof_join_events_pandas",
+        "session_stats", "asof_join_events",
         "tokenize_docs", "tok_fingerprint_docs", "minhash_band_buckets",
-        "simhash_docs", "jaccard_pairs", "ann_cosine_topk",
+        "simhash_docs", "jaccard_pairs", "ann_cosine_topk", "ann_lsh_topk",
     ]
 
     data_dir = payload_dir(spark, sf, n_seq)

@@ -47,6 +47,73 @@ def word_codes(text: Column | str) -> Column:
     return F.transform(words(text), word_code)
 
 
+def word_hash(w: Column) -> Column:
+    """Full-word polynomial char hash ``fold(a*31 + codepoint) mod 1000003``.
+
+    Unlike :func:`word_code` (first/last char + length — fine for banding,
+    degenerate as a set-element hash because its tiny range collapses MinHash
+    minima across unrelated documents), this walks every character, so
+    distinct words map to near-uniform values. ANSI-reproducible: both Spark
+    ``aggregate`` (init 0) and DuckDB ``list_reduce`` (first element as init)
+    compute the identical left fold because ``0*31 + c1 = c1``."""
+    codes = F.transform(F.split(w, ""), lambda c: F.ascii(c).cast("bigint"))
+    return F.aggregate(codes, F.lit(0).cast("bigint"),
+                       lambda a, x: F.pmod(a * 31 + x, F.lit(1_000_003)))
+
+
+def word_hashes(text: Column | str) -> Column:
+    return F.transform(words(text), word_hash)
+
+
+def shingle_hashes_from(wh: Column, n: int = 3) -> Column:
+    """Distinct word-``n``-gram shingle hashes from a word-hash array column
+    (Broder's MinHash domain: shingles, not unigrams — unigram sets over a
+    small vocabulary make nearly every pair look similar). Shingle value is
+    the exact base-1000003 positional mix of the member word hashes — max
+    ``1000002 * (B^2 + B + 1) ~ 1.000009e18`` for n=3, inside int64, so no
+    modulus is needed and the SQL mirror is exact.
+
+    Built with ``zip_with`` over shifted slices (each references ``wh`` once)
+    rather than per-index ``element_at`` lambdas: interpreted HOFs have no
+    common-subexpression elimination, so an ``element_at(wh, i)`` inside a
+    lambda re-evaluates the whole upstream ``wh`` expression per element.
+    IMPORTANT for callers: materialize ``wh`` as a projected column first
+    (``df.withColumn("wh", word_hashes(...))``) so it is computed once per
+    row; passing the raw ``word_hashes(text)`` tree here still evaluates it
+    ``n + 1`` times per row."""
+    B = F.lit(1_000_003).cast("bigint")
+    m = F.size(wh) - (n - 1)
+    acc = F.slice(wh, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(acc, F.slice(wh, 1 + j, m), lambda a, x: a * B + x)
+    return F.when(F.size(wh) >= n, F.array_distinct(acc)).otherwise(
+        F.array().cast("array<bigint>"))
+
+
+def shingle_hashes(text: Column | str, n: int = 3) -> Column:
+    """Convenience composition of :func:`word_hashes` +
+    :func:`shingle_hashes_from`. For hot paths, stage the word-hash array as
+    its own projection (see ``operators/dedup.jaccard_lsh_pairs``)."""
+    return shingle_hashes_from(word_hashes(text), n)
+
+
+def minhash_signature_shingles(text: Column | str, k: int = 8, n: int = 3) -> list[Column]:
+    """k MinHash components over the shingle set: ``min((a_i*(s mod p) + b_i)
+    mod p)`` (the reduction ``s mod p`` keeps the product inside int64).
+    Aliased ``mh0..mh{k-1}``; same permutation coefficients as
+    :func:`minhash_signature`."""
+    sh = shingle_hashes(text, n)
+
+    def perm(a: int, b: int):
+        return lambda s: F.pmod(F.pmod(s, F.lit(HASH_PRIME)) * a + b, F.lit(HASH_PRIME))
+
+    sig = []
+    for i in range(k):
+        a, b = 1_103_515_245 + 2 * i + 1, 12_345 + 7919 * i
+        sig.append(F.array_min(F.transform(sh, perm(a, b))).alias(f"mh{i}"))
+    return sig
+
+
 def stopword_ratio(text: Column | str) -> Column:
     ws = words(text)
     stop = F.filter(ws, lambda w: w.isin(*STOPWORDS))

@@ -672,39 +672,57 @@ def _simhash_sql(bits: int = 16) -> str:
 REGISTRY["simhash_docs"] = (simhash_docs, _simhash_sql(16))
 
 
+_WH_SQL = (f"list_transform({_WS_SQL}, w -> "
+           "list_reduce(list_transform(string_split(w, ''), "
+           "c -> CAST(ascii(c) AS BIGINT)), (a, x) -> (a * 31 + x) % 1000003))")
+
+
+def _shingle_minhash_sql(k: int = 8) -> list[str]:
+    exprs = []
+    for i in range(k):
+        a, b = 1_103_515_245 + 2 * i + 1, 12_345 + 7919 * i
+        exprs.append(f"list_min(list_transform(sh, s -> "
+                     f"((s % 2147483647) * {a} + {b}) % 2147483647)) AS mh{i}")
+    return exprs
+
+
 @_q("jaccard_pairs", f"""
-WITH w AS (SELECT doc_id, lang,
-                  UNNEST(list_distinct({_WS_SQL})) AS word
-           FROM documents),
-sz AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ninter
-          FROM w a JOIN w b ON a.word = b.word AND a.lang = b.lang
-                            AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id)
-SELECT d1, d2,
-       ROUND(CAST(ninter AS DOUBLE) / (s1.nw + s2.nw - ninter), 6) AS jaccard
-FROM inter
-JOIN sz s1 ON s1.doc_id = d1
-JOIN sz s2 ON s2.doc_id = d2
-WHERE CAST(ninter AS DOUBLE) / (s1.nw + s2.nw - ninter) >= 0.3
+WITH wh AS (SELECT doc_id, {_WH_SQL} AS w FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+               generate_series(1, len(w) - 2),
+               i -> (w[CAST(i AS INTEGER)] * 1000003
+                     + w[CAST(i AS INTEGER) + 1]) * 1000003
+                     + w[CAST(i AS INTEGER) + 2]))
+             ELSE [] END AS sh
+      FROM wh),
+sig AS (SELECT doc_id, {', '.join(_shingle_minhash_sql(8))} FROM s),
+b AS (
+  SELECT 0 AS band_id, mh0 * 2147483647 + mh1 AS band_val, doc_id FROM sig
+  UNION ALL SELECT 1, mh2 * 2147483647 + mh3, doc_id FROM sig
+  UNION ALL SELECT 2, mh4 * 2147483647 + mh5, doc_id FROM sig
+  UNION ALL SELECT 3, mh6 * 2147483647 + mh7, doc_id FROM sig),
+cand AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+         FROM b a JOIN b b2 ON a.band_id = b2.band_id
+                           AND a.band_val = b2.band_val
+                           AND a.doc_id < b2.doc_id
+         WHERE a.band_val IS NOT NULL),
+j AS (SELECT id1, id2,
+             len(list_intersect(s1.sh, s2.sh)) AS ninter,
+             len(s1.sh) AS n1, len(s2.sh) AS n2
+      FROM cand JOIN s s1 ON s1.doc_id = id1 JOIN s s2 ON s2.doc_id = id2)
+SELECT id1, id2,
+       ROUND(CAST(ninter AS DOUBLE) / (n1 + n2 - ninter), 6) AS jaccard
+FROM j WHERE CAST(ninter AS DOUBLE) / (n1 + n2 - ninter) >= 0.3
 """)
 def jaccard_pairs(spark, sf_dir):
+    """Shingle MinHash-band candidate generation + exact Jaccard verification
+    (the scale path: linear shuffles, no all-pairs word self-join). The
+    oracle mirrors the identical shingle/band construction; recall vs the
+    exact all-pairs formulation is pinned by tests/test_dedup_similarity.py."""
+    from fs2_data_spark.operators.dedup import jaccard_lsh_pairs
     d = _t(spark, sf_dir, "documents")
-    w = d.select("doc_id", "lang",
-                 F.explode(F.array_distinct(TXT.words("text"))).alias("word"))
-    sz = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
-    a, b = w.alias("a"), w.alias("b")
-    inter = (a.join(b, (F.col("a.word") == F.col("b.word"))
-                    & (F.col("a.lang") == F.col("b.lang"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-             .agg(F.count(F.lit(1)).alias("ninter")))
-    s1 = sz.select(F.col("doc_id").alias("d1"), F.col("nw").alias("nw1"))
-    s2 = sz.select(F.col("doc_id").alias("d2"), F.col("nw").alias("nw2"))
-    jac = F.col("ninter").cast("double") / (F.col("nw1") + F.col("nw2") - F.col("ninter"))
-    return (inter.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
-            .filter(jac >= 0.3)
-            .select("d1", "d2", F.round(jac, 6).alias("jaccard")))
+    return jaccard_lsh_pairs(d, threshold=0.3, k=8)
 
 
 # ---------------------------------------------------------------------------
@@ -729,6 +747,46 @@ def ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 50 == 0)
     return cosine_topk(q, emb, id_col="vec_id", vec_col="embedding", k=3, round_dp=4)
+
+
+def _hyperplane_sig_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB mirror of operators.similarity.hyperplane_signature: identical
+    per-element weight arithmetic and sequential summation order, so the sign
+    decisions are bit-for-bit reproducible (DuckDB lambdas index 1-based ->
+    j = i - 1)."""
+    terms = []
+    for p in range(n_planes):
+        w = f"(((i - 1) * 2654435761 + {p * 40_503 + seed}) % 1000003)"
+        proj = f"list_sum(list_transform(v, (x, i) -> x * (CAST({w} AS DOUBLE) / 1000003.0 - 0.5)))"
+        terms.append(f"(CASE WHEN {proj} > 0 THEN CAST({1 << p} AS BIGINT) "
+                     f"ELSE CAST(0 AS BIGINT) END)")
+    return " + ".join(terms)
+
+
+@_q("ann_lsh_topk", f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             {_hyperplane_sig_sql(8, 64)} AS sig
+      FROM e),
+q AS (SELECT * FROM s WHERE vec_id % 50 = 0),
+pairs AS (SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+                 ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos_sim
+          FROM q JOIN s c ON c.sig = q.sig AND c.vec_id <> q.vec_id)
+SELECT q_vec_id, n_vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                               ORDER BY cos_sim DESC, n_vec_id) AS rn
+  FROM pairs) WHERE rn <= 3
+""")
+def ann_lsh(spark, sf_dir):
+    """The scale path for ANN: random-hyperplane LSH bucketing turns the
+    brute-force broadcast scan into an equi-join on the signature. The
+    deterministic hyperplane weights are reproduced verbatim in the oracle."""
+    from fs2_data_spark.operators.similarity import lsh_bucket_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return lsh_bucket_topk(q, emb, id_col="vec_id", vec_col="embedding", k=3,
+                           n_planes=8, dim=64, round_dp=4)
 
 
 @_q("emb_label_stats", """

@@ -95,3 +95,51 @@ def test_embedding_near_dups(spark, vecs):
     got = {(r.id1, r.id2) for r in pairs.collect()}
     assert all(a % 8 == b % 8 for a, b in got)
     assert len(got) >= 20  # 8 groups x C(5,2)=10 pairs, LSH keeps most
+
+# --- shingle-LSH jaccard: recall vs the exact all-pairs formulation --------
+
+def _allpairs_shingle_jaccard(spark, docs, threshold):
+    """Exact all-pairs shingle Jaccard (quadratic oracle, test-only)."""
+    from fs2_data_spark.functions.text import shingle_hashes
+    s = docs.select("doc_id", shingle_hashes("text", 3).alias("sh"))
+    a = s.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
+    b = s.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
+    ninter = F.size(F.array_intersect("sh1", "sh2"))
+    jac = ninter.cast("double") / (F.size("sh1") + F.size("sh2") - ninter)
+    return (a.join(b, F.col("id1") < F.col("id2"))
+            .filter(jac >= threshold)
+            .select("id1", "id2", F.round(jac, 6).alias("jaccard")))
+
+
+def test_jaccard_lsh_recall_vs_allpairs(spark, documents):
+    """The LSH candidate-then-verify plan must find (nearly) every pair the
+    exact quadratic formulation finds, with identical jaccard values."""
+    from fs2_data_spark.operators.dedup import jaccard_lsh_pairs
+    exact = {(r.id1, r.id2): r.jaccard
+             for r in _allpairs_shingle_jaccard(spark, documents, 0.3).collect()}
+    lsh = {(r.id1, r.id2): r.jaccard
+           for r in jaccard_lsh_pairs(documents, threshold=0.3).collect()}
+    assert set(lsh) <= set(exact)          # precision 1.0: verify is exact
+    for p, j in lsh.items():
+        assert j == exact[p]
+    recall = len(lsh) / max(len(exact), 1)
+    assert recall >= 0.9, (recall, len(exact), len(lsh))
+
+
+def test_jaccard_lsh_planted_near_dups(spark, docs):
+    from fs2_data_spark.operators.dedup import jaccard_lsh_pairs
+    pairs = {(r.id1, r.id2): r.jaccard
+             for r in jaccard_lsh_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0 and pairs[(3, 4)] == 1.0
+    assert pairs[(0, 2)] > 0.7            # shingle jaccard of base vs base+word
+    assert (0, 3) not in pairs
+
+
+def test_word_hash_discriminates(spark):
+    """word_hash must give near-unique values per word (the weak word_code
+    collapsed MinHash minima: one band bucket held 78% of the corpus)."""
+    from fs2_data_spark.functions.text import word_hash
+    words = ["spark", "spars", "kraps", "a", "ab", "ba", "table", "tablet"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    vals = [r.h for r in df.select(word_hash(F.col("w")).alias("h")).collect()]
+    assert len(set(vals)) == len(words)

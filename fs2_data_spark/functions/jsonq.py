@@ -1,0 +1,448 @@
+"""JSONPath multi-match + jq-style construction over JSON string columns.
+
+Re-expresses the reference's two path-query languages (SURVEY P3 + the jq
+surface) with their full expressiveness:
+
+- **JSONPath** (reference ``json/src/main/scala/fs2/data/json/jsonpath/
+  JsonPath.scala:21-40``): locations are ``Child``/``Descendant`` over a
+  property (name or ``*``) plus array predicates ``[i]`` / ``[lo:hi]``
+  (upper bound INCLUSIVE, pinned by ``JsonPathSpec.scala:77-95`` where
+  ``$..a[:2]`` yields indices 0..2) / ``[*]``. ``select_path_all`` returns
+  one row per match with a preorder ordinal — the multi-match surface
+  ``get_json_object`` cannot express.
+
+- **jq** (reference ``json/src/main/scala/fs2/data/json/jq/ast.scala:22-66``):
+  filters (identity, field, index, end-EXCLUSIVE slice, iterator ``[]``,
+  recursive descent ``..``, pipe) and constructors (object/array, literals),
+  including iterator-in-constructor fan-out and the ``Rhs.Default``
+  missing-field -> null semantics in object values
+  (``ESPJqCompiler.scala:228-320``; behavior pinned against
+  ``JqSpec.scala:40-458`` ported as golden tests).
+
+The reference compiles these to stream automata; a Spark column is already a
+materialized document, so the engine here is a value-level evaluator run as
+an Arrow-batched ``mapInPandas`` kernel (the UDx tier for logic Catalyst
+cannot express: recursion over untyped nesting). For *typed* or single-match
+paths prefer ``functions/jsonpath.py`` (pure Catalyst).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+# ---------------------------------------------------------------------------
+# JSONPath: parse
+# ---------------------------------------------------------------------------
+
+_JP_TOKEN = re.compile(
+    r"""\.\.(?P<ddname>[A-Za-z_][\w-]*)   # ..name  (descendant)
+      | \.\.\*                            # ..*     (descendant wildcard)
+      | \.(?P<name>[A-Za-z_][\w-]*)       # .name   (child)
+      | \.\*                              # .*      (child wildcard)
+      | \[(?P<idx>-?\d+)\]                # [i]
+      | \[(?P<lo>\d*):(?P<hi>\d*)\]       # [lo:hi] (hi inclusive)
+      | \[\*\]                            # [*]
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass(frozen=True)
+class _Loc:
+    kind: str          # child | descendant | pred
+    name: str | None   # property name (None = wildcard) for child/descendant
+    a: int | None = None
+    b: int | None = None
+    pred: str | None = None  # index | range | wildcard
+
+
+def parse_jsonpath(path: str) -> list[_Loc]:
+    if not path.startswith("$"):
+        raise ValueError(f"JSONPath must start with '$': {path!r}")
+    pos, out = 1, []
+    while pos < len(path):
+        m = _JP_TOKEN.match(path, pos)
+        if not m:
+            raise ValueError(f"bad JSONPath at {pos}: {path!r}")
+        tok = m.group(0)
+        if m.group("ddname") is not None:
+            out.append(_Loc("descendant", m.group("ddname")))
+        elif tok == "..*":
+            out.append(_Loc("descendant", None))
+        elif m.group("name") is not None:
+            out.append(_Loc("child", m.group("name")))
+        elif tok == ".*":
+            out.append(_Loc("child", None))
+        elif m.group("idx") is not None:
+            out.append(_Loc("pred", None, a=int(m.group("idx")), pred="index"))
+        elif tok == "[*]":
+            out.append(_Loc("pred", None, pred="wildcard"))
+        else:
+            lo = int(m.group("lo")) if m.group("lo") else 0
+            hi = int(m.group("hi")) if m.group("hi") else None
+            out.append(_Loc("pred", None, a=lo, b=hi, pred="range"))
+        pos = m.end()
+    return out
+
+
+def _descend(node):
+    """node + all nested values, preorder (document order)."""
+    yield node
+    if isinstance(node, dict):
+        for v in node.values():
+            yield from _descend(v)
+    elif isinstance(node, list):
+        for v in node:
+            yield from _descend(v)
+
+
+def eval_jsonpath(value, locs: list[_Loc]) -> list:
+    nodes = [value]
+    for loc in locs:
+        nxt = []
+        for n in nodes:
+            if loc.kind == "child":
+                if isinstance(n, dict):
+                    if loc.name is None:
+                        nxt.extend(n.values())
+                    elif loc.name in n:
+                        nxt.append(n[loc.name])
+            elif loc.kind == "descendant":
+                for d in _descend(n):
+                    if isinstance(d, dict):
+                        if loc.name is None:
+                            nxt.extend(d.values())
+                        elif loc.name in d:
+                            nxt.append(d[loc.name])
+            else:  # pred
+                if not isinstance(n, list):
+                    continue
+                if loc.pred == "index":
+                    if -len(n) <= loc.a < len(n):
+                        nxt.append(n[loc.a])
+                elif loc.pred == "wildcard":
+                    nxt.extend(n)
+                else:  # range, upper inclusive (JsonPathSpec.scala:77-95)
+                    hi = len(n) - 1 if loc.b is None else min(loc.b, len(n) - 1)
+                    nxt.extend(n[loc.a:hi + 1])
+        nodes = nxt
+    return nodes
+
+
+# ---------------------------------------------------------------------------
+# jq: parse (recursive descent over the reference's Jq AST subset)
+# ---------------------------------------------------------------------------
+
+# AST nodes: ("identity",) ("field", name) ("index", i) ("slice", a, b|None)
+# ("iterate",) ("descent",) ("pipe", [node...])
+# ("obj", [(key, node)...]) ("arr", [node...]) ("lit", value)
+
+_JQ_WS = re.compile(r"\s*")
+_JQ_FIELD = re.compile(r"[A-Za-z_][\w-]*")
+_JQ_NUM = re.compile(r"-?\d+(\.\d+)?([eE][+-]?\d+)?")
+
+
+class _JqParser:
+    def __init__(self, src: str):
+        self.src, self.pos = src, 0
+
+    def _ws(self):
+        self.pos = _JQ_WS.match(self.src, self.pos).end()
+
+    def _peek(self):
+        self._ws()
+        return self.src[self.pos] if self.pos < len(self.src) else ""
+
+    def _eat(self, s: str):
+        self._ws()
+        if not self.src.startswith(s, self.pos):
+            raise ValueError(f"expected {s!r} at {self.pos}: {self.src!r}")
+        self.pos += len(s)
+
+    def parse(self):
+        node = self.pipe()
+        self._ws()
+        if self.pos != len(self.src):
+            raise ValueError(f"trailing input at {self.pos}: {self.src!r}")
+        return node
+
+    def pipe(self):
+        parts = [self.primary()]
+        while self._peek() == "|":
+            self._eat("|")
+            parts.append(self.primary())
+        return parts[0] if len(parts) == 1 else ("pipe", parts)
+
+    def primary(self):
+        c = self._peek()
+        if c == ".":
+            return self.filter_()
+        if c == "{":
+            return self.obj()
+        if c == "[":
+            return self.arr()
+        if c == '"':
+            return ("lit", self.string())
+        if self.src.startswith("true", self.pos):
+            self.pos += 4
+            return ("lit", True)
+        if self.src.startswith("false", self.pos):
+            self.pos += 5
+            return ("lit", False)
+        if self.src.startswith("null", self.pos):
+            self.pos += 4
+            return ("lit", None)
+        m = _JQ_NUM.match(self.src, self.pos)
+        if m:
+            self.pos = m.end()
+            t = m.group(0)
+            return ("lit", float(t) if any(x in t for x in ".eE") else int(t))
+        raise ValueError(f"bad jq at {self.pos}: {self.src!r}")
+
+    def filter_(self):
+        steps = []
+        self._eat(".")
+        if self.src.startswith(".", self.pos):  # '..'
+            self.pos += 1
+            steps.append(("descent",))
+        while True:
+            m = _JQ_FIELD.match(self.src, self.pos)
+            if m:
+                steps.append(("field", m.group(0)))
+                self.pos = m.end()
+            elif self.src.startswith("[", self.pos):
+                self.pos += 1
+                self._ws()
+                if self.src.startswith("]", self.pos):
+                    self.pos += 1
+                    steps.append(("iterate",))
+                else:
+                    m = re.compile(r"(-?\d*)\s*(:?)\s*(-?\d*)").match(self.src, self.pos)
+                    a, colon, b = m.group(1), m.group(2), m.group(3)
+                    self.pos = m.end()
+                    self._eat("]")
+                    if colon:  # slice, end-exclusive (jq semantics)
+                        steps.append(("slice", int(a) if a else 0,
+                                      int(b) if b else None))
+                    else:
+                        steps.append(("index", int(a)))
+            elif self.src.startswith(".", self.pos) and not self.src.startswith("..", self.pos):
+                self.pos += 1  # chained .a.b
+            else:
+                break
+        return ("pipe", [("identity",)] + steps) if steps else ("identity",)
+
+    def obj(self):
+        self._eat("{")
+        fields = []
+        if self._peek() != "}":
+            while True:
+                key = self.string()
+                self._eat(":")
+                fields.append((key, self.pipe()))
+                if self._peek() == ",":
+                    self._eat(",")
+                else:
+                    break
+        self._eat("}")
+        return ("obj", fields)
+
+    def arr(self):
+        self._eat("[")
+        vals = []
+        if self._peek() != "]":
+            while True:
+                vals.append(self.pipe())
+                if self._peek() == ",":
+                    self._eat(",")
+                else:
+                    break
+        self._eat("]")
+        return ("arr", vals)
+
+    def string(self) -> str:
+        self._ws()
+        if self._peek() != '"':
+            raise ValueError(f"expected string at {self.pos}: {self.src!r}")
+        m = re.compile(r'"((?:[^"\\]|\\.)*)"').match(self.src, self.pos)
+        if not m:
+            raise ValueError(f"unterminated string at {self.pos}")
+        self.pos = m.end()
+        return json.loads(m.group(0))
+
+
+def parse_jq(program: str):
+    return _JqParser(program).parse()
+
+
+_MISSING = object()  # sentinel: filter found nothing (vs matched null)
+
+
+def _has_fanout(node) -> bool:
+    kind = node[0]
+    if kind in ("iterate", "descent"):
+        return True
+    if kind == "pipe":
+        return any(_has_fanout(p) for p in node[1])
+    return False
+
+
+def _flatten_pipe(node) -> list:
+    if node[0] == "pipe":
+        out = []
+        for p in node[1]:
+            out.extend(_flatten_pipe(p))
+        return out
+    return [node]
+
+
+def _split_fanout(node):
+    """Split a fan-out query at its LAST iterator/descent step: the prefix
+    enumerates the fan elements (reference ``Jq.Iterator(filter, inner)``),
+    the suffix is applied per element with missing -> null default."""
+    steps = _flatten_pipe(node)
+    last = max(i for i, s in enumerate(steps) if s[0] in ("iterate", "descent"))
+    pre = steps[:last + 1]
+    suf = steps[last + 1:]
+    wrap = lambda ss: ss[0] if len(ss) == 1 else ("pipe", ss)  # noqa: E731
+    return wrap(pre), wrap(suf) if suf else ("identity",)
+
+
+def eval_jq(value, node) -> list:
+    """Evaluate a jq AST against a value; returns the emitted values.
+
+    Bare-filter misses emit nothing; inside an OBJECT constructor value a
+    miss becomes null (``Rhs.Default``, reference ``ESPJqCompiler.scala:
+    316-320``); inside an ARRAY constructor a miss is simply omitted
+    (``JqSpec.scala`` "iterate array not found" -> ``[]``)."""
+    kind = node[0]
+    if kind == "identity":
+        return [value]
+    if kind == "lit":
+        return [node[1]]
+    if kind == "field":
+        return [value[node[1]]] if isinstance(value, dict) and node[1] in value else []
+    if kind == "index":
+        if isinstance(value, list) and -len(value) <= node[1] < len(value):
+            return [value[node[1]]]
+        return []
+    if kind == "slice":
+        if not isinstance(value, list):
+            return []
+        return [value[node[1]:node[2]]]
+    if kind == "iterate":
+        if isinstance(value, list):
+            return list(value)
+        if isinstance(value, dict):
+            return list(value.values())
+        return []
+    if kind == "descent":
+        return list(_descend(value))
+    if kind == "pipe":
+        vals = [value]
+        for part in node[1]:
+            vals = [out for v in vals for out in eval_jq(v, part)]
+        return vals
+    if kind == "arr":
+        out = []
+        for q in node[1]:
+            out.extend(eval_jq(value, q))
+        return [out]
+    if kind == "obj":
+        fixed: dict[str, object] = {}
+        fan_key = fan_prefix = fan_suffix = None
+        for key, q in node[1]:
+            if _has_fanout(q):
+                if fan_key is not None:
+                    raise ValueError(
+                        "jq object constructor supports at most one iterator "
+                        "field (reference ESPJqCompiler restriction)")
+                fan_key = key
+                fan_prefix, fan_suffix = _split_fanout(q)
+            else:
+                r = eval_jq(value, q)
+                fixed[key] = r[0] if r else None  # Rhs.Default
+        if fan_key is None:
+            return [{k: fixed[k] for k, _ in node[1]}]
+        out = []
+        for fv in eval_jq(value, fan_prefix):
+            r = eval_jq(fv, fan_suffix)
+            item = r[0] if r else None  # Rhs.Default past the iterator too
+            out.append({k: (item if k == fan_key else fixed[k])
+                        for k, _ in node[1]})
+        return out
+    raise ValueError(f"unknown jq node {node!r}")
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operators
+# ---------------------------------------------------------------------------
+
+def _render(v) -> str:
+    return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
+def _run_engine(df: DataFrame, col: str, keep: list[str] | None,
+                evaluate, mode: str) -> DataFrame:
+    """Shared mapInPandas driver: one output row per match, with ordinal."""
+    import pandas as pd  # noqa: PLC0415
+
+    keep = keep if keep is not None else [c for c in df.columns if c != col]
+    strict = mode == "strict"
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in df.schema.fields if f.name in keep]
+        + ["match_no int", "value string"])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in keep}
+            ords, vals = [], []
+            for i in range(len(pdf)):
+                raw = pdf[col].iloc[i]
+                try:
+                    doc = json.loads(raw) if raw is not None else None
+                    matches = evaluate(doc) if doc is not None else []
+                except (ValueError, KeyError, TypeError):
+                    if strict:
+                        raise
+                    matches = []
+                for j, m in enumerate(matches):
+                    for k in keep:
+                        out[k].append(pdf[k].iloc[i])
+                    ords.append(j)
+                    vals.append(_render(m))
+            out["match_no"] = ords
+            out["value"] = vals
+            yield pd.DataFrame(out, columns=[*keep, "match_no", "value"])
+
+    return df.mapInPandas(kernel, schema)
+
+
+def select_path_all(df: DataFrame, col: str, path: str,
+                    keep: list[str] | None = None,
+                    mode: str = "strict") -> DataFrame:
+    """All JSONPath matches of ``path`` in the JSON string column ``col`` —
+    one row per match with its preorder ordinal ``match_no`` and the match
+    rendered as compact JSON in ``value``. Supports the full reference
+    location grammar: ``$.a``, ``$..a``, ``$.*``, ``$..*``, ``[i]``,
+    ``[lo:hi]`` (hi inclusive), ``[*]``."""
+    locs = parse_jsonpath(path)
+    return _run_engine(df, col, keep, lambda doc: eval_jsonpath(doc, locs), mode)
+
+
+def jq_run(df: DataFrame, col: str, program: str,
+           keep: list[str] | None = None,
+           mode: str = "strict") -> DataFrame:
+    """Run a jq program against the JSON string column ``col`` — one row per
+    emitted value (compact JSON in ``value``, emission ordinal ``match_no``).
+    Supports filters (``.a[0].b``, ``.[]``, slices, ``..``, ``|``) and
+    object/array constructors with iterator fan-out and missing->null
+    defaults."""
+    ast = parse_jq(program)
+    return _run_engine(df, col, keep, lambda doc: eval_jq(doc, ast), mode)

@@ -1056,6 +1056,48 @@ def tok_bigrams(spark, sf_dir):
     return d.select("doc_id", _arr_str(TOK.tok_ngrams("tokens", 2)).alias("shingles"))
 
 
+@_q("jsonpath_descendant_docs", """
+SELECT doc_id, 0 AS match_no, CAST(doc_id AS VARCHAR) AS value FROM documents
+UNION ALL SELECT doc_id, 1, CAST(doc_id + 1 AS VARCHAR) FROM documents
+UNION ALL SELECT doc_id, 2, CAST(doc_id + 2 AS VARCHAR) FROM documents
+""")
+def jsonpath_descendant(spark, sf_dir):
+    """JSONPath descendant axis ``$..b`` multi-match over nested JSON
+    synthesized deterministically per doc; the oracle enumerates the three
+    preorder matches (a.b, a.c.b, l[0].b) the descendant walk must find."""
+    from fs2_data_spark.functions.jsonq import select_path_all
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit('{"a":{"b":'), F.col("doc_id").cast("string"),
+                 F.lit(',"c":{"b":'), (F.col("doc_id") + 1).cast("string"),
+                 F.lit('}},"l":[{"b":'), (F.col("doc_id") + 2).cast("string"),
+                 F.lit('},{"x":0}]}')).alias("js"))
+    return select_path_all(d, "js", "$..b", keep=["doc_id"])
+
+
+@_q("jq_construct_docs", """
+SELECT doc_id, 0 AS match_no,
+       '{"lang":"' || lang || '","tok":' || CAST(doc_id AS VARCHAR)
+       || ',"missing":null}' AS value FROM documents
+UNION ALL SELECT doc_id, 1,
+       '{"lang":"' || lang || '","tok":' || CAST(doc_id + 1 AS VARCHAR)
+       || ',"missing":null}' FROM documents
+""")
+def jq_construct(spark, sf_dir):
+    """jq per-match object construction with iterator fan-out and
+    missing-field -> null default (``Rhs.Default``) over synthesized JSON;
+    the oracle renders the exact objects the constructor must emit."""
+    from fs2_data_spark.functions.jsonq import jq_run
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit('{"f2":"'), F.col("lang"), F.lit('","f3":['),
+                 F.col("doc_id").cast("string"), F.lit(","),
+                 (F.col("doc_id") + 1).cast("string"),
+                 F.lit("]}")).alias("js"))
+    return jq_run(d, "js", '{ "lang": .f2, "tok": .f3[], "missing": .zz }',
+                  keep=["doc_id"])
+
+
 @_q("xml_roundtrip", """
 SELECT CAST(doc_id AS VARCHAR) AS doc_key, trim(text) AS value
 FROM documents

@@ -1,0 +1,188 @@
+"""Golden tests for the JSONPath/jq engines, ported from the reference specs:
+
+- JSONPath cases: ``json/src/test/scala/fs2/data/json/jsonpath/JsonPathSpec.scala:31-116``
+- jq cases:       ``json/src/test/scala/fs2/data/json/jq/JqSpec.scala:40-458``
+
+The reference asserts on token streams; here the same documents/queries assert
+on the equivalent values (token stream == serialized value)."""
+
+import json
+
+import pytest
+
+from fs2_data_spark.functions.jsonq import (
+    eval_jq,
+    eval_jsonpath,
+    jq_run,
+    parse_jq,
+    parse_jsonpath,
+    select_path_all,
+)
+
+
+def jp(doc, path):
+    return eval_jsonpath(json.loads(doc), parse_jsonpath(path))
+
+
+def jq(doc, program):
+    return eval_jq(json.loads(doc), parse_jq(program))
+
+
+# --------------------------- JSONPath (JsonPathSpec) ------------------------
+
+NESTED = '{"a": {"a": {"c": true}, "b": 1, "c": 2}}'
+WITH_ARRAY = '{"a": [{"idx": 0}, {"idx": 1}, {"idx": 2}, {"idx": 3}, {"idx": 4}]}'
+
+
+def test_jsonpath_descendant_then_child():
+    # JsonPathSpec "simple path": $..a.c matches both the outer and inner a.c
+    assert sorted(jp(NESTED, "$..a.c"), key=str) == sorted([2, True], key=str)
+
+
+def test_jsonpath_array_index():
+    assert jp(WITH_ARRAY, "$.a[3]") == [{"idx": 3}]
+
+
+def test_jsonpath_array_range_upper_inclusive():
+    # JsonPathSpec "array ranges": $..a[:2] yields indices 0,1,2
+    assert jp(WITH_ARRAY, "$..a[:2]") == [{"idx": 0}, {"idx": 1}, {"idx": 2}]
+
+
+def test_jsonpath_array_wildcard():
+    assert jp(WITH_ARRAY, "$.a[*]") == [{"idx": i} for i in range(5)]
+
+
+def test_jsonpath_child_wildcard_and_descendant_wildcard():
+    doc = '{"x": {"p": 1, "q": 2}, "y": [3]}'
+    assert jp(doc, "$.*") == [{"p": 1, "q": 2}, [3]]
+    # $..* : property values of every object at any depth (Property.Wildcard
+    # matches object keys only — arrays are addressed via Pred, per the
+    # reference grammar JsonPath.scala:30-40)
+    vals = jp(doc, "$..*")
+    assert {json.dumps(v) for v in vals} == {'{"p": 1, "q": 2}', "[3]", "1", "2"}
+
+
+def test_jsonpath_no_match_and_bad_parse():
+    assert jp(NESTED, "$.zzz.c") == []
+    with pytest.raises(ValueError):
+        parse_jsonpath("a.b")
+    with pytest.raises(ValueError):
+        parse_jsonpath("$.a[!]")
+
+
+# ------------------------------- jq (JqSpec) --------------------------------
+
+INPUT = '{"a": [{"b": 0}, {"b": 1}, {"b": 2}]}'
+
+
+def test_jq_select_simple_path():
+    assert jq(INPUT, ".a[0].b") == [0]
+
+
+def test_jq_select_not_found():
+    assert jq(INPUT, ".a[0].d.e") == []
+
+
+def test_jq_iterate_not_found():
+    assert jq(INPUT, ".d[]") == []
+
+
+def test_jq_iterate_object_not_found():
+    assert jq(INPUT, '.d[] | { "value": .a }') == []
+
+
+def test_jq_iterate_array_not_found():
+    assert jq(INPUT, "[ .d[] ]") == [[]]
+
+
+def test_jq_recursive_descent():
+    doc = json.loads(INPUT)
+    out = jq(INPUT, "..")
+    assert out == [doc, doc["a"], {"b": 0}, 0, {"b": 1}, 1, {"b": 2}, 2]
+
+
+def test_jq_prefixed_recursive_descent():
+    doc = json.loads(INPUT)
+    assert jq(INPUT, ".a | ..") == [doc["a"], {"b": 0}, 0, {"b": 1}, 1, {"b": 2}, 2]
+
+
+def test_jq_identity():
+    assert jq(INPUT, ".") == [json.loads(INPUT)]
+
+
+def test_jq_identity_noop():
+    assert jq(INPUT, ".a | . | .[2]") == [{"b": 2}]
+
+
+def test_jq_iterator():
+    assert jq(INPUT, ".a[]") == [{"b": 0}, {"b": 1}, {"b": 2}]
+
+
+def test_jq_object_iterator():
+    out = jq(INPUT, '.a | {"before": true, "value": .[].b, "after": .[0].b}')
+    assert out == [{"before": True, "value": i, "after": 0} for i in range(3)]
+
+
+def test_jq_array_iterator_splices():
+    out = jq(INPUT, '[ "before", .a[], "after" ]')
+    assert out == [["before", {"b": 0}, {"b": 1}, {"b": 2}, "after"]]
+
+
+def test_jq_array_iterator_with_constructor():
+    out = jq(INPUT, '[ "before", .a[] | { "value": .b }, "after" ]')
+    assert out == [["before", {"value": 0}, {"value": 1}, {"value": 2}, "after"]]
+
+
+def test_jq_object_iterator_with_constructor():
+    out = jq(INPUT, '[ true, .a[].b | {"value": . }, false ]')
+    assert out == [[True, {"value": 0}, {"value": 1}, {"value": 2}, False]]
+
+
+def test_jq_constructor_iterator():
+    out = jq(INPUT, '.a[] | { "value": . }')
+    assert out == [{"value": {"b": 0}}, {"value": {"b": 1}}, {"value": {"b": 2}}]
+
+
+def test_jq_not_found_value_constructor_defaults_null():
+    assert jq(INPUT, '{ "value": .a[0].d }') == [{"value": None}]
+
+
+def test_jq_not_found_value_object_iterator():
+    # iterator fans to 3 elements; per-element miss -> null (Rhs.Default)
+    out = jq(INPUT, '{ "value": .a[].unknown }')
+    assert out == [{"value": None}] * 3
+
+
+def test_jq_documentation_case():
+    doc = '{"field1": 0, "field2": "test", "field3": [1, 2, 3]}'
+    out = jq(doc, '[ { "field2": .field2, "field3": .field3[] } ]')
+    assert out == [[{"field2": "test", "field3": i} for i in (1, 2, 3)]]
+
+
+def test_jq_slice_end_exclusive():
+    assert jq('[0,1,2,3,4]', ".[1:3]") == [[1, 2]]
+    assert jq('[0,1,2,3,4]', ".[3:]") == [[3, 4]]
+
+
+def test_jq_multiple_iterators_rejected():
+    with pytest.raises(ValueError):
+        jq(INPUT, '{"x": .a[], "y": .a[]}')
+
+
+# --------------------------- DataFrame operators ----------------------------
+
+def test_select_path_all_dataframe(spark):
+    df = spark.createDataFrame([(1, NESTED), (2, '{"a": {"c": 9}}'), (3, "{}")],
+                               "id int, js string")
+    out = select_path_all(df, "js", "$..a.c").orderBy("id", "match_no").collect()
+    assert [(r.id, r.match_no, r.value) for r in out] == [
+        (1, 0, "2"), (1, 1, "true"), (2, 0, "9")]
+
+
+def test_jq_run_dataframe_modes(spark):
+    df = spark.createDataFrame(
+        [(1, '{"a": [{"b": 5}]}'), (2, "not json")], "id int, js string")
+    out = jq_run(df, "js", '{ "v": .a[].b }', mode="attempt").collect()
+    assert [(r.id, r.value) for r in out] == [(1, '{"v":5}')]
+    with pytest.raises(Exception):
+        jq_run(df, "js", ".a", mode="strict").collect()

@@ -1098,6 +1098,29 @@ def jq_construct(spark, sf_dir):
                   keep=["doc_id"])
 
 
+@_q("xpath_attr_filter", """
+SELECT doc_id, 0 AS match_no, 'item' AS name,
+       't' || CAST(doc_id AS VARCHAR) AS inner_text FROM documents
+UNION ALL SELECT doc_id, 1, 'other', 'w' FROM documents
+""")
+def xpath_attr_filter(spark, sf_dir):
+    """XPath attribute predicates + alternation over synthesized
+    attribute-bearing XML; the oracle enumerates the two matches per doc the
+    compiled query must find (the nested non-cls item must NOT match)."""
+    from fs2_data_spark.functions.xpath import xpath_filter
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.concat(F.lit('<r><item id="'), F.col("doc_id").cast("string"),
+                 F.lit('" cls="x">t'), F.col("doc_id").cast("string"),
+                 F.lit('</item><sub><item id="'),
+                 (F.col("doc_id") + 1).cast("string"),
+                 F.lit('">u</item></sub><other cls="x">w</other></r>')).alias("xml"),
+        F.col("doc_id").cast("string").alias("doc_key"))
+    out = xpath_filter(d, "xml", '//item[@cls == "x"]|//other[@cls]')
+    return out.select(F.col("doc_key").cast("bigint").alias("doc_id"),
+                      "match_no", "name", "inner_text")
+
+
 @_q("xml_roundtrip", """
 SELECT CAST(doc_id AS VARCHAR) AS doc_key, trim(text) AS value
 FROM documents

@@ -1,0 +1,113 @@
+"""XPath engine golden tests, mirroring the reference
+``xml/src/test/scala/fs2/data/xml/xpath/QueryPipeSpec.scala`` cases on the
+same documents/queries (assertions on matched elements / serialized subtrees
+instead of raw token lists)."""
+
+import pytest
+
+from fs2_data_spark.functions.xpath import match_chain, parse_xpath, xpath_filter
+
+
+def matches(spark, xml, query):
+    df = spark.createDataFrame([("d", xml)], "doc_key string, xml string")
+    return xpath_filter(df, "xml", query).orderBy("match_no").collect()
+
+
+SIMPLE = "<a>  <a>    <c />  </a>  <b>  </b>  <c>2</c></a>"
+
+
+def test_simple_query(spark):
+    # QueryPipeSpec "simple query": //a/c finds both c elements under an a
+    out = matches(spark, SIMPLE, "//a/c")
+    assert [(r.name, r.inner_text) for r in out] == [("c", ""), ("c", "2")]
+    assert out[1].xml == "<c>2</c>"
+
+
+def test_simple_query_nested(spark):
+    xml = ("<r><a>  <b>    <c>      <a>        <c />      </a>    </c>  </b></a>"
+           "<root><a><c>text</c></a></root></r>")
+    out = matches(spark, xml, "//a/c")
+    assert [(r.name, r.inner_text) for r in out] == [("c", ""), ("c", "text")]
+
+
+def test_nested_matches_overlap(spark):
+    # QueryPipeSpec "simple query early": //a with a nested inside a — both
+    # matched, outer subtree contains the inner
+    xml = "<a><a>nested</a></a>"
+    out = matches(spark, xml, "//a")
+    assert len(out) == 2
+    assert out[0].xml == "<a><a>nested</a></a>"
+    assert out[1].xml == "<a>nested</a>"
+
+
+def test_wildcard_child(spark):
+    xml = "<r><c><x>1</x><y>2</y></c><x>no</x></r>"
+    out = matches(spark, xml, "//c/*")
+    assert [r.name for r in out] == ["x", "y"]
+
+
+def test_attribute_query(spark):
+    # QueryPipeSpec "attribute query": value-matched a's, including nested
+    xml = ('<a>  <b>    <c>      <a attr="value" />      <a attr="yop">second</a>'
+           '    </c>      <a attr="value">third        '
+           '<a attr="value">fourth</a>      </a>  </b></a>')
+    out = matches(spark, xml, '//a[@attr=="value"]')
+    assert len(out) == 3
+    assert out[0].attrs == {"attr": "value"} and out[0].inner_text == ""
+    assert "third" in out[1].inner_text and "fourth" in out[1].inner_text
+    assert out[2].inner_text == "fourth"
+
+
+def test_attribute_neq_requires_presence(spark):
+    # QueryPipeSpec "attribute neq query": element WITHOUT the attr does not
+    # match !=
+    xml = ('<r><a>without</a><a attr="value">with value</a>'
+           '<a attr="other value">with other value</a></r>')
+    out = matches(spark, xml, '//a[@attr != "value"]')
+    assert [(r.inner_text, r.attrs["attr"]) for r in out] == [
+        ("with other value", "other value")]
+
+
+def test_path_disjunction(spark):
+    # QueryPipeSpec "path disjunction": /a//c|//b
+    xml = ("<a><b>This is a b</b><b><c>This is a c in a b</c></b></a>")
+    out = matches(spark, xml, "/a//c|//b")
+    got = sorted((r.name, r.inner_text) for r in out)
+    assert got == [("b", "This is a b"), ("b", "This is a c in a b"),
+                   ("c", "This is a c in a b")]
+
+
+def test_predicate_boolean_algebra(spark):
+    xml = ('<r><i k="1" c="x">a</i><i k="2">b</i><i c="x">c</i><i>d</i></r>')
+    assert [r.inner_text for r in matches(spark, xml, '//i[@k && @c == "x"]')] == ["a"]
+    assert [r.inner_text for r in matches(spark, xml, '//i[@k || @c]')] == ["a", "b", "c"]
+    assert [r.inner_text for r in matches(spark, xml, "//i[!@k]")] == ["c", "d"]
+    assert [r.inner_text
+            for r in matches(spark, xml, '//i[!(@k == "1" || @c)]')] == ["b", "d"]
+
+
+def test_intermediate_step_predicate(spark):
+    xml = '<r><g id="x"><v>1</v></g><g><v>2</v></g></r>'
+    out = matches(spark, xml, '//g[@id == "x"]/v')
+    assert [r.inner_text for r in out] == ["1"]
+
+
+def test_parse_alternation_ast():
+    # QueryPipeSpec "expression with alternative" (parser-level)
+    b = parse_xpath("/root/a/b|/root/a/c|//d/e")
+    assert len(b) == 3
+    assert [(s.descendant, s.name) for s in b[0]] == [
+        (False, "root"), (False, "a"), (False, "b")]
+    assert [(s.descendant, s.name) for s in b[2]] == [(True, "d"), (False, "e")]
+    with pytest.raises(ValueError):
+        parse_xpath("a/b")
+    with pytest.raises(ValueError):
+        parse_xpath("//a[@k == ]")
+
+
+def test_match_chain_semantics():
+    b = parse_xpath("//a/c")
+    assert match_chain(b, [("a", {}), ("c", {})])
+    assert match_chain(b, [("x", {}), ("a", {}), ("c", {})])
+    assert not match_chain(b, [("a", {}), ("b", {}), ("c", {})])
+    assert not match_chain(b, [("a", {}), ("c", {}), ("d", {})])  # must end on match

@@ -22,14 +22,25 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def tok_index(tokens: Column | str, i: int) -> Column:
-    """jq ``.[i]``: 0-based element access, out-of-range -> null
-    (``IndexSelector`` non-mandatory semantics, reference
-    ``json/src/main/scala/fs2/data/json/selectors.scala:59-80``)."""
+def tok_index(tokens: Column | str, i: int, mandatory: bool = False) -> Column:
+    """jq ``.[i]``: 0-based element access.
+
+    ``mandatory=False``: out-of-range -> null (``IndexSelector``
+    non-mandatory semantics, reference
+    ``json/src/main/scala/fs2/data/json/selectors.scala:59-80``).
+    ``mandatory=True``: out-of-range fails the job with a descriptive error,
+    the ``mandatory`` selector error of ``selectors.scala:30-57`` (wrong
+    *container kind* — index selection on a non-array column — is already a
+    strict error: Spark's analyzer rejects it at plan time)."""
     t = _c(tokens)
-    if i >= 0:
-        return F.when(F.size(t) > i, F.element_at(t, i + 1))
-    return F.when(F.size(t) >= -i, F.element_at(t, i))
+    in_range = (F.size(t) > i) if i >= 0 else (F.size(t) >= -i)
+    hit = F.element_at(t, i + 1 if i >= 0 else i)
+    if not mandatory:
+        return F.when(in_range, hit)
+    return F.when(in_range, hit).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"tok_index: mandatory index {i} out of range for size "),
+            F.size(t).cast("string"))))
 
 
 def tok_slice(tokens: Column | str, start: int, end: int | None = None) -> Column:

@@ -21,10 +21,48 @@ import base64
 import json
 import struct
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
 BREAK = object()
+
+# CBOR tags with rendering semantics (reference
+# ``cbor-json/shared/src/main/scala/fs2/data/cbor/package.scala:31-62``)
+TAG_POS_BIGNUM = 2
+TAG_NEG_BIGNUM = 3
+TAG_DECIMAL_FRACTION = 4        # RFC 8949 §3.4.4 (not in the reference's set)
+TAG_EXPECT_B64URL = 21
+TAG_EXPECT_B64 = 22
+TAG_EXPECT_B16 = 23
+_KNOWN_TAGS = {TAG_POS_BIGNUM, TAG_NEG_BIGNUM, TAG_DECIMAL_FRACTION,
+               TAG_EXPECT_B64URL, TAG_EXPECT_B64, TAG_EXPECT_B16}
+
+
+@dataclass(frozen=True)
+class CborTagged:
+    """A semantically-known CBOR tag kept through decoding so the JSON
+    renderer can apply the reference's tag-aware rules; unknown tags stay
+    transparent (value passed through), like the reference's default arm."""
+    tag: int
+    value: object
+
+
+@dataclass(frozen=True)
+class MpExt:
+    """MessagePack application extension (types 0xC7-0xC9 / 0xD4-0xD8,
+    reference ``msgpack/low/model.scala:45``)."""
+    type: int       # signed byte, application-defined (>= 0)
+    data: bytes
+
+
+@dataclass(frozen=True)
+class MpTimestamp:
+    """MessagePack predefined timestamp extension (type -1): Timestamp32/
+    64/96 of reference ``msgpack/low/model.scala:48-62``, normalized to
+    (seconds, nanoseconds)."""
+    sec: int
+    nsec: int = 0
 
 
 # --------------------------- CBOR (RFC 8949) -------------------------------
@@ -94,9 +132,12 @@ def _cbor_decode_item(b: bytes, i: int):
             v, i = _cbor_decode_item(b, i)
             m[k] = v
         return m, i
-    if major == 6:  # tag: transparent (reference applies tag-aware renders)
-        _tag, i = _cbor_read_uint(b, i, info)
-        return _cbor_decode_item(b, i)
+    if major == 6:  # tag: known tags kept for tag-aware rendering
+        tag, i = _cbor_read_uint(b, i, info)
+        v, i = _cbor_decode_item(b, i)
+        if tag in _KNOWN_TAGS:
+            return CborTagged(tag, v), i
+        return v, i  # unknown tags are transparent (reference default arm)
     # major 7: simple / floats
     if info == 20:
         return False, i
@@ -136,6 +177,8 @@ def _cbor_head(major: int, n: int) -> bytes:
 
 
 def cbor_encode(v) -> bytes:
+    if isinstance(v, CborTagged):
+        return _cbor_head(6, v.tag) + cbor_encode(v.value)
     if v is False:
         return b"\xf4"
     if v is True:
@@ -209,7 +252,37 @@ def _mp_decode_item(b: bytes, i: int):
         w = 2 << (t - 0xDE)
         n = int.from_bytes(b[i:i + w], "big")
         return _mp_map(b, i + w, n)
+    if 0xD4 <= t <= 0xD8:  # fixext 1/2/4/8/16
+        n = 1 << (t - 0xD4)
+        return _mp_ext(b, i, n)
+    if t in (0xC7, 0xC8, 0xC9):  # ext8/16/32
+        w = 1 << (t - 0xC7)
+        n = int.from_bytes(b[i:i + w], "big")
+        return _mp_ext(b, i + w, n)
     raise ValueError(f"msgpack: unsupported type byte 0x{t:02x}")
+
+
+def _mp_ext(b: bytes, i: int, n: int):
+    """Extension payload: signed type byte + n data bytes. Type -1 is the
+    predefined Timestamp32/64/96 (reference ``msgpack/low/model.scala:48-62``)."""
+    tpe = int.from_bytes(b[i:i + 1], "big", signed=True)
+    i += 1
+    data = bytes(b[i:i + n])
+    if len(data) < n:
+        raise ValueError("msgpack: truncated ext payload")
+    i += n
+    if tpe == -1:
+        if n == 4:      # timestamp32: uint32 seconds
+            return MpTimestamp(int.from_bytes(data, "big")), i
+        if n == 8:      # timestamp64: 30-bit nsec | 34-bit sec
+            combined = int.from_bytes(data, "big")
+            return MpTimestamp(combined & 0x3_FFFF_FFFF,
+                               (combined >> 34) & 0x3FFF_FFFF), i
+        if n == 12:     # timestamp96: uint32 nsec + int64 sec
+            return MpTimestamp(int.from_bytes(data[4:], "big", signed=True),
+                               int.from_bytes(data[:4], "big")), i
+        raise ValueError(f"msgpack: invalid timestamp length {n}")
+    return MpExt(tpe, data), i
 
 
 def _mp_arr(b, i, n):
@@ -236,7 +309,30 @@ def msgpack_decode(b: bytes):
     return v
 
 
+def _mp_encode_ext(tpe: int, data: bytes) -> bytes:
+    n = len(data)
+    tb = tpe.to_bytes(1, "big", signed=True)
+    if n in (1, 2, 4, 8, 16):
+        return bytes([0xD4 + n.bit_length() - 1]) + tb + data
+    if n < 1 << 8:
+        return b"\xc7" + bytes([n]) + tb + data
+    if n < 1 << 16:
+        return b"\xc8" + n.to_bytes(2, "big") + tb + data
+    return b"\xc9" + n.to_bytes(4, "big") + tb + data
+
+
 def msgpack_encode(v) -> bytes:
+    if isinstance(v, MpTimestamp):
+        # smallest representation, per the msgpack timestamp spec
+        if v.nsec == 0 and 0 <= v.sec < 1 << 32:
+            return _mp_encode_ext(-1, v.sec.to_bytes(4, "big"))
+        if 0 <= v.sec < 1 << 34 and 0 <= v.nsec < 1 << 30:
+            combined = (v.nsec << 34) | v.sec
+            return _mp_encode_ext(-1, combined.to_bytes(8, "big"))
+        return _mp_encode_ext(-1, v.nsec.to_bytes(4, "big")
+                              + v.sec.to_bytes(8, "big", signed=True))
+    if isinstance(v, MpExt):
+        return _mp_encode_ext(v.type, v.data)
     if v is None:
         return b"\xc0"
     if v is False:
@@ -293,15 +389,50 @@ def msgpack_encode(v) -> bytes:
 
 # --------------------------- Spark transcoders -----------------------------
 
-def _jsonable(v):
-    """JSON-compatible view, RFC 8949 §6.1 style: bytes -> base64url (the
-    reference's cbor-json rendering), map keys stringified."""
+def _render_bytes(b: bytes, enc: str) -> str:
+    if enc == "b64url":
+        return base64.urlsafe_b64encode(b).rstrip(b"=").decode("ascii")
+    if enc == "b64":
+        return base64.b64encode(b).decode("ascii")
+    return b.hex()  # b16
+
+
+def _jsonable(v, enc: str = "b64url"):
+    """JSON-compatible view, RFC 8949 §6.1 / reference cbor-json rules:
+
+    - bytes -> base64url without padding by default; tags 21/22/23 switch the
+      encoding (base64url / base64 / base16) for their subtree
+    - tag 2/3 bignums -> exact integers (``BigInt(bytes)`` / ``-1 - BigInt``)
+    - tag 4 decimal fraction ``[e, m]`` -> ``m * 10^e`` (int when exact)
+    - msgpack Timestamp -> {"sec": s, "nsec": ns}; Ext -> {"ext": t, "data": b64url}
+    - map keys stringified
+    """
+    if isinstance(v, CborTagged):
+        t, inner = v.tag, v.value
+        if t == TAG_POS_BIGNUM and isinstance(inner, bytes):
+            return int.from_bytes(inner, "big")
+        if t == TAG_NEG_BIGNUM and isinstance(inner, bytes):
+            return -1 - int.from_bytes(inner, "big")
+        if t == TAG_DECIMAL_FRACTION and isinstance(inner, list) and len(inner) == 2:
+            e, m = inner
+            return m * 10 ** e if e >= 0 else m / 10 ** (-e)
+        if t == TAG_EXPECT_B64URL:
+            return _jsonable(inner, "b64url")
+        if t == TAG_EXPECT_B64:
+            return _jsonable(inner, "b64")
+        if t == TAG_EXPECT_B16:
+            return _jsonable(inner, "b16")
+        return _jsonable(inner, enc)
+    if isinstance(v, MpTimestamp):
+        return {"sec": v.sec, "nsec": v.nsec}
+    if isinstance(v, MpExt):
+        return {"ext": v.type, "data": _render_bytes(v.data, "b64url")}
     if isinstance(v, bytes):
-        return base64.urlsafe_b64encode(v).rstrip(b"=").decode("ascii")
+        return _render_bytes(v, enc)
     if isinstance(v, list):
-        return [_jsonable(x) for x in v]
+        return [_jsonable(x, enc) for x in v]
     if isinstance(v, dict):
-        return {str(_jsonable(k)): _jsonable(x) for k, x in v.items()}
+        return {str(_jsonable(k, enc)): _jsonable(x, enc) for k, x in v.items()}
     return v
 
 

@@ -31,11 +31,17 @@ def read_csv(
     quote: str = '"',
     mode: str = "strict",
     multiline: bool = False,
+    empty_as_null: bool = False,
+    line_sep: str | None = None,
 ) -> DataFrame:
     """RFC-4180 CSV reader. ``schema=None`` + ``header`` infers names only
     (all strings — the CellDecoder typing step is the caller's ``cast``,
     mirroring fs2-data's string cells + typeclass decode,
-    ``csv/CellDecoder.scala:161-257``)."""
+    ``csv/CellDecoder.scala:161-257``).
+
+    ``empty_as_null=False`` (default) keeps empty cells as ``""`` like
+    fs2-data's string cells (csv-spectrum ``empty.csv`` expects empty
+    strings); True restores Spark's default empty->null mapping."""
     reader = (spark.read
               .option("header", str(header).lower())
               .option("sep", sep)
@@ -43,6 +49,13 @@ def read_csv(
               .option("escape", quote)          # RFC-4180 doubled quotes
               .option("multiLine", str(multiline).lower())
               .option("enforceSchema", "false"))
+    if not empty_as_null:
+        # a sentinel no real cell contains: only it maps to null
+        reader = reader.option("nullValue", "\x00")
+    if line_sep is not None:
+        # explicit record separator; also stops the parser from normalizing
+        # embedded CRLF inside quoted cells (csv-spectrum newlines_crlf.csv)
+        reader = reader.option("lineSep", line_sep)
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     if mode == "strict":
@@ -61,14 +74,83 @@ def read_csv(
     raise ValueError(f"unknown mode: {mode!r} (use 'strict' or 'attempt')")
 
 
+_UUID_RE = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+_URI_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:\S*$"
+_DUR_RE = (r"^[+-]?P(?=.)((\d+)D)?(T(?=.)((\d+)H)?((\d+)M)?((\d+(\.\d{1,6})?)S)?)?$")
+_MONTHDAY_RE = r"^--(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])$"
+_ZONE_RE = r"^([A-Za-z_]+(/[A-Za-z0-9_+-]+)+|UTC|GMT|Z|[+-]\d{2}:\d{2})$"
+_MONTHS = ["JANUARY", "FEBRUARY", "MARCH", "APRIL", "MAY", "JUNE", "JULY",
+           "AUGUST", "SEPTEMBER", "OCTOBER", "NOVEMBER", "DECEMBER"]
+_DOW = ["MONDAY", "TUESDAY", "WEDNESDAY", "THURSDAY", "FRIDAY", "SATURDAY",
+        "SUNDAY"]
+
+
+def _enum_decoder(names: list[str]):
+    def dec(c: F.Column) -> F.Column:
+        out = F.lit(None).cast("int")
+        for i, n in enumerate(names):
+            out = F.when(F.upper(c) == n, F.lit(i + 1)).otherwise(out)
+        return out
+    return dec
+
+
+def _duration_us(c: F.Column) -> F.Column:
+    """ISO-8601 day-time duration -> microseconds (java.time.Duration
+    analogue of CellDecoder.scala:219)."""
+    def g(i: int) -> F.Column:
+        x = F.regexp_extract(c, _DUR_RE, i)
+        return F.when(x == "", F.lit(0.0)).otherwise(x.cast("double"))
+    total = g(2) * 86_400 + g(5) * 3_600 + g(7) * 60 + g(9)
+    sign = F.when(F.substring(c, 1, 1) == "-", F.lit(-1)).otherwise(F.lit(1))
+    return F.when(c.rlike(_DUR_RE), (sign * total * 1_000_000).cast("bigint"))
+
+
+def _validated(regex: str, normalize=None):
+    def dec(c: F.Column) -> F.Column:
+        v = F.when(c.rlike(regex), c)
+        return normalize(v) if normalize else v
+    return dec
+
+
+# CellDecoder analogues beyond plain Spark casts (reference
+# ``csv/shared/src/main/scala/fs2/data/csv/CellDecoder.scala:161-257``):
+# each maps the string cell to a typed/normalized value, null when invalid.
+CELL_DECODERS: dict[str, object] = {
+    "uuid": _validated(_UUID_RE, lambda c: F.lower(c)),
+    "uri": _validated(_URI_RE),
+    "duration_us": _duration_us,
+    "year": lambda c: F.when(c.rlike(r"^[+-]?\d{1,9}$"), c.cast("int")),
+    "yearmonth": _validated(r"^[+-]?\d{4,9}-(0[1-9]|1[0-2])$"),
+    "monthday": _validated(_MONTHDAY_RE),
+    "month": _enum_decoder(_MONTHS),
+    "dayofweek": _enum_decoder(_DOW),
+    "zoneid": _validated(_ZONE_RE),
+    "char": lambda c: F.when(F.length(c) == 1, c),
+    "bigdecimal": lambda c: c.try_cast("decimal(38,18)"),
+}
+
+
 def decode_cells(df: DataFrame, casts: dict[str, str], mode: str = "strict") -> DataFrame:
     """Typed per-cell decode (CellDecoder analogue): ``casts`` maps column ->
-    type. strict = ANSI ``cast`` (a bad cell fails the job, fs2-data's
-    fail-the-stream); attempt = ``try_cast`` + ``<col>_ok`` flags (the
-    ``attemptDecode`` Either)."""
+    type — either a Spark SQL type (``int``, ``timestamp``, ...) or one of
+    the :data:`CELL_DECODERS` names (``uuid``, ``uri``, ``duration_us``,
+    ``year``, ``yearmonth``, ``monthday``, ``month``, ``dayofweek``,
+    ``zoneid``, ``char``, ``bigdecimal``).
+
+    strict = a bad cell fails the job (fs2-data's fail-the-stream);
+    attempt = null + ``<col>_ok`` flags (the ``attemptDecode`` Either)."""
     out = df
     for c, typ in casts.items():
-        decoded = F.col(c).cast(typ) if mode == "strict" else F.col(c).try_cast(typ)
+        if typ in CELL_DECODERS:
+            decoded = CELL_DECODERS[typ](F.col(c))
+            if mode == "strict":
+                decoded = F.when(
+                    decoded.isNull() & F.col(c).isNotNull(),
+                    F.raise_error(F.concat(F.lit(f"decode_cells[{typ}] {c}: "),
+                                           F.col(c)))
+                ).otherwise(decoded)
+        else:
+            decoded = F.col(c).cast(typ) if mode == "strict" else F.col(c).try_cast(typ)
         if mode == "attempt":
             out = out.withColumn(f"{c}_ok", decoded.isNotNull() | F.col(c).isNull())
         out = out.withColumn(c, decoded)

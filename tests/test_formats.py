@@ -152,3 +152,88 @@ def test_wrap_unwrap_roundtrip(spark):
     assert back.count() == 3
     rendered = render_json(wrapped).first()
     assert '"vs"' in rendered.json
+
+
+# --- MessagePack extension + timestamp types (msgpack/low/model.scala:48-62) -
+
+from fs2_data_spark.sources.binary_codecs import (  # noqa: E402
+    CborTagged, MpExt, MpTimestamp, _jsonable,
+)
+
+MP_EXT_VECTORS = [
+    # fixext1/2/4/8/16 with app type 5
+    (b"\xd4\x05\xaa", MpExt(5, b"\xaa")),
+    (b"\xd5\x05\xaa\xbb", MpExt(5, b"\xaa\xbb")),
+    (b"\xd6\x05\x01\x02\x03\x04", MpExt(5, b"\x01\x02\x03\x04")),
+    (b"\xd7\x05" + bytes(8), MpExt(5, bytes(8))),
+    (b"\xd8\x05" + bytes(16), MpExt(5, bytes(16))),
+    # ext8 with odd length
+    (b"\xc7\x03\x07abc", MpExt(7, b"abc")),
+    # timestamp32: type -1, 4 bytes seconds
+    (b"\xd6\xff\x00\x00\x00\x01", MpTimestamp(1, 0)),
+    (b"\xd6\xff\x5e\x0b\xe1\x00", MpTimestamp(0x5E0BE100, 0)),
+    # timestamp64: nsec=1 sec=1 -> combined = (1 << 34) | 1
+    (b"\xd7\xff" + ((1 << 34) | 1).to_bytes(8, "big"), MpTimestamp(1, 1)),
+    # timestamp96: nsec uint32 + sec int64 (negative = pre-epoch)
+    (b"\xc7\x0c\xff" + (3).to_bytes(4, "big") + (-5).to_bytes(8, "big", signed=True),
+     MpTimestamp(-5, 3)),
+]
+
+
+@pytest.mark.parametrize("raw,expected", MP_EXT_VECTORS)
+def test_msgpack_ext_vectors(raw, expected):
+    assert msgpack_decode(raw) == expected
+
+
+@pytest.mark.parametrize("v", [
+    MpExt(5, b"x"), MpExt(120, b"hello world!!"), MpExt(0, bytes(300)),
+    MpTimestamp(0), MpTimestamp(2**32 - 1), MpTimestamp(1, 999_999_999),
+    MpTimestamp(2**34 - 1, 2**30 - 1), MpTimestamp(2**40, 17), MpTimestamp(-1234, 5),
+    [1, MpTimestamp(7, 8), {"e": MpExt(9, b"\x00\xff")}],
+])
+def test_msgpack_ext_roundtrip(v):
+    assert msgpack_decode(msgpack_encode(v)) == v
+
+
+def test_msgpack_timestamp_smallest_encoding():
+    assert msgpack_encode(MpTimestamp(1, 0))[:2] == b"\xd6\xff"        # ts32
+    assert msgpack_encode(MpTimestamp(1, 1))[:2] == b"\xd7\xff"        # ts64
+    assert msgpack_encode(MpTimestamp(-1, 0))[:3] == b"\xc7\x0c\xff"   # ts96
+    assert msgpack_encode(MpTimestamp(2**35, 0))[:3] == b"\xc7\x0c\xff"
+
+
+# --- CBOR tag semantics (cbor-json/.../cbor/package.scala:31-62) ------------
+
+def test_cbor_bignum_tags():
+    # tag 2: c2 + bytes -> BigInt; 18446744073709551616 = 2^64 = 0x010000000000000000
+    raw = bytes.fromhex("c249010000000000000000")
+    v = cbor_decode(raw)
+    assert v == CborTagged(2, b"\x01" + bytes(8))
+    assert _jsonable(v) == 2**64
+    # tag 3: -1 - BigInt -> -18446744073709551617
+    assert _jsonable(cbor_decode(bytes.fromhex("c349010000000000000000"))) == -(2**64) - 1
+
+
+def test_cbor_decimal_fraction_tag():
+    # RFC 8949 §3.4.4 example: 273.15 as c4 82 21 19 6ab3 ([-2, 27315])
+    v = cbor_decode(bytes.fromhex("c48221196ab3"))
+    assert v == CborTagged(4, [-2, 27315])
+    assert _jsonable(v) == 273.15
+    assert _jsonable(CborTagged(4, [2, 3])) == 300
+
+
+def test_cbor_expected_base_encoding_tags():
+    data = b"\x01\xff"
+    assert _jsonable(CborTagged(21, data)) == "Af8"       # base64url no pad
+    assert _jsonable(CborTagged(22, data)) == "Af8="      # base64
+    assert _jsonable(CborTagged(23, data)) == "01ff"      # base16
+    # tag scope covers nested byte strings
+    assert _jsonable(CborTagged(23, [data, {"k": data}])) == ["01ff", {"k": "01ff"}]
+    # default (untagged) bytes render base64url-nopad
+    assert _jsonable(data) == "Af8"
+
+
+def test_cbor_tagged_roundtrip():
+    for v in [CborTagged(2, b"\x01\x02"), CborTagged(4, [-2, 27315]),
+              {"x": CborTagged(23, b"\xab")}]:
+        assert cbor_decode(cbor_encode(v)) == v

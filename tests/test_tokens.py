@@ -102,3 +102,27 @@ def test_tokenize_documents_matches_python(spark, documents):
         exp = [len(w) * 256 + ord(w[0]) for w in words]
         assert r.tokens == exp
         assert r.n_tok == len(exp)
+
+
+def test_tok_index_mandatory_modes(spark):
+    from fs2_data_spark.functions.tokens import tok_index
+    df = spark.createDataFrame([(0, [1, 2, 3]), (1, [7])],
+                               "i int, tokens array<int>")
+    # lenient: out-of-range -> null
+    out = {r.i: r.v for r in df.select(
+        "i", tok_index("tokens", 2).alias("v")).collect()}
+    assert out == {0: 3, 1: None}
+    # mandatory: in-range rows fine, out-of-range fails the job
+    ok = df.filter("i = 0").select(tok_index("tokens", 2, mandatory=True).alias("v"))
+    assert ok.first().v == 3
+    with pytest.raises(Exception):
+        df.select(tok_index("tokens", 2, mandatory=True).alias("v")).collect()
+
+
+def test_tok_index_wrong_container_is_strict_error(spark):
+    """Index selection on a non-array column is the reference's strict
+    'wrong container kind' error — Spark raises it at analysis time."""
+    from fs2_data_spark.functions.tokens import tok_index
+    df = spark.createDataFrame([(1, "scalar")], "i int, tokens string")
+    with pytest.raises(Exception):
+        df.select(tok_index("tokens", 0)).collect()

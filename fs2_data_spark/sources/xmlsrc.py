@@ -112,6 +112,41 @@ def xml_events(df: DataFrame, xml_col: str = "xml", key_col: str = "doc_key",
     return df.mapInPandas(kernel, EVENT_SCHEMA)
 
 
+def xml_render(events: DataFrame, key_col: str = "doc_key") -> DataFrame:
+    """Inverse of :func:`xml_events`: reassemble each document's XML string
+    from its event rows — the ``xml.render`` surface (reference
+    ``xml/src/main/scala/fs2/data/xml/package.scala`` render pipes; compact
+    form, no pretty-printing). Pure column expressions: per-event fragments
+    (escaped text, attribute-rendered start tags) concatenated in event order
+    via one hash aggregation per document."""
+    from pyspark.sql import functions as F
+
+    def esc(c):  # XML text escaping
+        return F.replace(F.replace(F.replace(c, F.lit("&"), F.lit("&amp;")),
+                                   F.lit("<"), F.lit("&lt;")),
+                         F.lit(">"), F.lit("&gt;"))
+
+    attr_frag = F.aggregate(
+        F.map_entries(F.coalesce(F.col("attrs"), F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")))),
+        F.lit(""),
+        lambda acc, e: F.concat(acc, F.lit(" "), e.getField("key"), F.lit('="'),
+                                F.replace(esc(e.getField("value")),
+                                          F.lit('"'), F.lit("&quot;")),
+                                F.lit('"')))
+    frag = (F.when(F.col("event") == "StartTag",
+                   F.concat(F.lit("<"), F.col("name"), attr_frag, F.lit(">")))
+            .when(F.col("event") == "EndTag",
+                  F.concat(F.lit("</"), F.col("name"), F.lit(">")))
+            .when(F.col("event") == "XmlString", esc(F.col("text")))
+            .otherwise(F.lit("")))
+    return (events.select(F.col(key_col), F.struct("event_no", frag.alias("frag")).alias("s"))
+            .groupBy(key_col)
+            .agg(F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")),
+                            lambda s: s.getField("frag")), "").alias("xml")))
+
+
 def xml_texts_at(df: DataFrame, xml_col: str, tag: str, key_col: str = "doc_key",
                  mode: str = "strict") -> DataFrame:
     """XPath-``//tag/text()`` analogue over the event stream: text content of

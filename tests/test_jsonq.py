@@ -186,3 +186,53 @@ def test_jq_run_dataframe_modes(spark):
     assert [(r.id, r.value) for r in out] == [(1, '{"v":5}')]
     with pytest.raises(Exception):
         jq_run(df, "js", ".a", mode="strict").collect()
+
+
+# ----------------------------- RFC 7396 merge patch -------------------------
+
+def test_merge_patch_rfc7396_vectors():
+    from fs2_data_spark.functions.jsonq import merge_patch
+    # vectors from RFC 7396 §3 / Appendix A (public test vectors)
+    cases = [
+        ({"a": "b"}, {"a": "c"}, {"a": "c"}),
+        ({"a": "b"}, {"b": "c"}, {"a": "b", "b": "c"}),
+        ({"a": "b"}, {"a": None}, {}),
+        ({"a": "b", "b": "c"}, {"a": None}, {"b": "c"}),
+        ({"a": ["b"]}, {"a": "c"}, {"a": "c"}),
+        ({"a": "c"}, {"a": ["b"]}, {"a": ["b"]}),
+        ({"a": {"b": "c"}}, {"a": {"b": "d", "c": None}}, {"a": {"b": "d"}}),
+        ({"a": [{"b": "c"}]}, {"a": [1]}, {"a": [1]}),
+        (["a", "b"], ["c", "d"], ["c", "d"]),
+        ({"a": "b"}, ["c"], ["c"]),
+        ({"a": "foo"}, None, None),
+        ({"a": "foo"}, "bar", "bar"),
+        ({"e": None}, {"a": 1}, {"e": None, "a": 1}),
+        ([1, 2], {"a": "b", "c": None}, {"a": "b"}),
+        ({}, {"a": {"bb": {"ccc": None}}}, {"a": {"bb": {}}}),
+    ]
+    for target, patch, want in cases:
+        assert merge_patch(target, patch) == want, (target, patch)
+
+
+def test_json_merge_patch_dataframe(spark):
+    from fs2_data_spark.functions.jsonq import json_merge_patch
+    df = spark.createDataFrame(
+        [(1, '{"a":{"b":1},"x":2}', '{"a":{"c":3},"x":null}')],
+        "id int, t string, p string")
+    out = json_merge_patch(df, "t", "p").first()
+    assert json.loads(out.merged) == {"a": {"b": 1, "c": 3}}
+
+
+# ------------------------------- xml.render ---------------------------------
+
+def test_xml_render_roundtrip(spark):
+    from fs2_data_spark.sources.xmlsrc import xml_events, xml_render
+    xml = '<r a="x &quot;q&quot;"><b>1 &lt; 2 &amp; 3</b>tail<c/></r>'
+    df = spark.createDataFrame([("d1", xml)], "doc_key string, xml string")
+    rendered = xml_render(xml_events(df)).first().xml
+    # roundtrip: re-parsing the render yields identical events
+    df2 = spark.createDataFrame([("d1", rendered)], "doc_key string, xml string")
+    e1 = [tuple(r) for r in xml_events(df).orderBy("event_no").collect()]
+    e2 = [tuple(r) for r in xml_events(df2).orderBy("event_no").collect()]
+    assert e1 == e2
+    assert "&lt; 2 &amp; 3" in rendered and '"x &quot;q&quot;"' in rendered

@@ -1121,6 +1121,45 @@ def xpath_attr_filter(spark, sf_dir):
                       "match_no", "name", "inner_text")
 
 
+@_q("json_merge_patch_docs", """
+SELECT doc_id,
+       '{"lang":"' || lang || '","n":' || CAST(doc_id + 1 AS VARCHAR)
+       || ',"meta":{"a":1,"b":' || CAST(doc_id AS VARCHAR) || '}}' AS merged
+FROM documents
+""")
+def json_merge_patch_docs(spark, sf_dir):
+    """RFC 7396 merge patch over synthesized JSON: the patch overwrites n,
+    deep-merges meta.b, and deletes the drop key; the oracle renders the
+    exact merged document."""
+    from fs2_data_spark.functions.jsonq import json_merge_patch
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit('{"lang":"'), F.col("lang"),
+                 F.lit('","n":0,"meta":{"a":1},"drop":true}')).alias("t"),
+        F.concat(F.lit('{"n":'), (F.col("doc_id") + 1).cast("string"),
+                 F.lit(',"meta":{"b":'), F.col("doc_id").cast("string"),
+                 F.lit('},"drop":null}')).alias("p"))
+    return json_merge_patch(d, "t", "p").select("doc_id", "merged")
+
+
+@_q("xml_render_docs", """
+SELECT CAST(doc_id AS VARCHAR) AS doc_key,
+       '<doc><t>' ||
+       CASE WHEN trim(text) = '' THEN '' ELSE
+         replace(replace(replace(trim(text), '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+       END || '</t></doc>' AS xml
+FROM documents
+""")
+def xml_render_docs(spark, sf_dir):
+    """xml.render roundtrip: parse synthesized XML to events, render back to
+    the compact string; the oracle builds the expected render directly."""
+    from fs2_data_spark.sources.xmlsrc import xml_events, xml_render
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_key"),
+        F.concat(F.lit("<doc><t>"), F.col("text"), F.lit("</t></doc>")).alias("xml"))
+    return xml_render(xml_events(d)).select("doc_key", "xml")
+
+
 @_q("xml_roundtrip", """
 SELECT CAST(doc_id AS VARCHAR) AS doc_key, trim(text) AS value
 FROM documents

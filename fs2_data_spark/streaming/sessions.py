@@ -50,6 +50,60 @@ def streaming_session_aggregate(
     )
 
 
+def streaming_running_features(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    watermark: str = "1 hour",
+    timeout_s: int = 3600,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState`` —
+    the UDx tier for per-key incremental logic the built-in aggregations
+    can't express (the Spark analogue of fs2-data's stateful stream automata,
+    e.g. the running ESP environment of
+    ``finite-state/shared/src/main/scala/fs2/data/esp/ESP.scala:89-167``).
+
+    Per key it carries (count, sum, last value, last ts) across micro-batches
+    and emits one row per batch with the updated running features — i.e.
+    streaming LOCF + running aggregates. State expires ``timeout_s`` after
+    the last event (processing-time timeout), bounding the state store like
+    the watermark bounds the session operator."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = (f"{key} string, n bigint, sum_v double, "
+                  "last_v double, last_ts_us bigint")
+    state_schema = "n bigint, sum_v double, last_v double, last_ts_us bigint"
+
+    def fn(k: tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, sv, lv, lt = state.get if state.exists else (0, 0.0, None, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts, kind="mergesort")
+            n += len(pdf)
+            sv += float(pdf[value].sum())
+            if len(pdf):
+                lv = float(pdf[value].iloc[-1])
+                lt = int(pd.Timestamp(pdf[ts].iloc[-1]).value // 1000)
+        state.update((n, sv, lv, lt))
+        state.setTimeoutDuration(timeout_s * 1000)
+        yield pd.DataFrame([{key: k[0], "n": n, "sum_v": sv,
+                             "last_v": lv, "last_ts_us": lt}])
+
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    return (events.withWatermark(ts, watermark)
+            .groupBy(key)
+            .applyInPandasWithState(
+                fn, out_schema, state_schema, "update",
+                GroupStateTimeout.ProcessingTimeTimeout))
+
+
 def windowed_counts(
     events: DataFrame,
     key: str = "event_type",

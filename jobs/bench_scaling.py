@@ -39,7 +39,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 N_ROWS = 30_000_000
-PASSES = 3
+PASSES = 6
 LEVELS = (8, 32)
 TRIALS = 2
 
@@ -48,9 +48,10 @@ def _parse_event_log(log_dir: str) -> list[dict]:
     """Stage-level metrics from the Spark event log (public event format)."""
     stages = []
     task_ms: dict[int, list[float]] = {}
-    for p in Path(log_dir).iterdir():
-        if p.name.startswith("."):
-            continue
+    files = [p for p in Path(log_dir).rglob("*")
+             if p.is_file() and not p.name.startswith(".")
+             and not p.name.startswith("appstatus")]
+    for p in files:
         with open(p, encoding="utf-8") as f:
             for line in f:
                 try:
@@ -103,8 +104,16 @@ def one_trial(cpus: int) -> None:
         shuffle_partitions=8 * cpus,   # per-level sizing, like a real cluster
         extra_conf={
             "spark.sql.files.maxPartitionBytes": "33554432",
+            # post-shuffle partitions sized for utilization, not 64MB blobs:
+            # AQE's parallelism-first coalescing leaves ~cores partitions,
+            # which quantizes the dominant window stage into 1 full wave + a
+            # 10%-occupancy straggler wave at local[32] (measured 24% wall)
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": log_dir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         })
     d = payload_dir(spark, f"scale{N_ROWS}", N_ROWS)
     n_tok = spark.read.parquet(f"{d}/sequences.parquet").agg(F.sum("n_tok")).first()[0]

@@ -60,3 +60,28 @@ def test_sample_frames(spark, media):
     for r in out:
         per_media.setdefault(r.media_id, []).append(r.byte_offset)
     assert all(offs == sorted(offs) for offs in per_media.values())
+
+
+def test_streaming_running_features_matches_batch(spark, events, tmp_path):
+    """applyInPandasWithState running features: after draining the stream,
+    each key's final (n, sum) must equal the batch aggregate."""
+    from fs2_data_spark.streaming.sessions import streaming_running_features
+    src = str(tmp_path / "ev_src")
+    sub = events.filter(F.col("user_id") < 40).select("user_id", "ts", "value")
+    sub.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(sub.schema).parquet(src)
+    out = streaming_running_features(stream, watermark="10000 days")
+    name = "fs2ds_running_features"
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    # update mode: keep the last emitted row per key
+    got = {r.user_id: r for r in spark.table(name).collect()}
+    exp = {str(r.user_id): r for r in
+           sub.groupBy("user_id").agg(
+               F.count(F.lit(1)).alias("n"),
+               F.sum("value").alias("s")).collect()}
+    assert set(got) == set(exp)
+    for k, e in exp.items():
+        assert got[k].n == e.n
+        assert abs(got[k].sum_v - e.s) < 1e-6

@@ -1201,6 +1201,30 @@ def streaming_sessions(spark, sf_dir):
         F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"))
 
 
+@_q("streaming_running_features_smoke", None)
+def streaming_running_features_smoke(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState running
+    per-key features), driven to completion with availableNow. No SQL
+    oracle: stateful streaming semantics; batch-equivalence is pinned by
+    tests/test_streaming_multimodal.py."""
+    import os  # noqa: PLC0415
+
+    from fs2_data_spark.streaming.sessions import streaming_running_features
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50).select(
+        "user_id", "ts", "value")
+    src = f"/tmp/fs2_stream_src_rf_{abs(hash(sf_dir)) % 10**9}"
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = streaming_running_features(stream, watermark="10000 days")
+    name = "fs2ds_stream_rf_smoke"
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).groupBy("user_id").agg(
+        F.max("n").alias("n"), F.max("sum_v").alias("sum_v"))
+
+
 @_q("cbor_transcode_roundtrip", None)
 def cbor_roundtrip(spark, sf_dir):
     """Encode each document row to CBOR binary in one Arrow pass, then stream

@@ -75,7 +75,9 @@ def streaming_running_features(
         GroupStateTimeout,
     )
 
-    out_schema = (f"{key} string, n bigint, sum_v double, "
+    key_type = {f.name: f.dataType.simpleString()
+                for f in events.schema.fields}[key]
+    out_schema = (f"{key} {key_type}, n bigint, sum_v double, "
                   "last_v double, last_ts_us bigint")
     state_schema = "n bigint, sum_v double, last_v double, last_ts_us bigint"
 

@@ -77,7 +77,7 @@ def test_streaming_running_features_matches_batch(spark, events, tmp_path):
     q.awaitTermination(300)
     # update mode: keep the last emitted row per key
     got = {r.user_id: r for r in spark.table(name).collect()}
-    exp = {str(r.user_id): r for r in
+    exp = {r.user_id: r for r in
            sub.groupBy("user_id").agg(
                F.count(F.lit(1)).alias("n"),
                F.sum("value").alias("s")).collect()}

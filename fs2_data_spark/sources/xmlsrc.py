@@ -112,6 +112,19 @@ def xml_events(df: DataFrame, xml_col: str = "xml", key_col: str = "doc_key",
     return df.mapInPandas(kernel, EVENT_SCHEMA)
 
 
+def split_qname(col):
+    """Resolve a Clark-notation name (``{uri}local``, the form the parser
+    emits for namespaced documents — the namespaceResolver surface of
+    reference ``xml/src/main/scala/fs2/data/xml/package.scala``) into a
+    ``struct(ns_uri, local)``. Non-namespaced names get a null ns_uri."""
+    from pyspark.sql import functions as F
+    c = F.col(col) if isinstance(col, str) else col
+    ns = F.when(c.startswith("{"), F.regexp_extract(c, r"^\{(.*)\}", 1))
+    local = F.when(c.startswith("{"),
+                   F.regexp_extract(c, r"^\{.*\}(.*)$", 1)).otherwise(c)
+    return F.struct(ns.alias("ns_uri"), local.alias("local"))
+
+
 def xml_render(events: DataFrame, key_col: str = "doc_key") -> DataFrame:
     """Inverse of :func:`xml_events`: reassemble each document's XML string
     from its event rows — the ``xml.render`` surface (reference

@@ -122,3 +122,14 @@ def test_asof_pandas_dedup_matches_union(spark):
     assert a == b
     assert a[(1, 10)] == "zz"   # max-struct winner among (1,5) dups
     assert a[(1, 20)] == "bb"   # non-null beats null at (1,15)
+
+
+def test_xml_namespace_resolution(spark):
+    """The parser resolves namespaces to Clark notation; split_qname exposes
+    (ns_uri, local) — the namespaceResolver surface."""
+    from fs2_data_spark.sources.xmlsrc import split_qname
+    xml = '<a xmlns="urn:d" xmlns:x="urn:x"><x:b k="1"/><c/></a>'
+    df = spark.createDataFrame([("d1", xml)], "doc_key string, xml string")
+    ev = xml_events(df).filter(F.col("event") == "StartTag")
+    got = {tuple(r.q): True for r in ev.select(split_qname("name").alias("q")).collect()}
+    assert set(got) == {("urn:d", "a"), ("urn:x", "b"), ("urn:d", "c")}

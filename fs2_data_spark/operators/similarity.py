@@ -46,12 +46,15 @@ def cosine_topk(
     The ranking key is the *rounded* cosine (+ id tie-break) so results are
     deterministic under floating-point summation-order differences.
     """
-    q = queries.select(
-        F.col(id_col).alias("q_vec_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", _norm(F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("n_vec_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", _norm(F.col("cv")))
+    # stage the double-cast vector as its own projection: interpreted HOFs
+    # have no common-subexpression elimination, so norm+dot would otherwise
+    # re-evaluate the cast array per use
+    q = (queries.select(F.col(id_col).alias("q_vec_id"),
+                        _as_double(F.col(vec_col)).alias("qv"))
+         .select("q_vec_id", "qv", _norm(F.col("qv")).alias("qn")))
+    c = (corpus.select(F.col(id_col).alias("n_vec_id"),
+                       _as_double(F.col(vec_col)).alias("cv"))
+         .select("n_vec_id", "cv", _norm(F.col("cv")).alias("cn")))
     cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     if round_dp is not None:
         cos = F.round(cos, round_dp)
@@ -63,13 +66,15 @@ def cosine_topk(
 
 
 def hyperplane_signature(vec: F.Column, n_planes: int = 8, dim: int = 64,
-                         seed: int = 42) -> F.Column:
+                         seed: int = 42, cast: bool = True) -> F.Column:
     """Random-hyperplane LSH signature (bigint in [0, 2^n_planes)).
 
     Plane p, dim j weight = deterministic pseudo-random in [-0.5, 0.5):
     ``((j*2654435761 + p*40503 + seed) mod 1000003)/1000003 - 0.5`` — pure
-    arithmetic, reproducible anywhere (incl. an ANSI-SQL oracle)."""
-    v = _as_double(vec)
+    arithmetic, reproducible anywhere (incl. an ANSI-SQL oracle).
+    ``cast=False`` when ``vec`` is already a staged ``array<double>`` column
+    (avoids re-casting inside every plane's interpreted fold)."""
+    v = _as_double(vec) if cast else vec
 
     def weight_fn(p: int):
         return lambda x, j: x * (
@@ -102,14 +107,19 @@ def lsh_bucket_topk(
     exact cosine ranks within the bucket. Recall < 1 by design; the equi-join
     on ``sig`` replaces the full cross product (shuffle on sig instead of
     broadcast scan) — the 100 TB-friendly variant."""
-    q = queries.select(
-        F.col(id_col).alias("q_vec_id"), _as_double(F.col(vec_col)).alias("qv"),
-        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("sig"),
-    ).withColumn("qn", _norm(F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("n_vec_id"), _as_double(F.col(vec_col)).alias("cv"),
-        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("sig"),
-    ).withColumn("cn", _norm(F.col("cv")))
+    # staged double-cast vector: the signature evaluates n_planes interpreted
+    # folds over it, and norm/dot two more — without the projection barrier
+    # each of those re-casts the float array
+    q = (queries.select(F.col(id_col).alias("q_vec_id"),
+                        _as_double(F.col(vec_col)).alias("qv"))
+         .select("q_vec_id", "qv", _norm(F.col("qv")).alias("qn"),
+                 hyperplane_signature(F.col("qv"), n_planes, dim,
+                                      cast=False).alias("sig")))
+    c = (corpus.select(F.col(id_col).alias("n_vec_id"),
+                       _as_double(F.col(vec_col)).alias("cv"))
+         .select("n_vec_id", "cv", _norm(F.col("cv")).alias("cn"),
+                 hyperplane_signature(F.col("cv"), n_planes, dim,
+                                      cast=False).alias("sig")))
     cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     if round_dp is not None:
         cos = F.round(cos, round_dp)

@@ -634,24 +634,25 @@ def minhash_buckets(spark, sf_dir):
 @_q("simhash_docs", None)  # SQL mirror generated below (needs bit loop)
 def simhash_docs(spark, sf_dir):
     # relational formulation of functions.text.simhash (identical values,
-    # pinned by the DuckDB oracle): explode word hashes x bits, aggregate
-    # votes, fold bits — stays in whole-stage codegen instead of 16
-    # interpreted HOF passes (~10x at sf0.1)
+    # pinned by the DuckDB oracle): explode word hashes once, then ONE hash
+    # aggregation computing all 16 bit votes as conditional sums — stays in
+    # whole-stage codegen with no row multiplication (the earlier
+    # crossJoin(bits) variant shuffled 16x the rows)
     d = _t(spark, sf_dir, "documents")
     hashed = F.transform(
         TXT.word_codes("text"),
         lambda c: F.pmod(c * 2_654_435_761 + 104_729, F.lit(TXT.HASH_PRIME)))
     w = d.select("doc_id", F.explode(hashed).alias("h"))
-    bits = spark.range(16).select(F.col("id").cast("int").alias("b"))
-    # column-valued shift amounts: 2^b fits a double exactly for b<=16
-    pow2b = F.pow(F.lit(2.0), F.col("b"))
-    bit = (F.floor(F.col("h") / pow2b).cast("bigint") % 2)
-    votes = (w.crossJoin(F.broadcast(bits))
-             .groupBy("doc_id", "b")
-             .agg(F.sum(bit * 2 - 1).alias("v")))
-    sh = votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("b")).cast("bigint"))
-              .otherwise(F.lit(0).cast("bigint"))).alias("sh"))
+    votes = w.groupBy("doc_id").agg(*[
+        F.sum(F.shiftright("h", b).cast("bigint") % 2 * 2 - 1).alias(f"v{b}")
+        for b in range(16)
+    ])
+    sh_expr = None
+    for b in range(16):
+        term = F.when(F.col(f"v{b}") > 0,
+                      F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sh_expr = term if sh_expr is None else sh_expr + term
+    sh = votes.select("doc_id", sh_expr.alias("sh"))
     # empty/whitespace docs explode to zero rows — restore them with sh=0 so
     # the relational plan matches the HOF simhash (and the oracle) row-for-row
     return (d.select("doc_id").join(sh, "doc_id", "left")

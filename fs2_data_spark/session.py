@@ -47,6 +47,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOTE on coalescing: parallelism-first (the default, kept here)
+        # targets ~cores post-shuffle partitions, which quantizes LARGE
+        # window-heavy stages into one full wave + a near-empty straggler
+        # wave (measured 24% of wall at local[32] on 30M rows). Large batch
+        # jobs should override with parallelismFirst=false +
+        # advisoryPartitionSizeInBytes sized for 3-4 waves (see
+        # jobs/bench_scaling.py); the default stays parallelism-first because
+        # a fixed small advisory collapses SMALL jobs to 1-2 partitions.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -379,6 +379,74 @@ def eval_jq(value, node) -> list:
     raise ValueError(f"unknown jq node {node!r}")
 
 
+def _match_sites(value, locs: list[_Loc]) -> list[tuple]:
+    """(container, key) sites of every JSONPath match — the mutation targets
+    for transform_at. A root match is ``(None, None)``."""
+    frontier = [(None, None, value)]
+    for loc in locs:
+        nxt = []
+        for _parent, _key, node in frontier:
+            if loc.kind == "child":
+                if isinstance(node, dict):
+                    if loc.name is None:
+                        nxt.extend((node, k, v) for k, v in node.items())
+                    elif loc.name in node:
+                        nxt.append((node, loc.name, node[loc.name]))
+            elif loc.kind == "descendant":
+                for d in _descend(node):
+                    if isinstance(d, dict):
+                        if loc.name is None:
+                            nxt.extend((d, k, v) for k, v in d.items())
+                        elif loc.name in d:
+                            nxt.append((d, loc.name, d[loc.name]))
+            else:  # pred
+                if not isinstance(node, list):
+                    continue
+                if loc.pred == "index":
+                    if -len(node) <= loc.a < len(node):
+                        i = loc.a % len(node)
+                        nxt.append((node, i, node[i]))
+                elif loc.pred == "wildcard":
+                    nxt.extend((node, i, v) for i, v in enumerate(node))
+                else:
+                    hi = len(node) - 1 if loc.b is None else min(loc.b, len(node) - 1)
+                    nxt.extend((node, i, node[i])
+                               for i in range(loc.a, hi + 1))
+        frontier = nxt
+    return [(p, k) for p, k, _ in frontier]
+
+
+def transform_at(value, path: str, fn):
+    """``ast.transform`` / ``transformOpt`` over nested JSON (reference
+    ``json/src/main/scala/fs2/data/json/ast/package.scala:35,50``): apply
+    ``fn`` to every value matched by the JSONPath; ``fn`` returning None
+    DELETES the value and (for objects) its key, the ``transformOpt``
+    semantics. Returns a modified copy; sites are applied in preorder, so on
+    nested/overlapping matches the outer rewrite wins."""
+    import copy  # noqa: PLC0415
+
+    locs = parse_jsonpath(path)
+    value = copy.deepcopy(value)
+    if not locs:  # "$": transform the whole document (None = delete it)
+        return fn(value)
+    sites = _match_sites(value, locs)
+    deletions: dict[int, tuple[list, list[int]]] = {}
+    for parent, key in sites:
+        out = fn(parent[key])
+        if out is None:
+            if isinstance(parent, dict):
+                parent.pop(key, None)
+            else:
+                deletions.setdefault(id(parent), (parent, []))[1].append(key)
+        else:
+            parent[key] = out
+    # array deletions applied per container, descending index
+    for arr, idxs in deletions.values():
+        for i in sorted(set(idxs), reverse=True):
+            del arr[i]
+    return value
+
+
 def merge_patch(target, patch):
     """RFC 7396 JSON Merge Patch: recursively merge ``patch`` into ``target``
     (null in the patch deletes the key; non-object patch replaces wholesale).
@@ -485,6 +553,58 @@ def json_merge_patch(df: DataFrame, target_col: str, patch_col: str,
                         raise
                     merged.append(None)
             yield pdf.assign(**{out_col: merged})
+
+    return df.mapInPandas(kernel, schema)
+
+
+def json_transform(df: DataFrame, col: str, path: str, fn,
+                   out_col: str = "transformed",
+                   mode: str = "strict") -> DataFrame:
+    """Column-wise ``ast.transform``/``transformOpt``: apply the Python
+    callable ``fn`` at every JSONPath match inside the JSON string column,
+    rendering the rewritten document compactly into ``out_col`` (null when
+    ``fn`` deletes the root). ``fn`` must be deterministic and picklable."""
+    import pandas as pd  # noqa: PLC0415
+
+    parse_jsonpath(path)  # fail fast on driver for bad paths
+    strict = mode == "strict"
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} string"])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for raw in pdf[col]:
+                try:
+                    res = transform_at(json_loads_strict(raw), path, fn)
+                    outs.append(None if res is None else _render(res))
+                except (ValueError, TypeError, KeyError):
+                    if strict:
+                        raise
+                    outs.append(None)
+            yield pdf.assign(**{out_col: outs})
+
+    return df.mapInPandas(kernel, schema)
+
+
+def render_json_pretty(df: DataFrame, col: str, out_col: str = "pretty",
+                       indent: int = 2) -> DataFrame:
+    """``json.render.prettyPrint`` analogue (reference
+    ``json/package.scala:291-293``): stable indented rendering of a JSON
+    string column."""
+    import pandas as pd  # noqa: PLC0415
+
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} string"])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pdf.assign(**{out_col: [
+                json.dumps(json_loads_strict(v), indent=indent,
+                           ensure_ascii=False) if v is not None else None
+                for v in pdf[col]]})
 
     return df.mapInPandas(kernel, schema)
 

@@ -1143,6 +1143,23 @@ def json_merge_patch_docs(spark, sf_dir):
     return json_merge_patch(d, "t", "p").select("doc_id", "merged")
 
 
+@_q("json_transform_docs", """
+SELECT doc_id,
+       '{"a":{"b":' || CAST(doc_id + 7 AS VARCHAR) || '},"keep":1}' AS transformed
+FROM documents
+""")
+def json_transform_docs(spark, sf_dir):
+    """ast.transform over nested JSON: rewrite every descendant 'b' value;
+    the oracle renders the expected rewritten document."""
+    from fs2_data_spark.functions.jsonq import json_transform
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit('{"a":{"b":'), F.col("doc_id").cast("string"),
+                 F.lit('},"keep":1}')).alias("js"))
+    return json_transform(d, "js", "$..b", lambda v: v + 7).select(
+        "doc_id", "transformed")
+
+
 @_q("xml_render_docs", """
 SELECT CAST(doc_id AS VARCHAR) AS doc_key,
        '<doc><t>' ||

@@ -236,3 +236,50 @@ def test_xml_render_roundtrip(spark):
     e2 = [tuple(r) for r in xml_events(df2).orderBy("event_no").collect()]
     assert e1 == e2
     assert "&lt; 2 &amp; 3" in rendered and '"x &quot;q&quot;"' in rendered
+
+
+# ----------------------- ast.transform / transformOpt -----------------------
+
+def test_transform_at_values():
+    from fs2_data_spark.functions.jsonq import transform_at
+    doc = {"a": {"b": 1, "c": {"b": 2}}, "l": [{"b": 3}, {"x": 4}]}
+    out = transform_at(doc, "$..b", lambda v: v * 10)
+    assert out == {"a": {"b": 10, "c": {"b": 20}}, "l": [{"b": 30}, {"x": 4}]}
+    assert doc["a"]["b"] == 1  # input untouched (copy semantics)
+
+
+def test_transform_at_delete_semantics():
+    from fs2_data_spark.functions.jsonq import transform_at
+    doc = {"a": {"b": 1, "k": 2}, "l": [10, 20, 30]}
+    # transformOpt: None deletes the key
+    assert transform_at(doc, "$..b", lambda v: None) == {"a": {"k": 2},
+                                                         "l": [10, 20, 30]}
+    # array element deletion compacts the array
+    assert transform_at(doc, "$.l[1]", lambda v: None) == {"a": {"b": 1, "k": 2},
+                                                           "l": [10, 30]}
+    assert transform_at(doc, "$.l[*]", lambda v: None if v > 10 else v) == \
+        {"a": {"b": 1, "k": 2}, "l": [10]}
+    # root transform / delete
+    assert transform_at(doc, "$", lambda v: {"n": len(v)}) == {"n": 2}
+    assert transform_at(doc, "$", lambda v: None) is None
+
+
+def test_transform_at_range_and_wildcard():
+    from fs2_data_spark.functions.jsonq import transform_at
+    assert transform_at([1, 2, 3, 4], "$[1:2]", lambda v: 0) == [1, 0, 0, 4]
+    assert transform_at({"x": 1, "y": 2}, "$.*", lambda v: v + 1) == {"x": 2, "y": 3}
+
+
+def test_json_transform_dataframe(spark):
+    from fs2_data_spark.functions.jsonq import json_transform
+    df = spark.createDataFrame([(1, '{"a":{"b":2},"c":[{"b":3}]}')],
+                               "id int, js string")
+    out = json_transform(df, "js", "$..b", lambda v: v * v).first()
+    assert json.loads(out.transformed) == {"a": {"b": 4}, "c": [{"b": 9}]}
+
+
+def test_render_json_pretty(spark):
+    from fs2_data_spark.functions.jsonq import render_json_pretty
+    df = spark.createDataFrame([(1, '{"a":[1,2]}')], "id int, js string")
+    assert render_json_pretty(df, "js").first().pretty == \
+        '{\n  "a": [\n    1,\n    2\n  ]\n}'

@@ -46,12 +46,20 @@ def segmented_asof_join(
     bucket_us: int = 3_600_000_000,
     allow_exact: bool = True,
     suffix: str = "",
+    carry_join: str = "broadcast",
 ) -> DataFrame:
     """As-of join whose parallelism is independent of key skew.
 
     Same semantics as ``asof_join(strategy='union')``; the per-key window is
     replaced by (key, time-bucket) windows + a LOCF carry over the per-bucket
     summary. Exactness pinned by tests.
+
+    ``carry_join``: how the per-(key, bucket) carry summary joins back.
+    ``"broadcast"`` (default) is right for the hybrid router, which sends
+    only sampled heavy hitters through this plan (carry rows = hot keys x
+    buckets, thousands). Calling this directly on a FULL billion-key table
+    makes the summary |keys| x |buckets| rows — pass ``"shuffle"`` there or
+    the broadcast will not fit.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in {on, right_ts}]
@@ -82,9 +90,10 @@ def segmented_asof_join(
         F.last("__last_r", ignorenulls=True).over(w_c).getField(_R).alias("__carried"),
     )
 
+    carried = F.broadcast(carried) if carry_join == "broadcast" else carried
     out = (u.withColumn("__m_in", matched_in)
            .filter(F.col(_L).isNotNull())
-           .join(F.broadcast(carried), [on, _B], "left")
+           .join(carried, [on, _B], "left")
            .withColumn(_R, F.coalesce(F.col("__m_in"), F.col("__carried"))))
     return out.select(
         F.col(_L + ".*"),
@@ -100,12 +109,15 @@ def segmented_features(
     lag_cols: Sequence[str] = ("n_tok",),
     gap_s: int | None = 3600,
     bucket_us: int = 3_600_000_000,
+    carry_join: str = "broadcast",
 ) -> DataFrame:
     """lag1/lead1 features + gap-sessionization with skew-independent
     parallelism (same outputs as ``with_lag_lead`` + ``sessionize``).
 
     Adds ``lag1_<c>``/``lead1_<c>`` per ``lag_cols`` entry and (when ``gap_s``
-    is set) ``session_seq``.
+    is set) ``session_seq``. ``carry_join``: see
+    :func:`segmented_asof_join` — keep ``"broadcast"`` only when the plan
+    receives hot keys from the hybrid router, not a full key population.
     """
     order = [ts] + ([tiebreak] if tiebreak else [])
     d = df.withColumn(_B, time_bucket(F.col(ts), bucket_us))
@@ -154,7 +166,10 @@ def segmented_features(
     carry_cols = [key, _B, "__prev_last", "__next_first"]
     if gap_s is not None:
         carry_cols += ["__first_flag", "__carry"]
-    out = d.join(F.broadcast(summary.select(*carry_cols)), [key, _B], "left")
+    carry = summary.select(*carry_cols)
+    if carry_join == "broadcast":
+        carry = F.broadcast(carry)
+    out = d.join(carry, [key, _B], "left")
 
     for c in lag_cols:
         out = out.withColumn(

@@ -90,3 +90,18 @@ def test_pipeline_hybrid_equals_normal(spark, payload):
     plain = pit_feature_pipeline(seqs, obs, gap_s=1800, hot_keys=[])
     cols = sorted(set(hybrid.columns) & set(plain.columns))
     assert _sorted(hybrid.select(cols)) == _sorted(plain.select(cols))
+
+
+def test_segmented_shuffle_carry_equals_broadcast(spark, events):
+    """carry_join='shuffle' (the full-key-population mode) must be
+    value-identical to the broadcast carry."""
+    from fs2_data_spark.operators.segmented import segmented_features
+    ev = events.filter(F.col("user_id") < 50).select("user_id", "ts", "value")
+    kw = dict(key="user_id", ts="ts", lag_cols=("value",), gap_s=1800,
+              bucket_us=45 * 60 * 1_000_000)
+    a = segmented_features(ev, carry_join="broadcast", **kw)
+    b = segmented_features(ev, carry_join="shuffle", **kw)
+    cols = sorted(a.columns)
+    ra = sorted(map(str, a.select(*cols).collect()))
+    rb = sorted(map(str, b.select(*cols).collect()))
+    assert ra == rb

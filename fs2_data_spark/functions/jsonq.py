@@ -416,24 +416,41 @@ def _match_sites(value, locs: list[_Loc]) -> list[tuple]:
     return [(p, k) for p, k, _ in frontier]
 
 
+class _Delete:
+    """Sentinel: ``fn`` returns this to DELETE the matched value (and its
+    key). Distinct from ``None``, which is the JSON ``null`` VALUE — the same
+    type split as the reference's ``transform`` (``Json => Json``) vs
+    ``transformOpt`` (``Json => Option[Json]``), found by a Hypothesis
+    identity-law counterexample (`transform_at([None], '$[*]', identity)`
+    must be identity, not a deletion)."""
+
+    def __repr__(self):
+        return "jsonq.DELETE"
+
+
+DELETE = _Delete()
+
+
 def transform_at(value, path: str, fn):
     """``ast.transform`` / ``transformOpt`` over nested JSON (reference
     ``json/src/main/scala/fs2/data/json/ast/package.scala:35,50``): apply
-    ``fn`` to every value matched by the JSONPath; ``fn`` returning None
-    DELETES the value and (for objects) its key, the ``transformOpt``
-    semantics. Returns a modified copy; sites are applied in preorder, so on
-    nested/overlapping matches the outer rewrite wins."""
+    ``fn`` to every value matched by the JSONPath. ``fn`` returning ``None``
+    sets JSON null; returning :data:`DELETE` removes the value and (for
+    objects) its key — the ``transformOpt`` semantics. Returns a modified
+    copy; sites are applied in preorder, so on nested/overlapping matches the
+    outer rewrite wins."""
     import copy  # noqa: PLC0415
 
     locs = parse_jsonpath(path)
     value = copy.deepcopy(value)
-    if not locs:  # "$": transform the whole document (None = delete it)
-        return fn(value)
+    if not locs:  # "$": transform the whole document (DELETE deletes it)
+        out = fn(value)
+        return None if out is DELETE else out
     sites = _match_sites(value, locs)
     deletions: dict[int, tuple[list, list[int]]] = {}
     for parent, key in sites:
         out = fn(parent[key])
-        if out is None:
+        if out is DELETE:
             if isinstance(parent, dict):
                 parent.pop(key, None)
             else:
@@ -562,8 +579,10 @@ def json_transform(df: DataFrame, col: str, path: str, fn,
                    mode: str = "strict") -> DataFrame:
     """Column-wise ``ast.transform``/``transformOpt``: apply the Python
     callable ``fn`` at every JSONPath match inside the JSON string column,
-    rendering the rewritten document compactly into ``out_col`` (null when
-    ``fn`` deletes the root). ``fn`` must be deterministic and picklable."""
+    rendering the rewritten document compactly into ``out_col``. ``fn``
+    returning None writes JSON null; returning :data:`DELETE` removes the
+    match (column null when the root itself is deleted). ``fn`` must be
+    deterministic and picklable."""
     import pandas as pd  # noqa: PLC0415
 
     parse_jsonpath(path)  # fail fast on driver for bad paths

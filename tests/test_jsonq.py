@@ -249,19 +249,21 @@ def test_transform_at_values():
 
 
 def test_transform_at_delete_semantics():
-    from fs2_data_spark.functions.jsonq import transform_at
+    from fs2_data_spark.functions.jsonq import DELETE, transform_at
     doc = {"a": {"b": 1, "k": 2}, "l": [10, 20, 30]}
-    # transformOpt: None deletes the key
-    assert transform_at(doc, "$..b", lambda v: None) == {"a": {"k": 2},
-                                                         "l": [10, 20, 30]}
+    # transformOpt: DELETE removes the key; None is the JSON null VALUE
+    assert transform_at(doc, "$..b", lambda v: DELETE) == {"a": {"k": 2},
+                                                           "l": [10, 20, 30]}
+    assert transform_at(doc, "$..b", lambda v: None) == \
+        {"a": {"b": None, "k": 2}, "l": [10, 20, 30]}
     # array element deletion compacts the array
-    assert transform_at(doc, "$.l[1]", lambda v: None) == {"a": {"b": 1, "k": 2},
-                                                           "l": [10, 30]}
-    assert transform_at(doc, "$.l[*]", lambda v: None if v > 10 else v) == \
+    assert transform_at(doc, "$.l[1]", lambda v: DELETE) == {"a": {"b": 1, "k": 2},
+                                                             "l": [10, 30]}
+    assert transform_at(doc, "$.l[*]", lambda v: DELETE if v > 10 else v) == \
         {"a": {"b": 1, "k": 2}, "l": [10]}
     # root transform / delete
     assert transform_at(doc, "$", lambda v: {"n": len(v)}) == {"n": 2}
-    assert transform_at(doc, "$", lambda v: None) is None
+    assert transform_at(doc, "$", lambda v: DELETE) is None
 
 
 def test_transform_at_range_and_wildcard():

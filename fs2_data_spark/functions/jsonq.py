@@ -500,8 +500,10 @@ def _render(v) -> str:
 
 
 def _run_engine(df: DataFrame, col: str, keep: list[str] | None,
-                evaluate, mode: str) -> DataFrame:
-    """Shared mapInPandas driver: one output row per match, with ordinal."""
+                evaluate, mode: str, max_matches: int | None = None) -> DataFrame:
+    """Shared mapInPandas driver: one output row per match, with ordinal.
+    ``max_matches`` caps matches PER DOCUMENT (the reference's ``maxMatch``
+    knob, ``pfsa/TreeQueryPipe.scala:99-107``; ``filter.first`` = 1)."""
     import pandas as pd  # noqa: PLC0415
 
     keep = keep if keep is not None else [c for c in df.columns if c != col]
@@ -524,6 +526,8 @@ def _run_engine(df: DataFrame, col: str, keep: list[str] | None,
                     if strict:
                         raise
                     matches = []
+                if max_matches is not None:
+                    matches = matches[:max_matches]
                 for j, m in enumerate(matches):
                     for k in keep:
                         out[k].append(pdf[k].iloc[i])
@@ -538,14 +542,28 @@ def _run_engine(df: DataFrame, col: str, keep: list[str] | None,
 
 def select_path_all(df: DataFrame, col: str, path: str,
                     keep: list[str] | None = None,
-                    mode: str = "strict") -> DataFrame:
+                    mode: str = "strict",
+                    max_matches: int | None = None,
+                    max_nest: int | None = None) -> DataFrame:
     """All JSONPath matches of ``path`` in the JSON string column ``col`` —
     one row per match with its preorder ordinal ``match_no`` and the match
     rendered as compact JSON in ``value``. Supports the full reference
     location grammar: ``$.a``, ``$..a``, ``$.*``, ``$..*``, ``[i]``,
-    ``[lo:hi]`` (hi inclusive), ``[*]``."""
+    ``[lo:hi]`` (hi inclusive), ``[*]``.
+
+    ``max_matches``/``max_nest`` mirror the reference's ``maxMatch``/
+    ``maxNest`` counters (``pfsa/TreeQueryPipe.scala:99-107``):
+    per-document match cap (``filter.first`` = 1) and a depth cap on
+    descendant recursion (documents nested deeper fail in strict mode,
+    yielding no matches in attempt mode)."""
     locs = parse_jsonpath(path)
-    return _run_engine(df, col, keep, lambda doc: eval_jsonpath(doc, locs), mode)
+
+    def evaluate(doc):
+        if max_nest is not None and _depth_exceeds(doc, max_nest):
+            raise ValueError(f"max_nest exceeded ({max_nest})")
+        return eval_jsonpath(doc, locs)
+
+    return _run_engine(df, col, keep, evaluate, mode, max_matches)
 
 
 def json_merge_patch(df: DataFrame, target_col: str, patch_col: str,
@@ -572,6 +590,16 @@ def json_merge_patch(df: DataFrame, target_col: str, patch_col: str,
             yield pdf.assign(**{out_col: merged})
 
     return df.mapInPandas(kernel, schema)
+
+
+def _depth_exceeds(v, limit: int, d: int = 0) -> bool:
+    if d > limit:
+        return True
+    if isinstance(v, dict):
+        return any(_depth_exceeds(x, limit, d + 1) for x in v.values())
+    if isinstance(v, list):
+        return any(_depth_exceeds(x, limit, d + 1) for x in v)
+    return False
 
 
 def json_transform(df: DataFrame, col: str, path: str, fn,

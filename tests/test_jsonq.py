@@ -285,3 +285,19 @@ def test_render_json_pretty(spark):
     df = spark.createDataFrame([(1, '{"a":[1,2]}')], "id int, js string")
     assert render_json_pretty(df, "js").first().pretty == \
         '{\n  "a": [\n    1,\n    2\n  ]\n}'
+
+
+def test_select_path_all_max_matches_and_nest(spark):
+    from fs2_data_spark.functions.jsonq import select_path_all
+    df = spark.createDataFrame(
+        [(1, '{"a":[{"b":1},{"b":2},{"b":3}]}'),        # depth 3
+         (2, '{"x":{"y":{"z":{"b":9}}}}')],             # depth 4
+        "id int, js string")
+    # maxMatch: filter.first analogue
+    out = select_path_all(df, "js", "$..b", max_matches=1).collect()
+    assert sorted((r.id, r.value) for r in out) == [(1, "1"), (2, "9")]
+    # maxNest: too-deep documents are rejected (attempt: no matches)
+    out2 = select_path_all(df, "js", "$..b", max_nest=3, mode="attempt").collect()
+    assert [(r.id, r.value) for r in out2] == [(1, "1"), (1, "2"), (1, "3")]
+    with pytest.raises(Exception):
+        select_path_all(df, "js", "$..b", max_nest=3, mode="strict").collect()

@@ -1160,6 +1160,23 @@ def json_transform_docs(spark, sf_dir):
         "doc_id", "transformed")
 
 
+@_q("xml_dom_docs", """
+SELECT CAST(doc_id AS VARCHAR) AS doc_key,
+       '{"tag":"doc","attrs":{},"children":[{"tag":"t","attrs":{},"children":['
+       || CASE WHEN trim(text) = '' THEN '' ELSE '"' || trim(text) || '"' END
+       || ']}]}' AS dom
+FROM documents
+""")
+def xml_dom_docs(spark, sf_dir):
+    """DOM-tree view (xml.dom.documents analogue) of synthesized XML; the
+    oracle renders the exact JSON DOM."""
+    from fs2_data_spark.sources.xmlsrc import xml_dom
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_key"),
+        F.concat(F.lit("<doc><t>"), F.col("text"), F.lit("</t></doc>")).alias("xml"))
+    return xml_dom(d)
+
+
 @_q("xml_render_docs", """
 SELECT CAST(doc_id AS VARCHAR) AS doc_key,
        '<doc><t>' ||

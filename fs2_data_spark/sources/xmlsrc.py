@@ -112,6 +112,55 @@ def xml_events(df: DataFrame, xml_col: str = "xml", key_col: str = "doc_key",
     return df.mapInPandas(kernel, EVENT_SCHEMA)
 
 
+def xml_dom(df: DataFrame, xml_col: str = "xml", key_col: str = "doc_key",
+            mode: str = "strict") -> DataFrame:
+    """``xml.dom.documents`` analogue (reference
+    ``xml/src/main/scala/fs2/data/xml/dom/package.scala:25``): parse each
+    document into a DOM tree rendered as one JSON value per row —
+    ``{"tag": t, "attrs": {...}, "children": [node | text-string, ...]}`` —
+    the nested-struct view of the event stream. strict/attempt error modes
+    as in :func:`xml_events` (attempt: dom = null on malformed input)."""
+    import json as _json  # noqa: PLC0415
+    import xml.etree.ElementTree as ET  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    strict = mode == "strict"
+
+    def to_node(elem) -> dict:
+        children: list = []
+        if elem.text and elem.text.strip():
+            children.append(elem.text.strip())
+        for c in elem:
+            children.append(to_node(c))
+            if c.tail and c.tail.strip():
+                children.append(c.tail.strip())
+        return {"tag": elem.tag, "attrs": dict(elem.attrib),
+                "children": children}
+
+    def kernel(batches):
+        for pdf in batches:
+            doms = []
+            for xml in pdf[xml_col]:
+                try:
+                    parser = ET.XMLPullParser(events=("end",))
+                    parser.feed(xml)
+                    parser.close()
+                    root = None
+                    for _ev, elem in parser.read_events():
+                        root = elem  # last end event = the root
+                    doms.append(_json.dumps(to_node(root),
+                                            separators=(",", ":"),
+                                            ensure_ascii=False))
+                except (ET.ParseError, AttributeError):
+                    if strict:
+                        raise
+                    doms.append(None)
+            yield pd.DataFrame({key_col: pdf[key_col], "dom": doms})
+
+    return df.mapInPandas(kernel, f"{key_col} string, dom string")
+
+
 def split_qname(col):
     """Resolve a Clark-notation name (``{uri}local``, the form the parser
     emits for namespaced documents — the namespaceResolver surface of

@@ -237,3 +237,21 @@ def test_cbor_tagged_roundtrip():
     for v in [CborTagged(2, b"\x01\x02"), CborTagged(4, [-2, 27315]),
               {"x": CborTagged(23, b"\xab")}]:
         assert cbor_decode(cbor_encode(v)) == v
+
+
+def test_xml_dom_tree(spark):
+    from fs2_data_spark.sources.xmlsrc import xml_dom
+    df = spark.createDataFrame(
+        [("d1", '<r a="1"><b>x</b>tail<c/></r>'), ("bad", "<a><b></a>")],
+        "doc_key string, xml string")
+    out = {r.doc_key: r.dom for r in xml_dom(df, mode="attempt").collect()}
+    assert json.loads(out["d1"]) == {
+        "tag": "r", "attrs": {"a": "1"},
+        "children": [
+            {"tag": "b", "attrs": {}, "children": ["x"]},
+            "tail",
+            {"tag": "c", "attrs": {}, "children": []},
+        ]}
+    assert out["bad"] is None
+    with pytest.raises(Exception):
+        xml_dom(df, mode="strict").collect()

@@ -166,11 +166,12 @@ def doc_fingerprint(text: Column | str, mod: int = 1_000_000_007) -> Column:
     )
 
 
-def minhash_signature(text: Column | str, k: int = 8) -> list[Column]:
-    """k MinHash components over the word-code set: ``min((a_i*c + b_i) mod p)``.
-    Deterministic coefficients; aliased ``mh0..mh{k-1}``."""
-    codes = word_codes(text)
-
+def minhash_signature_from(codes: Column, k: int = 8) -> list[Column]:
+    """k MinHash components over a STAGED word-code array column:
+    ``min((a_i*c + b_i) mod p)``, aliased ``mh0..mh{k-1}``. Stage the codes
+    as their own projection (``df.withColumn("codes", word_codes(...))``)
+    so the interpreted HOF permutations don't re-evaluate the code tree
+    once per component."""
     def perm(a: int, b: int):
         # factory: PySpark derives HOF arity from the lambda signature, so
         # coefficients must be closed over, not bound as default args
@@ -181,6 +182,13 @@ def minhash_signature(text: Column | str, k: int = 8) -> list[Column]:
         a, b = 1_103_515_245 + 2 * i + 1, 12_345 + 7919 * i
         sig.append(F.array_min(F.transform(codes, perm(a, b))).alias(f"mh{i}"))
     return sig
+
+
+def minhash_signature(text: Column | str, k: int = 8) -> list[Column]:
+    """k MinHash components over the word-code set (convenience composition;
+    hot paths should stage the codes column and use
+    :func:`minhash_signature_from`)."""
+    return minhash_signature_from(word_codes(text), k)
 
 
 def simhash(text: Column | str, bits: int = 16) -> Column:

@@ -601,7 +601,9 @@ FROM documents
 """)
 def minhash_sigs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", *TXT.minhash_signature("text", k=8))
+    # staged codes column: 8 permutations share one word-code evaluation
+    return (d.select("doc_id", TXT.word_codes("text").alias("__wc"))
+            .select("doc_id", *TXT.minhash_signature_from(F.col("__wc"), k=8)))
 
 
 @_q("minhash_band_buckets", f"""
@@ -615,7 +617,9 @@ SELECT band_id, band_val, count(*) AS n_docs, min(doc_id) AS min_doc
 FROM b GROUP BY band_id, band_val HAVING count(*) > 1
 """)
 def minhash_buckets(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select("doc_id", *TXT.minhash_signature("text", k=8))
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", TXT.word_codes("text").alias("__wc"))
+         .select("doc_id", *TXT.minhash_signature_from(F.col("__wc"), k=8)))
     P = F.lit(2_147_483_647).cast("bigint")
     bands = [
         d.select(F.lit(i).alias("band_id"),

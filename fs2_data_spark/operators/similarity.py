@@ -93,6 +93,101 @@ def hyperplane_signature(vec: F.Column, n_planes: int = 8, dim: int = 64,
     return sig
 
 
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF (inverted-file) index: deterministic k-means-lite centroids +
+    cell assignment — the coarse quantizer of the classic IVF-Flat ANN
+    design (Sivic/Zisserman inverted files; FAISS IVF family).
+
+    Centroid init is hash-seeded (rows with ``xxhash64(id) % (n/n_cells)
+    == 0``-style sampling), then ``iters`` Lloyd steps run as groupBy
+    averages — every stage is a broadcast join (centroids are tiny) or one
+    hash aggregation, so index build is linear with no driver-side loops
+    over data. Returns ``(centroids, assigned)`` where ``assigned`` adds a
+    ``cell`` column to the corpus.
+    """
+    c = corpus.select(F.col(id_col).alias("id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    # deterministic spread-out seeds: hash-order top-k — planned as
+    # TakeOrderedAndProject (parallel partial top-k + merge), NOT a global
+    # sort or single-partition window
+    seeds = (c.orderBy(F.xxhash64(F.col("id").cast("string"))).limit(n_cells)
+             .collect())
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i, list(r.v)) for i, r in enumerate(seeds)], "cell int, cv array<double>")
+
+    def assign(df, cents_df):
+        dist = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        scored = (df.crossJoin(F.broadcast(cents_df))
+                  .select("id", "v", "cell", dist.alias("d")))
+        ww = Window.partitionBy("id").orderBy("d", "cell")
+        return (scored.withColumn("__rn", F.row_number().over(ww))
+                .filter(F.col("__rn") == 1).drop("__rn", "d"))
+
+    for _ in range(iters):
+        assigned = assign(c, cents)
+        # Lloyd step: per-cell mean vector (posexplode + groupBy, all JVM)
+        exploded = assigned.select(
+            "cell", F.posexplode(F.col("v")).alias("j", "x"))
+        means = (exploded.groupBy("cell", "j").agg(F.avg("x").alias("m"))
+                 .groupBy("cell")
+                 .agg(F.array_sort(F.collect_list(F.struct("j", "m"))).alias("s"))
+                 .select("cell", F.transform("s", lambda t: t.getField("m")).alias("cv")))
+        cents = means
+    assigned = assign(c, cents)
+    return cents, assigned
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    round_dp: int | None = 4,
+) -> DataFrame:
+    """ANN via IVF: each query scans only its ``nprobe`` nearest cells'
+    inverted lists — an equi-join on the cell id replaces the full corpus
+    scan (the second 100 TB-friendly ANN variant next to
+    :func:`lsh_bucket_topk`). Exact cosine ranks within the probed cells;
+    recall vs brute force pinned by tests."""
+    cents, assigned = ivf_index(corpus, id_col, vec_col, n_cells)
+    q = (queries.select(F.col(id_col).alias("q_vec_id"),
+                        _as_double(F.col(vec_col)).alias("qv"))
+         .select("q_vec_id", "qv", _norm(F.col("qv")).alias("qn")))
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    wq = Window.partitionBy("q_vec_id").orderBy("d", "cell")
+    probes = (q.crossJoin(F.broadcast(cents))
+              .select("q_vec_id", "qv", "qn", "cell", dist.alias("d"))
+              .withColumn("__rn", F.row_number().over(wq))
+              .filter(F.col("__rn") <= nprobe)
+              .select("q_vec_id", "qv", "qn", "cell"))
+    inv = (assigned.select(F.col("id").alias("n_vec_id"),
+                           F.col("v").alias("cv2"), "cell")
+           .withColumn("cn", _norm(F.col("cv2"))))
+    cos = _dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn"))
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
+    pairs = (probes.join(inv, "cell")
+             .filter(F.col("n_vec_id") != F.col("q_vec_id"))
+             .select("q_vec_id", "n_vec_id", cos.alias("cos_sim")))
+    wk = Window.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"), "n_vec_id")
+    return (pairs.withColumn("__rn", F.row_number().over(wk))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
 def lsh_bucket_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -794,6 +794,19 @@ def ann_lsh(spark, sf_dir):
                            n_planes=8, dim=64, round_dp=4)
 
 
+@_q("ann_ivf_topk", None)
+def ann_ivf(spark, sf_dir):
+    """IVF-Flat ANN (inverted-file coarse quantizer + exact cosine within
+    probed cells). No SQL oracle: the Lloyd-step centroid means are
+    floating-point aggregation-order-dependent; recall vs brute force is
+    pinned by tests/test_dedup_similarity.py instead (rows-only check)."""
+    from fs2_data_spark.operators.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(q, emb, id_col="vec_id", vec_col="embedding", k=3,
+                    n_cells=16, nprobe=4)
+
+
 @_q("emb_label_stats", """
 SELECT label, count(*) AS n,
        ROUND(CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)

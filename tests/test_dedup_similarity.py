@@ -143,3 +143,26 @@ def test_word_hash_discriminates(spark):
     df = spark.createDataFrame([(w,) for w in words], "w string")
     vals = [r.h for r in df.select(word_hash(F.col("w")).alias("h")).collect()]
     assert len(set(vals)) == len(words)
+
+
+def test_ivf_topk_recall_vs_exact(spark, vecs):
+    from fs2_data_spark.operators.similarity import ivf_topk
+    exact = {r.q_vec_id: r.cos_sim
+             for r in cosine_topk(vecs.filter("vec_id < 8"), vecs, k=1,
+                                  round_dp=4).collect()}
+    ivf = {r.q_vec_id: r.cos_sim
+           for r in ivf_topk(vecs.filter("vec_id < 8"), vecs, k=1,
+                             n_cells=8, nprobe=2, round_dp=4).collect()}
+    # every query answered; found neighbour == true best for >= 80% of queries
+    assert set(ivf) == set(exact)
+    hits = sum(1 for q in exact if ivf[q] == exact[q])
+    assert hits >= 0.8 * len(exact), (hits, len(exact))
+
+
+def test_ivf_index_deterministic(spark, vecs):
+    from fs2_data_spark.operators.similarity import ivf_index
+    _, a1 = ivf_index(vecs, n_cells=4)
+    _, a2 = ivf_index(vecs.repartition(7), n_cells=4)
+    m1 = {r.id: r.cell for r in a1.collect()}
+    m2 = {r.id: r.cell for r in a2.collect()}
+    assert m1 == m2  # partitioning-invariant (deterministic seeds + steps)

@@ -486,6 +486,29 @@ def tok_fp_docs(spark, sf_dir):
     return d.select("doc_id", TOK.tok_fingerprint("tokens").alias("fp"))
 
 
+@_q("tok_features_arrow_docs", f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents)
+SELECT doc_id,
+       CAST(list_sum(list_transform(tokens, (x, i) -> i * CAST(x AS BIGINT)))
+            % 1000000007 AS BIGINT) AS tok_fp,
+       CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+       CASE WHEN len(tokens) > 0
+            THEN ROUND(CAST(list_sum(tokens) AS DOUBLE) / len(tokens), 6) END AS tok_mean,
+       list_min(tokens) AS tok_min, list_max(tokens) AS tok_max
+FROM t
+""")
+def tok_features_arrow_docs(spark, sf_dir):
+    """The mapInArrow numpy-reduceat token kernel, driver-verified: its
+    outputs must match the pure-SQL formulation exactly (ints) / to 6dp
+    (mean)."""
+    from fs2_data_spark.functions.token_kernels import token_features_arrow
+    d = _doc_tokens(spark, sf_dir)
+    out = token_features_arrow(d)
+    return out.select(
+        "doc_id", "tok_fp", "tok_sum",
+        F.round("tok_mean", 6).alias("tok_mean"), "tok_min", "tok_max")
+
+
 @_q("tok_positions", f"""
 WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents WHERE doc_id < 25)
 SELECT doc_id,
@@ -792,6 +815,55 @@ def ann_lsh(spark, sf_dir):
     q = emb.filter(F.col("vec_id") % 50 == 0)
     return lsh_bucket_topk(q, emb, id_col="vec_id", vec_col="embedding", k=3,
                            n_planes=8, dim=64, round_dp=4)
+
+
+@_q("emb_near_dups", f"""
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             {_hyperplane_sig_sql(4, 64)} AS sig
+      FROM e)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.4
+""")
+def emb_near_dups_q(spark, sf_dir):
+    """Embedding near-duplicate pairs via hyperplane-LSH bucketing + exact
+    cosine verify — the oracle reproduces the deterministic plane weights
+    verbatim."""
+    from fs2_data_spark.operators.similarity import (
+        _as_double, _dot, _norm, hyperplane_signature,
+    )
+    e = (_t(spark, sf_dir, "embeddings")
+         .select(F.col("vec_id"), _as_double(F.col("embedding")).alias("v"))
+         .select("vec_id", "v", _norm(F.col("v")).alias("nrm"),
+                 hyperplane_signature(F.col("v"), 4, 64, cast=False).alias("sig")))
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(_dot(F.col("a.v"), F.col("b.v"))
+                  / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    return (a.join(b, (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("id1"),
+                    F.col("b.vec_id").alias("id2"), cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.4))
+
+
+@_q("multimodal_decode_smoke", None)
+def multimodal_smoke(spark, sf_dir):
+    """Multimodal binary-column plumbing driven end-to-end with the
+    deterministic fake decoder (imaging libs absent in this container —
+    honest stub, real Arrow batching/schema). Rows-only check."""
+    from fs2_data_spark.operators.multimodal import attach_media_meta, decode_image
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"))
+    d = attach_media_meta(d, "payload", modality="image")
+    out = decode_image(d, "payload", fake=True)
+    return out.select("doc_id", "payload_bytes", "payload_sha",
+                      F.size("features").alias("n_features"))
 
 
 @_q("ann_ivf_topk", None)

@@ -635,6 +635,76 @@ def json_transform(df: DataFrame, col: str, path: str, fn,
     return df.mapInPandas(kernel, schema)
 
 
+def value_tokens(value, depth: int = 0):
+    """``ast.tokenize`` (reference ``json/src/main/scala/fs2/data/json/ast/
+    package.scala:109``): AST value -> the reference's Token stream, yielded
+    as (kind, text-or-None, depth) in document order. Token kinds mirror the
+    ADT: StartObject/Key/EndObject, StartArray/EndArray, StringValue,
+    NumberValue (verbatim text), TrueValue/FalseValue/NullValue."""
+    if value is None:
+        yield ("NullValue", None, depth)
+    elif value is True:
+        yield ("TrueValue", None, depth)
+    elif value is False:
+        yield ("FalseValue", None, depth)
+    elif isinstance(value, (int, float)):
+        yield ("NumberValue", _render(value), depth)
+    elif isinstance(value, str):
+        yield ("StringValue", value, depth)
+    elif isinstance(value, list):
+        yield ("StartArray", None, depth)
+        for v in value:
+            yield from value_tokens(v, depth + 1)
+        yield ("EndArray", None, depth)
+    elif isinstance(value, dict):
+        yield ("StartObject", None, depth)
+        for k, v in value.items():
+            yield ("Key", k, depth + 1)
+            yield from value_tokens(v, depth + 1)
+        yield ("EndObject", None, depth)
+    else:
+        raise TypeError(f"not a JSON value: {type(value)}")
+
+
+def json_tokenize(df: DataFrame, col: str, keep: list[str] | None = None,
+                  mode: str = "strict") -> DataFrame:
+    """Token-stream view of a JSON string column: one row per token with
+    ``(token_no, kind, text, depth)`` — the rows-as-tokens analogue of the
+    reference's ``json.tokens`` pipe (like ``xml_events`` for XML)."""
+    import pandas as pd  # noqa: PLC0415
+
+    keep = keep if keep is not None else [c for c in df.columns if c != col]
+    strict = mode == "strict"
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in df.schema.fields if f.name in keep]
+        + ["token_no int", "kind string", "text string", "depth int"])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in keep}
+            nos, kinds, texts, depths = [], [], [], []
+            for i in range(len(pdf)):
+                try:
+                    toks = list(value_tokens(json_loads_strict(pdf[col].iloc[i])))
+                except (ValueError, TypeError):
+                    if strict:
+                        raise
+                    continue
+                for n, (kind, text, depth) in enumerate(toks):
+                    for k in keep:
+                        out[k].append(pdf[k].iloc[i])
+                    nos.append(n)
+                    kinds.append(kind)
+                    texts.append(text)
+                    depths.append(depth)
+            out.update(token_no=nos, kind=kinds, text=texts, depth=depths)
+            yield pd.DataFrame(out, columns=[*keep, "token_no", "kind",
+                                             "text", "depth"])
+
+    return df.mapInPandas(kernel, schema)
+
+
 def render_json_pretty(df: DataFrame, col: str, out_col: str = "pretty",
                        indent: int = 2) -> DataFrame:
     """``json.render.prettyPrint`` analogue (reference

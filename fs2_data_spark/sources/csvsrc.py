@@ -33,6 +33,7 @@ def read_csv(
     multiline: bool = False,
     empty_as_null: bool = False,
     line_sep: str | None = None,
+    quote_handling: str = "rfc",
 ) -> DataFrame:
     """RFC-4180 CSV reader. ``schema=None`` + ``header`` infers names only
     (all strings — the CellDecoder typing step is the caller's ``cast``,
@@ -42,6 +43,13 @@ def read_csv(
     ``empty_as_null=False`` (default) keeps empty cells as ``""`` like
     fs2-data's string cells (csv-spectrum ``empty.csv`` expects empty
     strings); True restores Spark's default empty->null mapping."""
+    if quote_handling == "literal":
+        # QuoteHandling.Literal (reference csv/package.scala:104-123): quotes
+        # are ordinary characters, fields end only at separators/newlines —
+        # disable quote processing with an unused sentinel quote char
+        quote = "\x00"
+    elif quote_handling != "rfc":
+        raise ValueError(f"unknown quote_handling: {quote_handling!r}")
     reader = (spark.read
               .option("header", str(header).lower())
               .option("sep", sep)

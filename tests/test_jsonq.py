@@ -301,3 +301,40 @@ def test_select_path_all_max_matches_and_nest(spark):
     assert [(r.id, r.value) for r in out2] == [(1, "1"), (1, "2"), (1, "3")]
     with pytest.raises(Exception):
         select_path_all(df, "js", "$..b", max_nest=3, mode="strict").collect()
+
+
+def test_value_tokens_matches_reference_stream():
+    """Token stream of the JqSpec input doc must equal the reference's Token
+    list (JqSpec.scala 'identity' case)."""
+    from fs2_data_spark.functions.jsonq import value_tokens
+    toks = [(k, t) for k, t, _d in value_tokens(json.loads(INPUT))]
+    assert toks == [
+        ("StartObject", None), ("Key", "a"), ("StartArray", None),
+        ("StartObject", None), ("Key", "b"), ("NumberValue", "0"), ("EndObject", None),
+        ("StartObject", None), ("Key", "b"), ("NumberValue", "1"), ("EndObject", None),
+        ("StartObject", None), ("Key", "b"), ("NumberValue", "2"), ("EndObject", None),
+        ("EndArray", None), ("EndObject", None),
+    ]
+
+
+def test_json_tokenize_dataframe(spark):
+    from fs2_data_spark.functions.jsonq import json_tokenize
+    df = spark.createDataFrame([(1, '{"k": [true, null]}'), (2, "bad")],
+                               "id int, js string")
+    out = json_tokenize(df, "js", mode="attempt").orderBy("id", "token_no").collect()
+    assert [(r.id, r.token_no, r.kind, r.text, r.depth) for r in out] == [
+        (1, 0, "StartObject", None, 0), (1, 1, "Key", "k", 1),
+        (1, 2, "StartArray", None, 1), (1, 3, "TrueValue", None, 2),
+        (1, 4, "NullValue", None, 2), (1, 5, "EndArray", None, 1),
+        (1, 6, "EndObject", None, 0)]
+
+
+def test_csv_literal_quote_handling(spark, tmp_path):
+    """QuoteHandling.Literal (reference CsvParserTest 'literal quotes'):
+    quotes are ordinary characters."""
+    from fs2_data_spark.sources.csvsrc import read_csv
+    p = tmp_path / "lit.csv"
+    p.write_text('name,desc\nJohn,"starts with a quote\n')
+    rfc_fail = False
+    lit = read_csv(spark, str(p), header=True, quote_handling="literal").collect()
+    assert lit[0].desc == '"starts with a quote'

@@ -19,9 +19,38 @@ Everything is declarative DataFrame/Catalyst first; pandas/Arrow UDFs are used
 only where built-in operators cannot express the semantics. No per-row Python.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from fs2_data_spark.pipe import Pipe, through
 from fs2_data_spark.session import get_spark
 
-__all__ = ["Pipe", "through", "get_spark", "__version__"]
+# the query-language and pipeline surfaces a reference user reaches for first
+from fs2_data_spark.functions.jsonq import (  # noqa: E402
+    DELETE,
+    jq_run,
+    json_merge_patch,
+    json_tokenize,
+    json_transform,
+    select_path_all,
+)
+from fs2_data_spark.functions.xpath import xpath_filter  # noqa: E402
+from fs2_data_spark.operators.asof import asof_join, backfill_locf  # noqa: E402
+from fs2_data_spark.operators.sessionize import sessionize  # noqa: E402
+from fs2_data_spark.pipeline import (  # noqa: E402
+    fused_pit_features,
+    pit_feature_pipeline,
+)
+from fs2_data_spark.sources.xmlsrc import (  # noqa: E402
+    xml_dom,
+    xml_events,
+    xml_render,
+)
+
+__all__ = [
+    "Pipe", "through", "get_spark", "__version__",
+    "select_path_all", "jq_run", "json_transform", "json_merge_patch",
+    "json_tokenize", "DELETE", "xpath_filter",
+    "xml_events", "xml_dom", "xml_render",
+    "asof_join", "backfill_locf", "sessionize",
+    "fused_pit_features", "pit_feature_pipeline",
+]

@@ -1232,6 +1232,23 @@ def json_merge_patch_docs(spark, sf_dir):
     return json_merge_patch(d, "t", "p").select("doc_id", "merged")
 
 
+@_q("selector_mandatory_docs", """
+SELECT doc_id, 0 AS match_no, CAST(doc_id AS VARCHAR) AS value FROM documents
+UNION ALL SELECT doc_id, 1, CAST(doc_id + 1 AS VARCHAR) FROM documents
+""")
+def selector_mandatory_docs(spark, sf_dir):
+    """The Selector language end-to-end: mandatory multi-field selection in
+    strict mode over synthesized JSON (every field present, so the mandatory
+    check passes and the two values emit in document order)."""
+    from fs2_data_spark.functions.selector import apply_selector
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit('{"f1":'), F.col("doc_id").cast("string"),
+                 F.lit(',"skip":0,"f2":'), (F.col("doc_id") + 1).cast("string"),
+                 F.lit("}")).alias("js"))
+    return apply_selector(d, "js", '.["f1", "f2"]!', keep=["doc_id"])
+
+
 @_q("json_transform_docs", """
 SELECT doc_id,
        '{"a":{"b":' || CAST(doc_id + 7 AS VARCHAR) || '},"keep":1}' AS transformed

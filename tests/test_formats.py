@@ -255,3 +255,40 @@ def test_xml_dom_tree(spark):
     assert out["bad"] is None
     with pytest.raises(Exception):
         xml_dom(df, mode="strict").collect()
+
+
+# --- full RFC 8949 Appendix A corpus (reference cbor test resource) ----------
+
+import pathlib as _pathlib
+
+_APPENDIX_A = _pathlib.Path(
+    "/root/reference/cbor/shared/src/test/resources/appendix_a.json")
+
+
+def _appendix_cases():
+    if not _APPENDIX_A.exists():
+        return []
+    return json.loads(_APPENDIX_A.read_text())
+
+
+@pytest.mark.parametrize(
+    "case", _appendix_cases(),
+    ids=[c["hex"] for c in _appendix_cases()])
+def test_cbor_appendix_a_full(case):
+    raw = bytes.fromhex(case["hex"])
+    v = cbor_decode(raw)  # every case must decode without error
+    if "decoded" in case:
+        rendered = _jsonable(v)
+        expected = case["decoded"]
+        if isinstance(expected, float) or isinstance(rendered, float):
+            assert float(rendered) == pytest.approx(float(expected)), case["hex"]
+        else:
+            assert rendered == expected, case["hex"]
+    if case.get("roundtrip"):
+        # value-level roundtrip (byte-level float widths are not preserved
+        # by the high-level value codec, like the reference's high.values)
+        v2 = cbor_decode(cbor_encode(v))
+        if isinstance(v, float) and v != v:  # NaN
+            assert isinstance(v2, float) and v2 != v2, case["hex"]
+        else:
+            assert v2 == v, case["hex"]

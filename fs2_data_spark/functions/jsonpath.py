@@ -31,6 +31,26 @@ def select_path(col: Column | str, path: str) -> Column:
     return F.get_json_object(c, path)
 
 
+def parse_variant(col: Column | str) -> Column:
+    """Parse a JSON string column into Spark 4's binary VariantType — parse
+    once, then every ``variant_get`` is a binary traversal (no re-parsing),
+    the engine-native analogue of the reference's parsed-AST reuse
+    (``json/src/main/scala/fs2/data/json/ast/package.scala:86``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.parse_json(c)
+
+
+def select_path_variant(col: Column | str, path: str, as_type: str = "string") -> Column:
+    """Typed single-match JSONPath over a VARIANT column (``$.a.b[0]``
+    steps): ``variant_get`` evaluates against the binary encoding — prefer
+    this over :func:`select_path` when several paths hit the same document
+    (stage ``parse_variant`` once, then N cheap gets)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if not path.startswith("$"):
+        path = "$." + path
+    return F.try_variant_get(c, path, as_type)
+
+
 def select_fields(df: DataFrame, col: str, schema: str, *fields: str) -> DataFrame:
     """Typed multi-field selection: parse once with an explicit schema, then
     project nested fields (strict mode: FAILFAST parse)."""

@@ -41,7 +41,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 N_ROWS = 30_000_000
 PASSES = 6
 LEVELS = (8, 32)
-TRIALS = 2
+TRIALS = 3
 
 
 def _parse_event_log(log_dir: str) -> list[dict]:

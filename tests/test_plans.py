@@ -1,0 +1,70 @@
+"""Physical-plan regression guards: the properties a 100 TB deployment relies
+on must hold in the plan itself, not just in benchmarks (the pytest twin of
+tools/explain_audit.py).
+
+NOTE: these run while the scaling job may be using the machine — they only
+inspect plans (explain), no data is executed."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from fs2_data_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def q(spark, name):
+    fn, _sql = REGISTRY[name]
+    return fn(spark, SF)
+
+
+def test_q1_scan_pushdown_and_pruning(spark):
+    plan = plan_of(q(spark, "q1_pricing_summary"))
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan
+    # only the needed lineitem columns are read
+    assert "l_comment" not in plan
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = plan_of(q(spark, "q3_shipping_priority"))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_asof_union_single_exchange(spark):
+    """The as-of union-window plan: ONE hash exchange feeds the window chain
+    (no join node, no second shuffle for the window stages)."""
+    plan = plan_of(q(spark, "asof_join_events"))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fused_pit_single_window_chain(spark):
+    plan = plan_of(q(spark, "pit_fused_events"))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_queries_have_no_cross_products(spark):
+    for name in ("jaccard_pairs", "ann_lsh_topk"):
+        plan = plan_of(q(spark, name))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_flagship_prunes_token_payload(spark):
+    """pit_feature_pipeline must not read the tokens column at the scan."""
+    from fs2_data_spark.pipeline import pit_feature_pipeline
+    from fs2_data_spark.tables import observations, token_sequences
+    seqs = token_sequences(spark, 1000, n_docs=50)
+    obs = observations(spark, 300, n_docs=50)
+    plan = plan_of(pit_feature_pipeline(seqs, obs, hot_keys=[]))
+    assert "tokens" not in plan.split("== Physical Plan ==")[-1]

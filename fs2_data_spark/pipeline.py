@@ -16,11 +16,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from fs2_data_spark.functions.timeutil import epoch_us
 from fs2_data_spark.operators.asof import asof_join
-from fs2_data_spark.operators.segmented import (
-    detect_hot_keys,
-    segmented_asof_join,
-    segmented_features,
-)
+from fs2_data_spark.operators.segmented import detect_hot_keys
 from fs2_data_spark.operators.sessionize import sessionize
 from fs2_data_spark.operators.windows import with_lag_lead
 from pyspark.sql import Window

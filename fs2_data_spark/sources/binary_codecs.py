@@ -471,3 +471,45 @@ def transcode_msgpack_to_json(df: DataFrame, col: str = "payload",
                               mode: str = "strict") -> DataFrame:
     """MessagePack binary column -> JSON string column."""
     return _transcode(df, col, msgpack_decode, mode)
+
+
+def _transcode_to_binary(df: DataFrame, col: str, encoder, out_col: str,
+                         mode: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    strict = mode == "strict"
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} binary", "ok boolean"])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, oks = [], []
+            for raw in pdf[col]:
+                try:
+                    payloads.append(encoder(json.loads(raw)))
+                    oks.append(True)
+                except Exception:  # noqa: BLE001
+                    if strict:
+                        raise
+                    payloads.append(None)
+                    oks.append(False)
+            yield pdf.assign(**{out_col: payloads, "ok": oks})
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def transcode_json_to_cbor(df: DataFrame, col: str = "json",
+                           out_col: str = "payload",
+                           mode: str = "strict") -> DataFrame:
+    """JSON string column -> CBOR binary column — the reverse transcoding
+    direction (reference ``cbor-json/shared/src/main/scala/fs2/data/json/
+    package.scala`` ``encodeItems``)."""
+    return _transcode_to_binary(df, col, cbor_encode, out_col, mode)
+
+
+def transcode_json_to_msgpack(df: DataFrame, col: str = "json",
+                              out_col: str = "payload",
+                              mode: str = "strict") -> DataFrame:
+    """JSON string column -> MessagePack binary column."""
+    return _transcode_to_binary(df, col, msgpack_encode, out_col, mode)

@@ -292,3 +292,26 @@ def test_cbor_appendix_a_full(case):
             assert isinstance(v2, float) and v2 != v2, case["hex"]
         else:
             assert v2 == v, case["hex"]
+
+
+def test_transcode_json_to_cbor_and_back(spark):
+    from fs2_data_spark.sources.binary_codecs import (
+        transcode_cbor_to_json, transcode_json_to_cbor,
+        transcode_json_to_msgpack, transcode_msgpack_to_json,
+    )
+    df = spark.createDataFrame(
+        [(1, '{"a": [1, 2.5, null], "b": "x"}'), (2, "nope")],
+        "id bigint, json string")
+    # JSON -> CBOR -> JSON roundtrip (value-level)
+    enc = transcode_json_to_cbor(df, mode="attempt")
+    out = {r.id: r for r in enc.collect()}
+    assert out[1].ok and not out[2].ok and out[2].payload is None
+    back = transcode_cbor_to_json(
+        enc.filter("ok").drop("json", "ok"), "payload").first()
+    assert json.loads(back.json) == {"a": [1, 2.5, None], "b": "x"}
+    # JSON -> MessagePack -> JSON
+    enc2 = transcode_json_to_msgpack(df.filter("id = 1"))
+    back2 = transcode_msgpack_to_json(enc2.drop("json", "ok"), "payload").first()
+    assert json.loads(back2.json) == {"a": [1, 2.5, None], "b": "x"}
+    with pytest.raises(Exception):
+        transcode_json_to_cbor(df, mode="strict").collect()

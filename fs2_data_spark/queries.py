@@ -1491,3 +1491,70 @@ def salted_agg_suppliers(spark, sf_dir):
     return partial.groupBy("l_suppkey").agg(
         F.sum("n_items").alias("n_items"),
         F.sum("qty_dec").cast("double").alias("total_qty"))
+
+
+# ---------------------------------------------------------------------------
+# Driver-window ordering (VERDICT r02 item #1)
+# ---------------------------------------------------------------------------
+# The driver's correctness harness checks only the FIRST 50 entries of
+# ``queries()``.  Registration order above is file order, which left the 19
+# round-2 additions (including the flagship ``pit_fused_events``) at
+# positions 51-69 with no driver CORRECTNESS row for two rounds.  Reorder the
+# registry explicitly: never-driver-checked entries first, twice-green
+# relational/window/token staples rotated past the window (they remain
+# covered by tests/ and tools/oracle_check.py, which check all entries).
+
+_DRIVER_FRONT = [
+    # round-2 additions, flagship first (0 driver rows so far)
+    "pit_fused_events",
+    "pit_fused_events_segmented",
+    "salted_agg_supplier_volume",
+    "jsonpath_descendant_docs",
+    "jq_construct_docs",
+    "xpath_attr_filter",
+    "selector_mandatory_docs",
+    "json_merge_patch_docs",
+    "json_transform_docs",
+    "xml_dom_docs",
+    "xml_render_docs",
+    "xml_roundtrip",
+    "cbor_transcode_roundtrip",
+    "percentiles_by_type",
+    "w_time_range_rolling",
+    "session_window_native",
+    "tok_bigram_shingles",
+    "streaming_session_smoke",
+    "streaming_running_features_smoke",
+    # round-3 additions (registered above this block)
+    "wrap_object_docs",
+    "msgpack_typed_decode",
+    "json_tokenize_raw_docs",
+    "xml_events_full_docs",
+]
+
+_DRIVER_TAIL = [
+    # twice driver-green (r01+r02); rotate past the 50-entry window
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q4_order_priority", "top_customers_per_segment",
+    "part_type_stats", "orders_by_status_priority",
+    "w_lag_lead", "w_rolling", "w_rank",
+    "locf_backfill", "sessionize_events", "session_stats",
+    "asof_join_events", "asof_join_events_pandas", "asof_join_events_strict",
+    "tokenize_docs", "tok_slice_docs", "tok_index_docs", "tok_stats_docs",
+    "tok_fingerprint_docs", "tok_positions",
+    "date_features", "string_features_parts", "math_features",
+]
+
+
+def _apply_driver_order() -> None:
+    front = [n for n in _DRIVER_FRONT if n in REGISTRY]
+    tail = [n for n in _DRIVER_TAIL if n in REGISTRY]
+    placed = set(front) | set(tail)
+    mid = [n for n in REGISTRY if n not in placed]
+    ordered = {n: REGISTRY[n] for n in front + mid + tail}
+    assert len(ordered) == len(REGISTRY)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_apply_driver_order()

@@ -34,6 +34,7 @@ def fused_pit_features(
     gap_s: int = 3600,
     allow_exact: bool = True,
     bucket_us: int | None = None,
+    carry_join: str = "broadcast",
 ) -> DataFrame:
     """The whole PIT feature stack in ONE exchange + ONE sort.
 
@@ -51,9 +52,18 @@ def fused_pit_features(
     keys: windows partition by (key, time-bucket) — so a hot key's timeline
     is processed by many parallel tasks — and cross-bucket state (as-of
     carry, bucket-boundary lag/lead, session counts) is resolved on a tiny
-    per-(key, bucket) summary and broadcast-joined back. Output is exactly
-    equal to the unsegmented plan for every bucket size (pinned by tests).
+    per-(key, bucket) summary joined back. Output is exactly equal to the
+    unsegmented plan for every bucket size (pinned by tests).
+
+    ``carry_join`` (mirrors ``segmented_asof_join``): how that summary joins
+    back. ``"broadcast"`` (default) is right under the hybrid router, which
+    sends only sampled heavy hitters through this plan — carry rows are
+    |hot keys| x |buckets|, thousands. Calling ``bucket_us=...`` directly on
+    a FULL billion-key table makes the summary |keys| x |buckets| rows —
+    pass ``"shuffle"`` there or the broadcast will not fit executor memory.
     """
+    if carry_join not in ("broadcast", "shuffle"):
+        raise ValueError(f"carry_join must be 'broadcast' or 'shuffle', got {carry_join!r}")
     if right_cols is None:
         right_cols = [c for c in obs.columns if c not in {key, right_ts}]
     _ts, _side = "__f_ts", "__f_side"
@@ -75,7 +85,7 @@ def fused_pit_features(
 
     if bucket_us is not None:
         return _fused_segmented(u, key, _ts, _side, tiebreak, lcols, right_cols,
-                                lag_cols, gap_s, is_left, bucket_us)
+                                lag_cols, gap_s, is_left, bucket_us, carry_join)
 
     base = Window.partitionBy(key).orderBy(_ts, _side, tiebreak)
     run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -108,7 +118,8 @@ def fused_pit_features(
 
 
 def _fused_segmented(u, key, _ts, _side, tiebreak, lcols, right_cols,
-                     lag_cols, gap_s, is_left, bucket_us):
+                     lag_cols, gap_s, is_left, bucket_us,
+                     carry_join="broadcast"):
     """Segmented physical plan of :func:`fused_pit_features` (see its
     docstring). One (key, bucket) exchange over the big data; summaries and
     carries are per-(key, bucket) rows — thousands, not billions."""
@@ -170,7 +181,8 @@ def _fused_segmented(u, key, _ts, _side, tiebreak, lcols, right_cols,
         fix_cols += ["__ff", "__carry_n"]
     fix = sum_l.select(*fix_cols).join(carry_r, [key, _b], "left")
 
-    out = d.join(F.broadcast(fix), [key, _b], "left")
+    out = d.join(F.broadcast(fix) if carry_join == "broadcast" else fix,
+                 [key, _b], "left")
     out = out.withColumn("__m", F.coalesce("__m_in", "__cr"))
     for c in lag_cols:
         out = out.withColumn(
@@ -210,6 +222,7 @@ def pit_feature_pipeline(
     n_buckets_target: int = 256,
     feature_dim: int = 8,
     drop_payload_cols: tuple[str, ...] = ("tokens",),
+    carry_join: str = "broadcast",
 ) -> DataFrame:
     """As-of features + lag/lead + sessions + derived feature vector.
 
@@ -246,7 +259,8 @@ def pit_feature_pipeline(
         return fused_pit_features(left, right, key=key, left_ts=left_ts,
                                   right_ts=right_ts, tiebreak=tiebreak,
                                   right_cols=right_cols, lag_cols=lag_cols,
-                                  gap_s=gap_s, bucket_us=bucket_us)
+                                  gap_s=gap_s, bucket_us=bucket_us,
+                                  carry_join=carry_join)
 
     if hot_keys:
         hot_lit = F.array(*[F.lit(k) for k in hot_keys])

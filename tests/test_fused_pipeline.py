@@ -98,3 +98,13 @@ def test_token_kernel_partitioning_invariance(spark):
     a = sorted(str(tuple(r)) for r in token_features_arrow(seqs.repartition(1)).collect())
     b = sorted(str(tuple(r)) for r in token_features_arrow(seqs.repartition(13)).collect())
     assert a == b
+
+
+def test_fused_segmented_shuffle_carry_equals_broadcast(spark, payload):
+    """carry_join is a physical detail only: 'shuffle' output == 'broadcast'."""
+    seqs, obs = payload
+    a = fused_pit_features(seqs, obs, gap_s=1800, bucket_us=45 * 60 * 1_000_000)
+    b = fused_pit_features(seqs, obs, gap_s=1800, bucket_us=45 * 60 * 1_000_000,
+                           carry_join="shuffle")
+    cols = sorted(a.columns)
+    assert _rows(a, cols) == _rows(b, cols)

@@ -495,6 +495,24 @@ def json_loads_strict(s: str):
     return json.loads(s, parse_constant=_reject_constant)
 
 
+class RawNumber(str):
+    """Verbatim JSON number lexeme. The reference keeps number tokens as the
+    raw text (``json/src/main/scala/fs2/data/json/tokens.scala:61-64``), so
+    ``1.00``, ``1e2``, ``-0.0`` must survive tokenization unchanged — a
+    float round-trip would collapse them. str subclass: numbers parsed this
+    way still render verbatim through ``_render``-free string paths."""
+
+    __slots__ = ()
+
+
+def json_loads_tokens(s: str):
+    """RFC-strict parse that captures every number's verbatim lexeme as
+    :class:`RawNumber` (for the token-stream view); values are otherwise
+    identical in shape to :func:`json_loads_strict`."""
+    return json.loads(s, parse_constant=_reject_constant,
+                      parse_int=RawNumber, parse_float=RawNumber)
+
+
 def _render(v) -> str:
     return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
 
@@ -647,6 +665,9 @@ def value_tokens(value, depth: int = 0):
         yield ("TrueValue", None, depth)
     elif value is False:
         yield ("FalseValue", None, depth)
+    elif isinstance(value, RawNumber):
+        # verbatim lexeme (must precede the str branch: RawNumber is a str)
+        yield ("NumberValue", str(value), depth)
     elif isinstance(value, (int, float)):
         yield ("NumberValue", _render(value), depth)
     elif isinstance(value, str):
@@ -686,7 +707,7 @@ def json_tokenize(df: DataFrame, col: str, keep: list[str] | None = None,
             nos, kinds, texts, depths = [], [], [], []
             for i in range(len(pdf)):
                 try:
-                    toks = list(value_tokens(json_loads_strict(pdf[col].iloc[i])))
+                    toks = list(value_tokens(json_loads_tokens(pdf[col].iloc[i])))
                 except (ValueError, TypeError):
                     if strict:
                         raise

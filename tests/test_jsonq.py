@@ -338,3 +338,41 @@ def test_csv_literal_quote_handling(spark, tmp_path):
     rfc_fail = False
     lit = read_csv(spark, str(p), header=True, quote_handling="literal").collect()
     assert lit[0].desc == '"starts with a quote'
+
+
+def test_raw_number_lexemes_preserved():
+    """Number tokens carry the VERBATIM lexeme (reference tokens.scala:61-64):
+    1.00 must not collapse to 1.0, 1e2 must not become 100.0."""
+    from fs2_data_spark.functions.jsonq import json_loads_tokens, value_tokens
+
+    doc = '[1.00, 1e2, -0.0, 123, -4.5E+10, 0.10, 9007199254740993]'
+    nums = [t for k, t, _d in value_tokens(json_loads_tokens(doc))
+            if k == "NumberValue"]
+    assert nums == ["1.00", "1e2", "-0.0", "123", "-4.5E+10", "0.10",
+                    "9007199254740993"]
+
+
+def test_raw_number_lexemes_jsontestsuite_corpus():
+    """Every NumberValue text over the accepted (y_) JSONTestSuite files is a
+    verbatim substring of the raw document."""
+    import pathlib
+
+    from fs2_data_spark.functions.jsonq import json_loads_tokens, value_tokens
+
+    corpus = pathlib.Path(
+        "/root/reference/json/src/test/resources/test-parsing")
+    if not corpus.exists():  # corpus layout guard
+        import pytest
+        pytest.skip("JSONTestSuite corpus not present")
+    n_checked = 0
+    for p in sorted(corpus.glob("y_*.json")):
+        raw = p.read_text(encoding="utf-8", errors="ignore")
+        try:
+            toks = list(value_tokens(json_loads_tokens(raw)))
+        except (ValueError, TypeError, RecursionError):
+            continue
+        for k, t, _d in toks:
+            if k == "NumberValue":
+                assert t in raw, (p.name, t)
+                n_checked += 1
+    assert n_checked > 20

@@ -40,9 +40,18 @@ from fs2_data_spark.pipeline import (  # noqa: E402
     fused_pit_features,
     pit_feature_pipeline,
 )
+from fs2_data_spark.functions.jsonpath import (  # noqa: E402
+    wrap_as_array_in_object,
+    wrap_as_value_in_object,
+)
+from fs2_data_spark.sources.binary_codecs import (  # noqa: E402
+    decode_cbor,
+    decode_msgpack,
+)
 from fs2_data_spark.sources.xmlsrc import (  # noqa: E402
     xml_dom,
     xml_events,
+    xml_events_raw,
     xml_render,
 )
 
@@ -50,7 +59,9 @@ __all__ = [
     "Pipe", "through", "get_spark", "__version__",
     "select_path_all", "jq_run", "json_transform", "json_merge_patch",
     "json_tokenize", "DELETE", "xpath_filter",
-    "xml_events", "xml_dom", "xml_render",
+    "xml_events", "xml_events_raw", "xml_dom", "xml_render",
+    "wrap_as_array_in_object", "wrap_as_value_in_object",
+    "decode_msgpack", "decode_cbor",
     "asof_join", "backfill_locf", "sessionize",
     "fused_pit_features", "pit_feature_pipeline",
 ]

@@ -231,7 +231,12 @@ class _JqParser:
                                       int(b) if b else None))
                     else:
                         steps.append(("index", int(a)))
-            elif self.src.startswith(".", self.pos) and not self.src.startswith("..", self.pos):
+            elif self.src.startswith("..", self.pos):
+                # path-composed descent `.a..b` (reference jq/ast.scala:25-33
+                # composes paths freely, no explicit pipe needed)
+                self.pos += 2
+                steps.append(("descent",))
+            elif self.src.startswith(".", self.pos):
                 self.pos += 1  # chained .a.b
             else:
                 break

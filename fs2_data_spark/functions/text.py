@@ -148,7 +148,9 @@ def lang_id(text: Column | str) -> Column:
     ws = words(t)
     en_hits = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
     return (
-        F.when(first_cp >= 0x4E00, F.lit("zh"))
+        # bounded CJK Unified Ideographs block: an open-ended >= 0x4E00 would
+        # misclassify astral-plane chars (emoji U+1F600 = 128512) as zh
+        F.when((first_cp >= 0x4E00) & (first_cp <= 0x9FFF), F.lit("zh"))
         .when((first_cp >= 0x0400) & (first_cp < 0x0500), F.lit("ru"))
         .when(en_hits >= 1, F.lit("en"))
         .otherwise(F.lit("other"))

@@ -97,11 +97,16 @@ def _asof_union(left, right, on, left_ts, right_ts, right_cols,
     w = (Window.partitionBy(*on).orderBy(F.col(_TS), F.col(_SIDE))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = F.last(_R, ignorenulls=True).over(w)
-    # timestamp of the matched right row, carried by the same window spec
-    # (must be computed from the raw union, where _R is null on left rows)
-    mts = F.last(F.when(F.col(_R).isNotNull(), F.col(_TS)), ignorenulls=True).over(w)
-    out = u.withColumn(_MTS, mts).withColumn(_R, matched)
-    if tolerance_us is not None:
+    if tolerance_us is None:
+        # no second window aggregate on the default path (the matched-ts
+        # carry measurably slows the plan; only tolerance needs it)
+        out = u.withColumn(_R, matched)
+    else:
+        # timestamp of the matched right row, carried by the same window spec
+        # (must be computed from the raw union, where _R is null on left rows)
+        mts = F.last(F.when(F.col(_R).isNotNull(), F.col(_TS)),
+                     ignorenulls=True).over(w)
+        out = u.withColumn(_MTS, mts).withColumn(_R, matched)
         out = out.withColumn(
             _R,
             F.when(

@@ -566,7 +566,7 @@ def text_quality(spark, sf_dir):
 
 @_q("lang_guess", f"""
 SELECT doc_id, lang,
-       CASE WHEN ascii(text) >= 19968 THEN 'zh'
+       CASE WHEN ascii(text) >= 19968 AND ascii(text) <= 40959 THEN 'zh'
             WHEN ascii(text) >= 1024 AND ascii(text) < 1280 THEN 'ru'
             WHEN len(list_filter({_WS_SQL}, w -> w IN {_STOP_SQL})) >= 1 THEN 'en'
             ELSE 'other' END AS lang_pred
@@ -1491,6 +1491,102 @@ def salted_agg_suppliers(spark, sf_dir):
     return partial.groupBy("l_suppkey").agg(
         F.sum("n_items").alias("n_items"),
         F.sum("qty_dec").cast("double").alias("total_qty"))
+
+
+@_q("wrap_object_docs", """
+SELECT doc_id,
+       '{"w":{"src":"docs","vals":[' || CAST(doc_id AS VARCHAR) || ','
+       || CAST(doc_id + 1 AS VARCHAR) || ']}}' AS json
+FROM documents
+""")
+def wrap_object_docs(spark, sf_dir):
+    """Object-wrapping variants (reference ``json/package.scala:117-141``):
+    a per-doc value stream wrapped ``asArrayInObject`` (array at key
+    ``vals`` with a literal ``src`` member), then the result wrapped
+    ``asValueInObject`` at key ``w`` — both as pure column expressions; the
+    oracle renders the exact object."""
+    from fs2_data_spark.functions.jsonpath import (
+        wrap_as_array_in_object, wrap_as_value_in_object)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.array(F.col("doc_id").cast("string"),
+                             (F.col("doc_id") + 1).cast("string")))
+        .alias("pos", "value"))
+    inner = wrap_as_array_in_object(d, ["doc_id"], "value", at="vals",
+                                    extra={"src": '"docs"'}, order_col="pos")
+    return (wrap_as_value_in_object(inner, "json", at="w", out_col="wrapped")
+            .select("doc_id", F.col("wrapped").alias("json")))
+
+
+@_q("msgpack_typed_decode", """
+SELECT doc_id, doc_id AS a, lang FROM documents
+""")
+def msgpack_typed_decode(spark, sf_dir):
+    """Typed msgpack deserialization one-liner (reference
+    ``msgpack/high/package.scala:43-144``): JSON -> msgpack binary ->
+    ``decode_msgpack(schema)`` roundtrip; the oracle is the identity on the
+    source fields."""
+    from fs2_data_spark.sources.binary_codecs import (
+        decode_msgpack, transcode_json_to_msgpack)
+    j = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit('{"a":'), F.col("doc_id").cast("string"),
+                 F.lit(',"lang":"'), F.col("lang"), F.lit('"}')).alias("json"))
+    enc = transcode_json_to_msgpack(j, "json", out_col="payload").drop("json", "ok")
+    dec = decode_msgpack(enc, "a bigint, lang string", col="payload")
+    return dec.select("doc_id", F.col("value.a").alias("a"),
+                      F.col("value.lang").alias("lang"))
+
+
+@_q("json_tokenize_raw_docs", """
+SELECT doc_id, CAST(2 AS INTEGER) AS token_no, '1.00' AS lexeme FROM documents
+UNION ALL SELECT doc_id, 4, '1e2' FROM documents
+UNION ALL SELECT doc_id, 6, '-0.0' FROM documents
+UNION ALL SELECT doc_id, 8, CAST(doc_id AS VARCHAR) FROM documents
+""")
+def json_tokenize_raw_docs(spark, sf_dir):
+    """Token-stream view with VERBATIM number lexemes (reference
+    ``json/tokens.scala:61-64``): ``1.00``/``1e2``/``-0.0`` survive
+    tokenization unchanged; the oracle pins each lexeme at its stream
+    position."""
+    from fs2_data_spark.functions.jsonq import json_tokenize
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit('{"n":1.00,"e":1e2,"z":-0.0,"i":'),
+                 F.col("doc_id").cast("string"), F.lit("}")).alias("js"))
+    t = json_tokenize(d, "js", keep=["doc_id"])
+    return (t.filter(F.col("kind") == "NumberValue")
+            .select("doc_id", "token_no", F.col("text").alias("lexeme")))
+
+
+@_q("xml_events_full_docs", """
+SELECT doc_id, CAST(0 AS INTEGER) AS event_no, 'XmlPI' AS event,
+       'p' AS name, 'd' || CAST(doc_id AS VARCHAR) AS text FROM documents
+UNION ALL SELECT doc_id, 1, 'StartTag', 'r', CAST(NULL AS VARCHAR) FROM documents
+UNION ALL SELECT doc_id, 2, 'Comment', CAST(NULL AS VARCHAR),
+       'c' || CAST(doc_id AS VARCHAR) FROM documents
+UNION ALL SELECT doc_id, 3, 'XmlString', CAST(NULL AS VARCHAR),
+       't' || CAST(doc_id AS VARCHAR) FROM documents
+UNION ALL SELECT doc_id, 4, 'StartTag', 'b', CAST(NULL AS VARCHAR) FROM documents
+UNION ALL SELECT doc_id, 5, 'XmlString', CAST(NULL AS VARCHAR), 'u' FROM documents
+UNION ALL SELECT doc_id, 6, 'EndTag', 'b', CAST(NULL AS VARCHAR) FROM documents
+UNION ALL SELECT doc_id, 7, 'XmlString', CAST(NULL AS VARCHAR), 'w' FROM documents
+UNION ALL SELECT doc_id, 8, 'EndTag', 'r', CAST(NULL AS VARCHAR) FROM documents
+""")
+def xml_events_full_docs(spark, sf_dir):
+    """Comment/XmlPI event breadth (reference ``XmlEvent.scala:35-67``;
+    ``xml.events(includeComments)`` option, ``xml/package.scala:50-52``) over
+    synthesized XML; the oracle enumerates the full 9-event stream per doc
+    including the PI target/data split and comment ownership."""
+    from fs2_data_spark.sources.xmlsrc import xml_events
+    i = F.col("doc_id").cast("string")
+    d = _t(spark, sf_dir, "documents").select(
+        i.alias("doc_key"),
+        F.concat(F.lit("<?p d"), i, F.lit("?><r><!--c"), i, F.lit("-->t"), i,
+                 F.lit("<b>u</b>w</r>")).alias("xml"))
+    ev = xml_events(d, include_comments=True, include_pis=True)
+    return ev.select(F.col("doc_key").cast("bigint").alias("doc_id"),
+                     "event_no", "event", "name", "text")
 
 
 # ---------------------------------------------------------------------------

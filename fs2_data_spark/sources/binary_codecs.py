@@ -499,6 +499,29 @@ def _transcode_to_binary(df: DataFrame, col: str, encoder, out_col: str,
     return df.mapInPandas(kernel, out_schema)
 
 
+def decode_msgpack(df: DataFrame, schema, col: str = "payload",
+                   out_col: str = "value", mode: str = "strict") -> DataFrame:
+    """Typed MessagePack deserialization one-liner (reference
+    ``msgpack/high/package.scala:43-144`` typed deserializers): binary ->
+    typed struct column in one call, fusing :func:`transcode_msgpack_to_json`
+    with ``from_json(schema)``. ``schema`` is a Spark DDL string or DataType;
+    fields absent from the payload come back null, like a lenient decoder."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    return (_transcode(df, col, msgpack_decode, mode)
+            .withColumn(out_col, F.from_json("json", schema))
+            .drop("json"))
+
+
+def decode_cbor(df: DataFrame, schema, col: str = "payload",
+                out_col: str = "value", mode: str = "strict") -> DataFrame:
+    """Typed CBOR deserialization one-liner — CBOR twin of
+    :func:`decode_msgpack`."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    return (_transcode(df, col, cbor_decode, mode)
+            .withColumn(out_col, F.from_json("json", schema))
+            .drop("json"))
+
+
 def transcode_json_to_cbor(df: DataFrame, col: str = "json",
                            out_col: str = "payload",
                            mode: str = "strict") -> DataFrame:

@@ -4,9 +4,9 @@ The reference ships a validating streaming XML event parser
 (``xml/src/main/scala/fs2/data/xml/internals/EventParser.scala``, 1073 LoC).
 Spark has no native XML scan in this environment, so the event surface is
 re-expressed as an Arrow-batched ``mapInPandas`` over Python's stdlib
-``xml.etree`` *iterparse* — per-document streaming (start/end/text events in
-document order), bounded memory (elements cleared after their end event),
-with fs2-data's strict-vs-attempt error modes.
+*expat* parser (the same engine ``xml.etree`` wraps) — per-document
+streaming handlers (start/end/text/comment/pi in document order), bounded
+memory (no tree is built), with fs2-data's strict-vs-attempt error modes.
 
 Emitted event rows mirror the ``XmlEvent`` ADT subset that survives
 normalization (reference ``xml/src/main/scala/fs2/data/xml/XmlEvent.scala``):
@@ -36,64 +36,143 @@ EVENT_SCHEMA = ("doc_key string, event_no int, depth int, event string, "
                 "error string")
 
 
+def resolve_entities(entities: dict[str, str]) -> dict[str, str]:
+    """Fully expand a user entity map (entity values may reference other
+    entities), rejecting reference cycles — the custom
+    ``xml.referenceResolver`` surface (reference
+    ``xml/src/main/scala/fs2/data/xml/package.scala:58-66``; stdlib expat
+    only resolves the five XML built-ins)."""
+    import re  # noqa: PLC0415
+
+    ref = re.compile(r"&([A-Za-z_][\w.-]*);")
+    resolved: dict[str, str] = {}
+    visiting: set[str] = set()
+
+    def expand(name: str) -> str:
+        if name in resolved:
+            return resolved[name]
+        if name in visiting:
+            raise ValueError(f"entity reference cycle through &{name};")
+        visiting.add(name)
+        out = ref.sub(
+            lambda m: expand(m.group(1)) if m.group(1) in entities
+            else m.group(0),
+            entities[name])
+        visiting.discard(name)
+        resolved[name] = out
+        return out
+
+    return {n: expand(n) for n in entities}
+
+
+def substitute_entities(xml: str, resolved: dict[str, str]) -> str:
+    """One-pass substitution of ``&name;`` references from a pre-resolved
+    entity map (see :func:`resolve_entities`). Unknown references are left
+    for the parser (built-ins parse; undefined ones error per mode)."""
+    import re  # noqa: PLC0415
+
+    return re.sub(
+        r"&([A-Za-z_][\w.-]*);",
+        lambda m: resolved.get(m.group(1), m.group(0)),
+        xml)
+
+
 def xml_events(df: DataFrame, xml_col: str = "xml", key_col: str = "doc_key",
-               mode: str = "strict") -> DataFrame:
+               mode: str = "strict", include_comments: bool = False,
+               include_pis: bool = False,
+               entities: dict[str, str] | None = None) -> DataFrame:
     """Parse an XML string column into an ordered event stream (one row per
     event). strict: malformed XML fails the job; attempt: emits a single
-    ``ok=false`` row carrying the parse error for that document."""
-    import xml.etree.ElementTree as ET  # noqa: PLC0415
+    ``ok=false`` row carrying the parse error for that document.
 
+    ``include_comments``/``include_pis`` mirror the reference's
+    ``xml.events(includeComments)`` option (``xml/package.scala:50-52``):
+    Comment rows carry the comment text; XmlPI rows carry the target in
+    ``name`` and the instruction data in ``text``. Both attach to the
+    enclosing element like XmlString rows do. ``entities`` is a custom
+    ``{name: replacement}`` reference-resolver map (``xml/package.scala:
+    58-66``), pre-expanded with cycle detection."""
     import pandas as pd  # noqa: PLC0415
 
     strict = mode == "strict"
-
-    def pull_events(xml):
-        # feed the whole document before draining: the queued (ev, elem)
-        # pairs reference live Elements, so text/tail are complete by read
-        # time (iterparse's "start" events can observe partial .text when a
-        # document spans parser read chunks)
-        parser = ET.XMLPullParser(events=("start", "end"))
-        parser.feed(xml)
-        parser.close()
-        return parser.read_events()
+    resolved = resolve_entities(entities) if entities else None
 
     def parse_one(key, xml):
-        events, n = [], 0
+        from xml.parsers import expat  # noqa: PLC0415
+
+        if resolved:
+            xml = substitute_entities(xml, resolved)
+        events: list = []
         # open-element stack: (name, start_event_no, path)
         stack: list[tuple[str, int, str]] = []
-        try:
-            for ev, elem in pull_events(xml):
-                if ev == "start":
-                    parent = stack[-1][0] if stack else None
-                    ppath = stack[-1][2] if stack else ""
-                    path = f"{ppath}/{elem.tag}"
-                    events.append((key, n, len(stack), "StartTag", elem.tag,
-                                   dict(elem.attrib), None, parent, path, n,
+        buf: list[str] = []
+        counter = [0]
+
+        def clark(name: str) -> str:
+            # expat with namespace_separator="}" emits "uri}local"; prepend
+            # "{" for Clark notation (the same rewrite xml.etree applies)
+            return "{" + name if "}" in name else name
+
+        def flush_text():
+            # text runs merge across entity refs and CDATA boundaries (no
+            # cdata handlers registered -> expat keeps buffering), matching
+            # the normalized single-XmlString-per-run view
+            if buf:
+                text = "".join(buf)
+                buf.clear()
+                if text.strip() and stack:
+                    name, no, path = stack[-1]
+                    events.append((key, counter[0], len(stack), "XmlString",
+                                   None, None, text.strip(), name, path, no,
                                    True, None))
-                    stack.append((elem.tag, n, path))
-                    n += 1
-                    if elem.text and elem.text.strip():
-                        # text directly inside the just-opened element
-                        events.append((key, n, len(stack), "XmlString", None,
-                                       None, elem.text.strip(), elem.tag, path,
-                                       stack[-1][1], True, None))
-                        n += 1
-                else:
-                    name, start_no, path = stack.pop()
-                    parent = stack[-1][0] if stack else None
-                    events.append((key, n, len(stack), "EndTag", elem.tag, None,
-                                   None, parent, path, start_no, True, None))
-                    n += 1
-                    if elem.tail and elem.tail.strip() and stack:
-                        # tail text belongs to the PARENT element (mixed
-                        # content: <a><b>x</b>tail</a> -> 'tail' is a's text)
-                        pname, pno, ppath = stack[-1]
-                        events.append((key, n, len(stack), "XmlString", None,
-                                       None, elem.tail.strip(), pname, ppath,
-                                       pno, True, None))
-                        n += 1
-                    elem.clear()  # bounded memory: done subtrees are dropped
-        except ET.ParseError as e:
+                    counter[0] += 1
+
+        def on_start(name, attrs):
+            flush_text()
+            parent = stack[-1][0] if stack else None
+            ppath = stack[-1][2] if stack else ""
+            name = clark(name)
+            path = f"{ppath}/{name}"
+            no = counter[0]
+            events.append((key, no, len(stack), "StartTag", name,
+                           {clark(k): v for k, v in attrs.items()}, None,
+                           parent, path, no, True, None))
+            stack.append((name, no, path))
+            counter[0] += 1
+
+        def on_end(name):
+            flush_text()
+            _n, start_no, path = stack.pop()
+            parent = stack[-1][0] if stack else None
+            events.append((key, counter[0], len(stack), "EndTag", clark(name),
+                           None, None, parent, path, start_no, True, None))
+            counter[0] += 1
+
+        def on_chars(data):
+            buf.append(data)
+
+        def attach(kind, name, text):
+            flush_text()
+            pname = stack[-1][0] if stack else None
+            ppath = stack[-1][2] if stack else None
+            owner = stack[-1][1] if stack else None
+            events.append((key, counter[0], len(stack), kind, name, None,
+                           text, pname, ppath, owner, True, None))
+            counter[0] += 1
+
+        p = expat.ParserCreate(namespace_separator="}")
+        p.buffer_text = True
+        p.StartElementHandler = on_start
+        p.EndElementHandler = on_end
+        p.CharacterDataHandler = on_chars
+        if include_comments:
+            p.CommentHandler = lambda data: attach("Comment", None, data)
+        if include_pis:
+            p.ProcessingInstructionHandler = (
+                lambda target, data: attach("XmlPI", target, data))
+        try:
+            p.Parse(xml, True)
+        except expat.ExpatError as e:
             if strict:
                 raise
             return [(key, 0, 0, "Error", None, None, None, None, None, None,
@@ -110,6 +189,146 @@ def xml_events(df: DataFrame, xml_col: str = "xml", key_col: str = "doc_key",
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(kernel, EVENT_SCHEMA)
+
+
+RAW_EVENT_SCHEMA = EVENT_SCHEMA + ", is_cdata boolean"
+
+
+def xml_events_raw(df: DataFrame, xml_col: str = "xml",
+                   key_col: str = "doc_key", mode: str = "strict",
+                   entities: dict[str, str] | None = None) -> DataFrame:
+    """The FULL ``XmlEvent`` ADT (reference ``xml/src/main/scala/fs2/data/
+    xml/XmlEvent.scala:35-67``) as an event stream: ``XmlDecl`` (version/
+    encoding/standalone in ``attrs``), ``XmlDoctype`` (doctype name +
+    system id), ``StartTag``/``EndTag``, ``XmlString`` with the reference's
+    ``isCDATA`` flag (CDATA runs are kept verbatim, uncollapsed), ``Comment``
+    and ``XmlPI`` — built on stdlib expat handlers, which (unlike
+    ``xml.etree``) expose CDATA boundaries, the XML declaration, the doctype,
+    and internal-subset entity declarations.
+
+    Names are as-written (``prefix:local``), matching the reference's raw
+    event stream BEFORE its namespaceResolver pipe; :func:`xml_events` is the
+    namespace-resolved (Clark notation) view. ``entities`` as in
+    :func:`xml_events` (expat additionally expands internal-subset DTD
+    entities natively)."""
+    import pandas as pd  # noqa: PLC0415
+
+    strict = mode == "strict"
+    resolved = resolve_entities(entities) if entities else None
+
+    def parse_one(key, xml):
+        from xml.parsers import expat  # noqa: PLC0415
+
+        if resolved:
+            xml = substitute_entities(xml, resolved)
+        events: list = []
+        stack: list[tuple[str, int, str]] = []
+        # buffered character data: (is_cdata, [chunks])
+        buf: list[str] = []
+        in_cdata = [False]
+        counter = [0]
+
+        def emit(event, name=None, attrs=None, text=None, owner=None,
+                 is_cdata=False, at_depth=None):
+            pname = stack[-1][0] if stack else None
+            ppath = stack[-1][2] if stack else None
+            own = owner if owner is not None else (stack[-1][1] if stack else None)
+            events.append((key, counter[0],
+                           at_depth if at_depth is not None else len(stack),
+                           event, name, attrs, text, pname, ppath, own, True,
+                           None, is_cdata))
+            counter[0] += 1
+
+        def flush_text():
+            if buf:
+                text = "".join(buf)
+                buf.clear()
+                if in_cdata[0]:
+                    emit("XmlString", text=text, is_cdata=True)
+                elif text.strip():
+                    emit("XmlString", text=text.strip())
+
+        p = expat.ParserCreate()
+        p.buffer_text = True
+
+        def on_decl(version, encoding, standalone):
+            attrs = {"version": version or ""}
+            if encoding:
+                attrs["encoding"] = encoding
+            if standalone != -1:
+                attrs["standalone"] = "yes" if standalone else "no"
+            emit("XmlDecl", attrs=attrs)
+
+        def on_doctype(name, system_id, public_id, has_subset):
+            attrs = {}
+            if system_id:
+                attrs["system_id"] = system_id
+            if public_id:
+                attrs["public_id"] = public_id
+            emit("XmlDoctype", name=name, attrs=attrs or None)
+
+        def on_start(name, attrs):
+            flush_text()
+            ppath = stack[-1][2] if stack else ""
+            path = f"{ppath}/{name}"
+            emit("StartTag", name=name, attrs=dict(attrs), owner=counter[0])
+            stack.append((name, counter[0] - 1, path))
+
+        def on_end(name):
+            flush_text()
+            _n, start_no, path = stack.pop()
+            pname = stack[-1][0] if stack else None
+            events.append((key, counter[0], len(stack), "EndTag", name, None,
+                           None, pname, path, start_no, True, None, False))
+            counter[0] += 1
+
+        def on_chars(data):
+            buf.append(data)
+
+        def on_cdata_start():
+            flush_text()
+            in_cdata[0] = True
+
+        def on_cdata_end():
+            flush_text()
+            in_cdata[0] = False
+
+        def on_comment(data):
+            flush_text()
+            emit("Comment", text=data)
+
+        def on_pi(target, data):
+            flush_text()
+            emit("XmlPI", name=target, text=data)
+
+        p.XmlDeclHandler = on_decl
+        p.StartDoctypeDeclHandler = on_doctype
+        p.StartElementHandler = on_start
+        p.EndElementHandler = on_end
+        p.CharacterDataHandler = on_chars
+        p.StartCdataSectionHandler = on_cdata_start
+        p.EndCdataSectionHandler = on_cdata_end
+        p.CommentHandler = on_comment
+        p.ProcessingInstructionHandler = on_pi
+        try:
+            p.Parse(xml, True)
+        except expat.ExpatError as e:
+            if strict:
+                raise
+            return [(key, 0, 0, "Error", None, None, None, None, None, None,
+                     False, str(e), False)]
+        return events
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_key", "event_no", "depth", "event", "name", "attrs",
+                "text", "parent", "path", "owner_no", "ok", "error", "is_cdata"]
+        for pdf in batches:
+            rows = []
+            for key, xml in zip(pdf[key_col], pdf[xml_col]):
+                rows.extend(parse_one(str(key), xml))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(kernel, RAW_EVENT_SCHEMA)
 
 
 def xml_dom(df: DataFrame, xml_col: str = "xml", key_col: str = "doc_key",

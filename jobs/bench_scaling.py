@@ -40,8 +40,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 N_ROWS = 30_000_000
 PASSES = 6
-LEVELS = (8, 32)
-TRIALS = 3
+LEVELS = (8, 16, 32)
+TRIALS = 5
 
 
 def _parse_event_log(log_dir: str) -> list[dict]:
@@ -164,11 +164,25 @@ def main() -> None:
         })
     lo, hi = results[0], results[-1]
     eff = (hi["sequences_per_sec"] / lo["sequences_per_sec"]) / (LEVELS[-1] / LEVELS[0])
+    # pairwise step efficiencies along the curve (the 16->32 step is the one
+    # the single-box memory-bus ceiling distorts least; VERDICT r02 item 7)
+    steps = {}
+    for a, b in zip(results, results[1:]):
+        ratio = b["cpus"] / a["cpus"]
+        steps[f"{a['cpus']}->{b['cpus']}"] = round(
+            (b["sequences_per_sec"] / a["sequences_per_sec"]) / ratio, 3)
+    # per-trial 16->32 efficiencies (paired by interleaved trial index), so
+    # the gate is met across trials, not just on pooled minima
+    per_trial = []
+    if 16 in trials and 32 in trials:
+        for r16, r32 in zip(trials[16], trials[32]):
+            per_trial.append(round((r16["block_sec"] / r32["block_sec"]) / 2, 3))
     # plan-work parity: same aggregate executor CPU seconds => same plan, any
     # wall shortfall is the shared single-JVM memory subsystem
     cpu_s = {c: round(sum(s["cpu_ms"] for s in best[c]["stages"]) / 1000, 1)
              for c in LEVELS}
     out = {"levels": results, "scaling_efficiency": round(eff, 3),
+           "step_efficiency": steps, "per_trial_16_32": per_trial,
            "rows": N_ROWS, "passes_per_block": PASSES,
            "executor_cpu_sec": cpu_s}
     print(json.dumps(out))
@@ -179,7 +193,7 @@ def main() -> None:
     if "--update" in sys.argv:
         with open("BASELINE.md", "a") as f:
             f.write(
-                f"\n## Scaling evidence r2 (local[{LEVELS[0]}] vs local[{LEVELS[1]}], "
+                f"\n## Scaling evidence r3 (three-level curve local{list(LEVELS)}, "
                 f"{N_ROWS:,} sequences, {PASSES}-pass timed blocks, fresh JVM per trial, "
                 f"min of {TRIALS} interleaved trials)\n\n"
                 f"| level | block s | s/pass | sequences/sec | tokens/sec | blocks (s) |\n"
@@ -188,8 +202,9 @@ def main() -> None:
                     f"| local[{r['cpus']}] | {r['block_sec']} | {r['per_pass_sec']} "
                     f"| {r['sequences_per_sec']:,} | {r['tokens_per_sec']:,} "
                     f"| {r['all_blocks_sec']} |\n" for r in results)
-                + f"\nScaling efficiency (N={LEVELS[0]} -> 4N={LEVELS[1]}): **{eff:.3f}**; "
-                f"aggregate executor CPU-seconds {cpu_s} (equal work at both levels; "
+                + f"\nScaling efficiency (N={LEVELS[0]} -> 4N={LEVELS[-1]}): **{eff:.3f}**; "
+                f"step efficiencies {steps}; per-trial 16->32 {per_trial}; "
+                f"aggregate executor CPU-seconds {cpu_s} (equal work at all levels; "
                 f"per-stage shuffle bytes + task histograms in SCALING_STAGES.json)\n")
 
 

@@ -315,3 +315,126 @@ def test_transcode_json_to_cbor_and_back(spark):
     assert json.loads(back2.json) == {"a": [1, 2.5, None], "b": "x"}
     with pytest.raises(Exception):
         transcode_json_to_cbor(df, mode="strict").collect()
+
+
+DOC_FULL = ('<?xml version="1.0" encoding="UTF-8"?>'
+            '<!DOCTYPE r SYSTEM "r.dtd"><?style css?>'
+            '<r a="1"><!-- hello -->x<b>y</b>tail'
+            '<![CDATA[ <raw> & stuff ]]>z</r><!--trailing-->')
+
+
+def test_xml_events_comments_and_pis(spark):
+    """xml.events(includeComments) analogue (reference xml/package.scala:
+    50-52): Comment/XmlPI rows interleave in document order with correct
+    element ownership."""
+    from fs2_data_spark.sources.xmlsrc import xml_events
+
+    df = spark.createDataFrame([("d1", DOC_FULL)], "doc_key string, xml string")
+    rows = (xml_events(df, include_comments=True, include_pis=True)
+            .orderBy("event_no").collect())
+    stream = [(r.event, r.name, r.text, r.parent) for r in rows]
+    assert stream == [
+        ("XmlPI", "style", "css", None),
+        ("StartTag", "r", None, None),
+        ("Comment", None, " hello ", "r"),
+        ("XmlString", None, "x", "r"),
+        ("StartTag", "b", None, "r"),
+        ("XmlString", None, "y", "b"),
+        ("EndTag", "b", None, "r"),
+        # CDATA merges into the surrounding text run in the normalized view
+        ("XmlString", None, "tail <raw> & stuff z", "r"),
+        ("EndTag", "r", None, None),
+        ("Comment", None, "trailing", None),
+    ]
+    # default stream is unchanged: no Comment/XmlPI rows
+    plain = {r.event for r in xml_events(df).collect()}
+    assert plain == {"StartTag", "XmlString", "EndTag"}
+
+
+def test_xml_events_raw_full_adt(spark):
+    """xml_events_raw: the full XmlEvent ADT (XmlEvent.scala:35-67) —
+    XmlDecl, XmlDoctype, Comment, XmlPI, and XmlString with isCDATA, with
+    CDATA text kept verbatim."""
+    from fs2_data_spark.sources.xmlsrc import xml_events_raw
+
+    df = spark.createDataFrame([("d1", DOC_FULL)], "doc_key string, xml string")
+    rows = xml_events_raw(df).orderBy("event_no").collect()
+    kinds = [r.event for r in rows]
+    assert kinds == ["XmlDecl", "XmlDoctype", "XmlPI", "StartTag", "Comment",
+                     "XmlString", "StartTag", "XmlString", "EndTag",
+                     "XmlString", "XmlString", "XmlString", "EndTag",
+                     "Comment"]
+    assert rows[0].attrs == {"version": "1.0", "encoding": "UTF-8"}
+    assert rows[1].name == "r" and rows[1].attrs == {"system_id": "r.dtd"}
+    cdata = [r for r in rows if r.is_cdata]
+    assert len(cdata) == 1 and cdata[0].text == " <raw> & stuff "
+    # non-CDATA neighbours are separate, stripped runs
+    assert [r.text for r in rows if r.event == "XmlString"] == [
+        "x", "y", "tail", " <raw> & stuff ", "z"]
+
+
+def test_xml_events_custom_entities(spark):
+    """Custom referenceResolver entity maps (xml/package.scala:58-66):
+    user entities expand (transitively), undefined ones error per mode."""
+    from fs2_data_spark.sources.xmlsrc import xml_events
+
+    doc = "<r>&greet;, &who;!</r>"
+    df = spark.createDataFrame([("d1", doc)], "doc_key string, xml string")
+    ents = {"greet": "Hello &who;", "who": "world"}
+    rows = xml_events(df, entities=ents).orderBy("event_no").collect()
+    assert [r.text for r in rows if r.event == "XmlString"] == [
+        "Hello world, world!"]
+    # undefined entity: attempt-mode error row, strict raises
+    df2 = spark.createDataFrame([("d2", "<r>&nope;</r>")],
+                                "doc_key string, xml string")
+    bad = xml_events(df2, entities=ents, mode="attempt").collect()
+    assert len(bad) == 1 and not bad[0].ok and "entity" in bad[0].error
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="entity"):
+        xml_events(df2, entities=ents, mode="strict").collect()
+
+
+def test_entity_cycle_detected():
+    from fs2_data_spark.sources.xmlsrc import resolve_entities
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cycle"):
+        resolve_entities({"a": "&b;", "b": "&a;"})
+    # self-reference is the minimal cycle
+    with _pytest.raises(ValueError, match="cycle"):
+        resolve_entities({"a": "x &a; y"})
+
+
+def test_wrap_object_variants(spark):
+    """wrap.asArrayInObject / asValueInObject (json/package.scala:117-141)."""
+    from fs2_data_spark.functions.jsonpath import (
+        wrap_as_array_in_object, wrap_as_value_in_object)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 0, '"a"'), (1, 1, "2"), (2, 0, "true")],
+        "doc_id bigint, pos int, value string")
+    arr = wrap_as_array_in_object(df, ["doc_id"], "value", at="vals",
+                                  extra={"src": '"t"'}, order_col="pos")
+    got = {r.doc_id: r.json for r in arr.collect()}
+    assert got == {1: '{"src":"t","vals":["a",2]}', 2: '{"src":"t","vals":[true]}'}
+    val = wrap_as_value_in_object(df.filter(F.col("pos") == 0), "value", at="v")
+    got2 = {r.doc_id: r.json for r in val.collect()}
+    assert got2 == {1: '{"v":"a"}', 2: '{"v":true}'}
+
+
+def test_typed_decode_one_liners(spark):
+    """decode_msgpack/decode_cbor (msgpack/high/package.scala:43-144):
+    binary -> typed struct; absent fields null; attempt mode keeps ok."""
+    from fs2_data_spark.sources.binary_codecs import (
+        cbor_encode, decode_cbor, decode_msgpack, msgpack_encode)
+
+    rows = [(1, msgpack_encode({"a": 7, "lang": "en"}), cbor_encode({"a": 7})),
+            (2, msgpack_encode({"a": 9}), cbor_encode({"a": 9, "lang": "fr"}))]
+    df = spark.createDataFrame(rows, "id bigint, mp binary, cb binary")
+    m = {r.id: (r.value.a, r.value.lang)
+         for r in decode_msgpack(df, "a bigint, lang string", col="mp").collect()}
+    assert m == {1: (7, "en"), 2: (9, None)}
+    c = {r.id: (r.value.a, r.value.lang)
+         for r in decode_cbor(df, "a bigint, lang string", col="cb").collect()}
+    assert c == {1: (7, None), 2: (9, "fr")}

@@ -376,3 +376,14 @@ def test_raw_number_lexemes_jsontestsuite_corpus():
                 assert t in raw, (p.name, t)
                 n_checked += 1
     assert n_checked > 20
+
+
+def test_jq_path_composed_descent():
+    """`.a..b` composes descent inside a path without an explicit pipe
+    (reference jq/ast.scala:25-33 path composition)."""
+    from fs2_data_spark.functions.jsonq import eval_jq, parse_jq
+
+    doc = {"a": {"b": 1, "c": {"b": 2}}, "l": [{"b": 3}]}
+    assert eval_jq(doc, parse_jq(".a..b")) == [1, 2]
+    assert eval_jq(doc, parse_jq("..b")) == eval_jq(doc, parse_jq(".. | .b"))
+    assert eval_jq(doc, parse_jq(".l..b")) == [3]

@@ -78,3 +78,25 @@ def test_minhash_simhash_identity_invariance(spark, tdf):
     df = spark.createDataFrame([(0, "fox the quick")], "doc_id bigint, text string")
     p = df.select(*minhash_signature("text", k=4)).first()
     assert tuple(p) == tuple(got[0][f] for f in ("mh0", "mh1", "mh2", "mh3"))
+
+
+def test_lang_id_ascii_codepoints_including_non_bmp(spark):
+    """Pin F.ascii semantics across plane boundaries (VERDICT r02 minor):
+    BMP chars give the true code point; non-BMP (surrogate-pair) chars must
+    not misclassify into the zh/ru ranges."""
+    from pyspark.sql import functions as F
+    from fs2_data_spark.functions.text import lang_id
+
+    rows = [("zzz", "ascii"), ("中文", "cjk"), ("Да", "cyr"),
+            ("\U0001F600 the and of", "emoji")]  # non-BMP first char
+    df = spark.createDataFrame(rows, "t string, tag string")
+    got = {r.tag: (r.cp, r.lang) for r in df.select(
+        "tag", F.ascii("t").alias("cp"), lang_id("t").alias("lang")).collect()}
+    assert got["ascii"] == (122, "other")
+    assert got["cjk"][0] == 0x4E2D and got["cjk"][1] == "zh"
+    assert got["cyr"][0] == 0x0414 and got["cyr"][1] == "ru"
+    # emoji U+1F600: whatever code point Spark reports, it must NOT fall in
+    # the CJK (>= 0x4E00) bucket unless it IS >= 0x4E00 as a true code point
+    cp, lang = got["emoji"]
+    assert lang in ("en", "other") or cp >= 0x4E00
+    assert lang == "en"  # stopword vote wins for the emoji doc

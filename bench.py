@@ -128,6 +128,14 @@ def engine_batch(spark, sf: float) -> tuple[dict[str, float], dict[str, dict]]:
         "engine_jsonpath_descendant": (
             lambda: select_path_all(docs.select("doc_id", "js"), "js", "$..b",
                                     keep=["doc_id"]), js_b),
+        # same prefixed path, pure Python walk vs variant_get prefix pushdown
+        # (JVM extracts .a; Python recurses only the subtree)
+        "engine_jsonpath_prefixed": (
+            lambda: select_path_all(docs.select("doc_id", "js"), "js", "$.a..b",
+                                    keep=["doc_id"]), js_b),
+        "engine_jsonpath_pushdown": (
+            lambda: select_path_all(docs.select("doc_id", "js"), "js", "$.a..b",
+                                    keep=["doc_id"], prefix_pushdown=True), js_b),
         "engine_jq_construct": (
             lambda: jq_run(docs.select("doc_id", "js"), "js",
                            '{ "lang": .f2, "tok": .f3[], "missing": .zz }',

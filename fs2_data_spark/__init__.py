@@ -48,6 +48,7 @@ from fs2_data_spark.sources.binary_codecs import (  # noqa: E402
     decode_cbor,
     decode_msgpack,
 )
+from fs2_data_spark.sources.charsets import decode_text, encode_text  # noqa: E402
 from fs2_data_spark.sources.xmlsrc import (  # noqa: E402
     xml_dom,
     xml_events,
@@ -61,7 +62,7 @@ __all__ = [
     "json_tokenize", "DELETE", "xpath_filter",
     "xml_events", "xml_events_raw", "xml_dom", "xml_render",
     "wrap_as_array_in_object", "wrap_as_value_in_object",
-    "decode_msgpack", "decode_cbor",
+    "decode_msgpack", "decode_cbor", "decode_text", "encode_text",
     "asof_join", "backfill_locf", "sessionize",
     "fused_pit_features", "pit_feature_pipeline",
 ]

@@ -1589,6 +1589,20 @@ def xml_events_full_docs(spark, sf_dir):
                      "event_no", "event", "name", "text")
 
 
+@_q("charset_roundtrip_docs", """
+SELECT doc_id, text, CAST(TRUE AS BOOLEAN) AS ok FROM documents
+""")
+def charset_roundtrip_docs(spark, sf_dir):
+    """S18 charset layer (reference ``text/package.scala:23-56``): document
+    text -> utf-8 binary (JVM encode) -> strict Arrow decode must be the
+    identity; the oracle is the source text."""
+    from fs2_data_spark.sources.charsets import decode_text, encode_text
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = encode_text(d, col="text", charset="utf8").drop("text")
+    dec = decode_text(enc, col="payload", charset="utf8", out_col="text")
+    return dec.select("doc_id", "text", "ok")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r02 item #1)
 # ---------------------------------------------------------------------------
@@ -1626,6 +1640,7 @@ _DRIVER_FRONT = [
     "msgpack_typed_decode",
     "json_tokenize_raw_docs",
     "xml_events_full_docs",
+    "charset_roundtrip_docs",
 ]
 
 _DRIVER_TAIL = [

@@ -82,3 +82,48 @@ def test_parse_json_col_on_events(spark, events):
     rows = out.collect()
     assert all(r.ok for r in rows)
     assert all(r.props_parsed.k is not None for r in rows)
+
+
+def test_decode_text_charsets(spark):
+    """S18 charset layer (reference text/package.scala:23-56): utf8 / latin1
+    / latin9 / ascii binary decode with strict/attempt/replace modes."""
+    import pytest as _pytest
+    from fs2_data_spark.sources.charsets import decode_text, encode_text
+
+    rows = [
+        (1, "héllo".encode("utf-8")),
+        (2, "héllo".encode("iso-8859-1")),
+        (3, "€uro".encode("iso-8859-15")),  # latin9's € at 0xA4
+        (4, b"plain"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+
+    utf = {r.id: (r.text, r.ok) for r in
+           decode_text(df.filter("id in (1, 4)"), charset="utf8").collect()}
+    assert utf == {1: ("héllo", True), 4: ("plain", True)}
+
+    lat1 = decode_text(df.filter("id = 2"), charset="latin1").first()
+    assert lat1.text == "héllo"
+    lat9 = decode_text(df.filter("id = 3"), charset="latin9").first()
+    assert lat9.text == "€uro"
+
+    # strict: latin1 bytes are invalid utf-8 -> fails; attempt: null + ok=false
+    with _pytest.raises(Exception):
+        decode_text(df.filter("id = 2"), charset="utf8").collect()
+    att = decode_text(df, charset="utf8", mode="attempt").orderBy("id").collect()
+    assert [(r.ok, r.text is None) for r in att] == [
+        (True, False), (False, True), (False, True), (True, False)]
+
+    # replace: invalid bytes -> U+FFFD (Arrow path, any charset)
+    rep = decode_text(df.filter("id = 2"), charset="utf8", mode="replace").first()
+    assert "�" in rep.text
+
+    # encode roundtrip incl. the Arrow latin9 path and strict ascii failure
+    enc = encode_text(decode_text(df.filter("id = 3"), charset="latin9"),
+                      charset="latin9", out_col="back").first()
+    assert bytes(enc.back) == rows[2][1]
+    sdf = spark.createDataFrame([("héllo",)], "text string")
+    with _pytest.raises(Exception):
+        encode_text(sdf, charset="ascii").collect()
+    ra = encode_text(sdf, charset="ascii", mode="replace").first()
+    assert bytes(ra.payload) == b"h?llo"

@@ -540,8 +540,10 @@ def _run_engine(df: DataFrame, col: str, keep: list[str] | None,
         for pdf in batches:
             out = {k: [] for k in keep}
             ords, vals = [], []
-            for i in range(len(pdf)):
-                raw = pdf[col].iloc[i]
+            # plain-list iteration: per-row pandas .iloc is ~2x slower than
+            # zipping materialized lists in this per-document hot loop
+            keep_lists = [pdf[k].tolist() for k in keep]
+            for i, raw in enumerate(pdf[col].tolist()):
                 try:
                     doc = json_loads_strict(raw) if raw is not None else None
                     matches = evaluate(doc) if doc is not None else []
@@ -552,8 +554,8 @@ def _run_engine(df: DataFrame, col: str, keep: list[str] | None,
                 if max_matches is not None:
                     matches = matches[:max_matches]
                 for j, m in enumerate(matches):
-                    for k in keep:
-                        out[k].append(pdf[k].iloc[i])
+                    for k, kl in zip(keep, keep_lists):
+                        out[k].append(kl[i])
                     ords.append(j)
                     vals.append(_render(m))
             out["match_no"] = ords
@@ -752,16 +754,17 @@ def json_tokenize(df: DataFrame, col: str, keep: list[str] | None = None,
         for pdf in batches:
             out = {k: [] for k in keep}
             nos, kinds, texts, depths = [], [], [], []
-            for i in range(len(pdf)):
+            keep_lists = [pdf[k].tolist() for k in keep]
+            for i, raw in enumerate(pdf[col].tolist()):
                 try:
-                    toks = list(value_tokens(json_loads_tokens(pdf[col].iloc[i])))
+                    toks = list(value_tokens(json_loads_tokens(raw)))
                 except (ValueError, TypeError):
                     if strict:
                         raise
                     continue
                 for n, (kind, text, depth) in enumerate(toks):
-                    for k in keep:
-                        out[k].append(pdf[k].iloc[i])
+                    for k, kl in zip(keep, keep_lists):
+                        out[k].append(kl[i])
                     nos.append(n)
                     kinds.append(kind)
                     texts.append(text)

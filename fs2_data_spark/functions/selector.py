@@ -332,17 +332,17 @@ def apply_selector(df: DataFrame, col: str, selector: str,
         for pdf in batches:
             out = {k: [] for k in keep}
             nos, vals = [], []
-            for i in range(len(pdf)):
+            keep_lists = [pdf[k].tolist() for k in keep]
+            for i, raw in enumerate(pdf[col].tolist()):
                 try:
-                    matches = eval_selector(
-                        json_loads_strict(pdf[col].iloc[i]), steps)
+                    matches = eval_selector(json_loads_strict(raw), steps)
                 except (SelectorError, ValueError, TypeError):
                     if strict:
                         raise
                     continue
                 for j, m in enumerate(matches):
-                    for k in keep:
-                        out[k].append(pdf[k].iloc[i])
+                    for k, kl in zip(keep, keep_lists):
+                        out[k].append(kl[i])
                     nos.append(j)
                     vals.append(_render(m))
             out.update(match_no=nos, value=vals)

@@ -38,10 +38,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-N_ROWS = 30_000_000
-PASSES = 6
-LEVELS = (8, 16, 32)
-TRIALS = 5
+N_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", 30_000_000))
+PASSES = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", 6))
+LEVELS = tuple(int(x) for x in
+               os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,16,32").split(","))
+TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", 5))
 
 
 def _parse_event_log(log_dir: str) -> list[dict]:

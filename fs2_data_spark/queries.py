@@ -1589,6 +1589,34 @@ def xml_events_full_docs(spark, sf_dir):
                      "event_no", "event", "name", "text")
 
 
+@_q("xml_raw_events_docs", """
+SELECT doc_id, CAST(0 AS INTEGER) AS event_no, 'XmlDecl' AS event,
+       CAST(NULL AS VARCHAR) AS name, CAST(NULL AS VARCHAR) AS text,
+       CAST(FALSE AS BOOLEAN) AS is_cdata FROM documents
+UNION ALL SELECT doc_id, 1, 'XmlDoctype', 'r', CAST(NULL AS VARCHAR), FALSE FROM documents
+UNION ALL SELECT doc_id, 2, 'StartTag', 'r', CAST(NULL AS VARCHAR), FALSE FROM documents
+UNION ALL SELECT doc_id, 3, 'XmlString', CAST(NULL AS VARCHAR),
+       't' || CAST(doc_id AS VARCHAR), FALSE FROM documents
+UNION ALL SELECT doc_id, 4, 'XmlString', CAST(NULL AS VARCHAR),
+       ' <c>' || CAST(doc_id AS VARCHAR) || '& ', TRUE FROM documents
+UNION ALL SELECT doc_id, 5, 'EndTag', 'r', CAST(NULL AS VARCHAR), FALSE FROM documents
+""")
+def xml_raw_events_docs(spark, sf_dir):
+    """Full raw XmlEvent ADT (reference ``XmlEvent.scala:35-67``) over
+    synthesized documents: XmlDecl + XmlDoctype events, and the ``isCDATA``
+    flag with CDATA text kept VERBATIM (unstripped, markup-unescaped) while
+    ordinary text is normalized — the oracle enumerates all six events."""
+    from fs2_data_spark.sources.xmlsrc import xml_events_raw
+    i = F.col("doc_id").cast("string")
+    d = _t(spark, sf_dir, "documents").select(
+        i.alias("doc_key"),
+        F.concat(F.lit('<?xml version="1.0"?><!DOCTYPE r><r a="x">t'), i,
+                 F.lit("<![CDATA[ <c>"), i, F.lit("& ]]></r>")).alias("xml"))
+    ev = xml_events_raw(d)
+    return ev.select(F.col("doc_key").cast("bigint").alias("doc_id"),
+                     "event_no", "event", "name", "text", "is_cdata")
+
+
 @_q("charset_roundtrip_docs", """
 SELECT doc_id, text, CAST(TRUE AS BOOLEAN) AS ok FROM documents
 """)
@@ -1640,6 +1668,7 @@ _DRIVER_FRONT = [
     "msgpack_typed_decode",
     "json_tokenize_raw_docs",
     "xml_events_full_docs",
+    "xml_raw_events_docs",
     "charset_roundtrip_docs",
 ]
 

@@ -9,7 +9,8 @@ line::
 
 Protocol (BASELINE.md): one untimed warmup of the flagship to heat the
 JVM/Arrow path, then each query timed around a ``noop``-format write (forces
-full materialization, no driver collect). The flagship pipeline also reports
+full materialization, no driver collect), min of 2 passes per query (this
+host's single-shot timings swing up to 3x). The flagship pipeline also reports
 sequences/sec and tokens/sec — the BASELINE.json metric.
 """
 
@@ -154,9 +155,11 @@ def engine_batch(spark, sf: float) -> tuple[dict[str, float], dict[str, dict]]:
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
     for name, (mk, nbytes) in runs.items():
-        t0 = time.perf_counter()
-        _noop(mk())
-        dt = time.perf_counter() - t0
+        dt = float("inf")
+        for _ in range(2):  # min-of-2, same rationale as the headline batch
+            t0 = time.perf_counter()
+            _noop(mk())
+            dt = min(dt, time.perf_counter() - t0)
         timings[name] = round(dt, 3)
         stats[name] = {
             "docs_per_sec": round(n_docs / dt),
@@ -199,16 +202,24 @@ def main() -> None:
     # warmup (untimed): one flagship run heats codegen + Arrow + page cache
     _noop(flagship(spark, data_dir, hot_keys=hot))
 
+    def timed_min(mk, passes: int = 2) -> float:
+        """Min over short repeats: single-shot timings on this host swing up
+        to 3x (shared-VM noise) and have produced spurious round-over-round
+        'regressions'; min-of-2 keeps the number comparable across rounds."""
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            _noop(mk())
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     timings: dict[str, float] = {}
-    t0 = time.perf_counter()
-    _noop(flagship(spark, data_dir, hot_keys=hot))
-    timings["flagship_asof_features"] = round(time.perf_counter() - t0, 3)
+    timings["flagship_asof_features"] = timed_min(
+        lambda: flagship(spark, data_dir, hot_keys=hot))
 
     for name in headline:
         fn, _sql = REGISTRY[name]
-        t0 = time.perf_counter()
-        _noop(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = timed_min(lambda: fn(spark, SF_DIR))
 
     eng_timings, eng_stats = engine_batch(spark, sf)
     timings.update(eng_timings)

@@ -83,3 +83,69 @@ def sample_frames(df: DataFrame, payload_col: str = "payload", every_n_bytes: in
             .select(*df.columns, F.posexplode("__offs").alias("frame_no", "byte_offset"))
             .withColumn("frame_stub",
                         F.substring(F.col(payload_col), F.col("byte_offset"), F.lit(1))))
+
+
+def resize_image(df: DataFrame, payload_col: str = "payload",
+                 width: int = 8, height: int = 8, *,
+                 fake: bool = False, out_col: str = "resized") -> DataFrame:
+    """Resize plumbing: image bytes -> ``width*height``-byte thumbnail
+    payload. Real resampling needs an imaging library (absent here) ->
+    ``NotImplementedError``; ``fake=True`` takes a deterministic byte-stride
+    sample of the payload so schema/batch shapes are real and testable.
+    Output stays ``binary`` (thumbnails ride like any other payload)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} binary"])
+    n_out = width * height
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resizing requires an imaging library not present "
+                    "in this environment; pass fake=True for the deterministic stub")
+            outs = []
+            for raw in pdf[payload_col]:
+                b = np.frombuffer(raw or b"\x00", dtype=np.uint8)
+                idx = np.linspace(0, len(b) - 1, n_out).astype(np.int64)
+                outs.append(b[idx].tobytes())
+            yield pdf.assign(**{out_col: outs})
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def extract_audio_features(df: DataFrame, payload_col: str = "payload",
+                           n_bands: int = 12, *, fake: bool = False,
+                           out_col: str = "audio_features") -> DataFrame:
+    """Audio feature-extraction plumbing: payload -> ``n_bands`` floats
+    (band-energy style). Real extraction needs an audio library (absent) ->
+    ``NotImplementedError``; ``fake=True`` computes deterministic windowed
+    byte RMS per band — same vector shape a real MFCC/band-energy stage
+    would emit, so downstream similarity/dedup operators compose on it."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} array<float>"])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio feature extraction requires an audio library not "
+                    "present in this environment; pass fake=True for the "
+                    "deterministic stub")
+            feats = []
+            for raw in pdf[payload_col]:
+                b = np.frombuffer(raw or b"\x00", dtype=np.uint8).astype(np.float64)
+                bands = np.array_split(b, n_bands) if len(b) >= n_bands else [b] * n_bands
+                feats.append(np.array(
+                    [float(np.sqrt((c ** 2).mean())) / 255.0 if len(c) else 0.0
+                     for c in bands], dtype=np.float32))
+            yield pdf.assign(**{out_col: feats})
+
+    return df.mapInPandas(kernel, out_schema)

@@ -85,3 +85,38 @@ def test_streaming_running_features_matches_batch(spark, events, tmp_path):
     for k, e in exp.items():
         assert got[k].n == e.n
         assert abs(got[k].sum_v - e.s) < 1e-6
+
+
+def test_resize_image_stub(spark):
+    """resize plumbing: binary in -> width*height binary out, deterministic,
+    partitioning-invariant; real path raises NotImplementedError."""
+    import pytest as _pytest
+    from fs2_data_spark.operators.multimodal import resize_image
+
+    rows = [(i, bytes(range(i % 7, 250, 3))) for i in range(20)]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = resize_image(df, width=4, height=4, fake=True)
+    got = {r.media_id: bytes(r.resized) for r in out.collect()}
+    assert all(len(v) == 16 for v in got.values())
+    # deterministic + independent of partitioning
+    got2 = {r.media_id: bytes(r.resized)
+            for r in resize_image(df.repartition(7), width=4, height=4,
+                                  fake=True).collect()}
+    assert got == got2
+    with _pytest.raises(Exception, match="NotImplementedError|imaging"):
+        resize_image(df, fake=False).collect()
+
+
+def test_extract_audio_features_stub(spark):
+    from fs2_data_spark.operators.multimodal import extract_audio_features
+
+    rows = [(i, bytes([(i * 37 + j) % 256 for j in range(600)]))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = extract_audio_features(df, n_bands=6, fake=True).collect()
+    assert all(len(r.audio_features) == 6 for r in out)
+    assert all(0.0 <= v <= 1.0 for r in out for v in r.audio_features)
+    # deterministic across runs
+    out2 = extract_audio_features(df, n_bands=6, fake=True).collect()
+    assert [(r.media_id, list(r.audio_features)) for r in sorted(out, key=lambda r: r.media_id)] == \
+           [(r.media_id, list(r.audio_features)) for r in sorted(out2, key=lambda r: r.media_id)]

@@ -75,6 +75,19 @@ def _noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def timed_min(mk, passes: int = 2) -> float:
+    """Min over short repeats: single-shot timings on this host swing up to
+    3x (shared-VM noise) and have produced spurious round-over-round
+    'regressions'; min-of-2 keeps numbers comparable across rounds. One
+    protocol for the headline batch AND the engine rows."""
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        _noop(mk())
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 # docs per sf-unit for the Python-tier engine bench (sf0.1 -> 200k docs)
 ENGINE_DOCS_PER_SF = 2_000_000
 
@@ -129,14 +142,9 @@ def engine_batch(spark, sf: float) -> tuple[dict[str, float], dict[str, dict]]:
         "engine_jsonpath_descendant": (
             lambda: select_path_all(docs.select("doc_id", "js"), "js", "$..b",
                                     keep=["doc_id"]), js_b),
-        # same prefixed path, pure Python walk vs variant_get prefix pushdown
-        # (JVM extracts .a; Python recurses only the subtree)
         "engine_jsonpath_prefixed": (
             lambda: select_path_all(docs.select("doc_id", "js"), "js", "$.a..b",
                                     keep=["doc_id"]), js_b),
-        "engine_jsonpath_pushdown": (
-            lambda: select_path_all(docs.select("doc_id", "js"), "js", "$.a..b",
-                                    keep=["doc_id"], prefix_pushdown=True), js_b),
         "engine_jq_construct": (
             lambda: jq_run(docs.select("doc_id", "js"), "js",
                            '{ "lang": .f2, "tok": .f3[], "missing": .zz }',
@@ -155,12 +163,8 @@ def engine_batch(spark, sf: float) -> tuple[dict[str, float], dict[str, dict]]:
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
     for name, (mk, nbytes) in runs.items():
-        dt = float("inf")
-        for _ in range(2):  # min-of-2, same rationale as the headline batch
-            t0 = time.perf_counter()
-            _noop(mk())
-            dt = min(dt, time.perf_counter() - t0)
-        timings[name] = round(dt, 3)
+        dt = timed_min(mk)
+        timings[name] = dt
         stats[name] = {
             "docs_per_sec": round(n_docs / dt),
             "mb_per_sec": round(nbytes / dt / 1e6, 1),
@@ -202,17 +206,6 @@ def main() -> None:
     # warmup (untimed): one flagship run heats codegen + Arrow + page cache
     _noop(flagship(spark, data_dir, hot_keys=hot))
 
-    def timed_min(mk, passes: int = 2) -> float:
-        """Min over short repeats: single-shot timings on this host swing up
-        to 3x (shared-VM noise) and have produced spurious round-over-round
-        'regressions'; min-of-2 keeps the number comparable across rounds."""
-        best = float("inf")
-        for _ in range(passes):
-            t0 = time.perf_counter()
-            _noop(mk())
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
-
     timings: dict[str, float] = {}
     timings["flagship_asof_features"] = timed_min(
         lambda: flagship(spark, data_dir, hot_keys=hot))
@@ -222,13 +215,17 @@ def main() -> None:
         timings[name] = timed_min(lambda: fn(spark, SF_DIR))
 
     eng_timings, eng_stats = engine_batch(spark, sf)
-    timings.update(eng_timings)
 
+    # `value` keeps the round-1/2 definition (flagship + headline batch) so
+    # BENCH_r{N} totals stay comparable; the engine rows are reported
+    # separately in `queries`/`engines` with their own subtotal
     total = round(sum(timings.values()), 3)
     flag_s = timings["flagship_asof_features"]
+    timings.update(eng_timings)
     out = {
         "metric": "asof+window feature pipeline + headline query batch, wall sec",
         "value": total,
+        "engine_batch_sec": round(sum(eng_timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,

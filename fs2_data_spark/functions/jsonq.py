@@ -565,32 +565,11 @@ def _run_engine(df: DataFrame, col: str, keep: list[str] | None,
     return df.mapInPandas(kernel, schema)
 
 
-def _pushdown_prefix(locs: list[_Loc]) -> tuple[str, list[_Loc]] | None:
-    """Longest leading run of single-match steps (named child / non-negative
-    index) expressible as a Spark variant path, or None when no useful
-    prefix exists. Returns (variant path string, remaining locs). The
-    remainder must be non-empty — a fully-single-match path belongs on the
-    typed fast paths (`select_path`/`get_json_object`), not this engine."""
-    frags = []
-    for loc in locs:
-        if (loc.kind == "child" and loc.name is not None
-                and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", loc.name)):
-            frags.append(f".{loc.name}")
-        elif loc.kind == "pred" and loc.pred == "index" and loc.a >= 0:
-            frags.append(f"[{loc.a}]")
-        else:
-            break
-    if not frags or len(frags) == len(locs):
-        return None
-    return "$" + "".join(frags), locs[len(frags):]
-
-
 def select_path_all(df: DataFrame, col: str, path: str,
                     keep: list[str] | None = None,
                     mode: str = "strict",
                     max_matches: int | None = None,
-                    max_nest: int | None = None,
-                    prefix_pushdown: bool = False) -> DataFrame:
+                    max_nest: int | None = None) -> DataFrame:
     """All JSONPath matches of ``path`` in the JSON string column ``col`` —
     one row per match with its preorder ordinal ``match_no`` and the match
     rendered as compact JSON in ``value``. Supports the full reference
@@ -603,27 +582,16 @@ def select_path_all(df: DataFrame, col: str, path: str,
     descendant recursion (documents nested deeper fail in strict mode,
     yielding no matches in attempt mode).
 
-    ``prefix_pushdown=True``: a leading run of single-match steps (named
-    children / non-negative indexes) before the first descendant/wildcard is
-    evaluated JVM-side — ``parse_json``/``try_parse_json`` (strict/attempt
-    malformed-input semantics preserved) + ``variant_get`` + ``to_json`` —
-    so the Python engine walks only the extracted subtree. Docs whose prefix
-    is absent are filtered in the scan stage (no Python at all). Disabled
-    when ``max_nest`` is set (the depth cap is defined on the WHOLE
-    document)."""
+    NOTE: a ``variant_get``-based JVM prefix pushdown was prototyped and
+    REJECTED: ``to_json(variant_get(parse_json(x), prefix))`` re-sorts
+    object keys and normalizes number lexemes, so descendant match order
+    (``match_no``) and rendered values diverge from the document-order
+    semantics this engine guarantees — and it measured *slower* than the
+    pure walk on realistic document sizes (see BASELINE.md). Single-match
+    paths belong on the typed fast paths (``select_path`` /
+    ``get_json_object``); this engine is the document-order multi-match
+    tier."""
     locs = parse_jsonpath(path)
-
-    if prefix_pushdown and max_nest is None:
-        pre = _pushdown_prefix(locs)
-        if pre is not None:
-            vpath, locs = pre
-            parsed = (F.parse_json(F.col(col)) if mode == "strict"
-                      else F.try_parse_json(F.col(col)))
-            sub = F.to_json(F.variant_get(parsed, vpath, "variant"))
-            keep = keep if keep is not None else [c for c in df.columns if c != col]
-            df = (df.select(*keep, sub.alias(col))
-                  .filter(F.col(col).isNotNull()))
-            keep = list(keep)
 
     def evaluate(doc):
         if max_nest is not None and _depth_exceeds(doc, max_nest):

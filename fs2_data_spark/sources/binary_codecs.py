@@ -436,13 +436,16 @@ def _jsonable(v, enc: str = "b64url"):
     return v
 
 
-def _transcode(df: DataFrame, col: str, decoder, mode: str) -> DataFrame:
+def _transcode(df: DataFrame, col: str, decoder, mode: str,
+               out_col: str = "json") -> DataFrame:
     import pandas as pd  # noqa: PLC0415
 
     strict = mode == "strict"
+    passthrough = [f for f in df.schema.fields if f.name not in (out_col, "ok")]
+    cols = [f.name for f in passthrough] + [out_col, "ok"]
     out_schema = ", ".join(
-        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
-        + ["json string", "ok boolean"])
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in passthrough]
+        + [f"`{out_col}` string", "ok boolean"])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -456,7 +459,7 @@ def _transcode(df: DataFrame, col: str, decoder, mode: str) -> DataFrame:
                         raise
                     js.append(json.dumps({"__error": str(e)}))
                     oks.append(False)
-            yield pdf.assign(json=js, ok=oks)
+            yield pdf.assign(**{out_col: js, "ok": oks})[cols]
 
     return df.mapInPandas(kernel, out_schema)
 
@@ -505,11 +508,13 @@ def decode_msgpack(df: DataFrame, schema, col: str = "payload",
     ``msgpack/high/package.scala:43-144`` typed deserializers): binary ->
     typed struct column in one call, fusing :func:`transcode_msgpack_to_json`
     with ``from_json(schema)``. ``schema`` is a Spark DDL string or DataType;
-    fields absent from the payload come back null, like a lenient decoder."""
+    fields absent from the payload come back null, like a lenient decoder.
+    The intermediate JSON rides in a reserved column, so an existing
+    ``json`` column on the input passes through untouched."""
     from pyspark.sql import functions as F  # noqa: PLC0415
-    return (_transcode(df, col, msgpack_decode, mode)
-            .withColumn(out_col, F.from_json("json", schema))
-            .drop("json"))
+    return (_transcode(df, col, msgpack_decode, mode, out_col="__typed_json")
+            .withColumn(out_col, F.from_json("__typed_json", schema))
+            .drop("__typed_json"))
 
 
 def decode_cbor(df: DataFrame, schema, col: str = "payload",
@@ -517,9 +522,9 @@ def decode_cbor(df: DataFrame, schema, col: str = "payload",
     """Typed CBOR deserialization one-liner — CBOR twin of
     :func:`decode_msgpack`."""
     from pyspark.sql import functions as F  # noqa: PLC0415
-    return (_transcode(df, col, cbor_decode, mode)
-            .withColumn(out_col, F.from_json("json", schema))
-            .drop("json"))
+    return (_transcode(df, col, cbor_decode, mode, out_col="__typed_json")
+            .withColumn(out_col, F.from_json("__typed_json", schema))
+            .drop("__typed_json"))
 
 
 def transcode_json_to_cbor(df: DataFrame, col: str = "json",

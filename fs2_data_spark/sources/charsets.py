@@ -37,6 +37,47 @@ CHARSETS: dict[str, tuple[str, str | None]] = {
 }
 
 
+def _convert_kernel(df: DataFrame, col: str, out_col: str, out_type: str,
+                    mode: str, convert, fail_excs) -> DataFrame:
+    """Shared Arrow kernel for both charset directions. NULL inputs pass
+    through as NULL/ok=true in EVERY mode — matching the JVM
+    ``F.decode``/``F.encode`` null-propagation, so strict-mode behavior does
+    not depend on which charset alias routed here (latin9 vs utf8)."""
+    if mode not in ("strict", "attempt", "replace"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    import pandas as pd  # noqa: PLC0415
+
+    strict = mode == "strict"
+    errors = "replace" if mode == "replace" else "strict"
+    passthrough = [f for f in df.schema.fields if f.name not in (out_col, "ok")]
+    cols = [f.name for f in passthrough] + [out_col, "ok"]
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in passthrough]
+        + [f"{out_col} {out_type}", "ok boolean"])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, oks = [], []
+            for raw in pdf[col]:
+                if raw is None:
+                    outs.append(None)
+                    oks.append(True)
+                    continue
+                try:
+                    outs.append(convert(raw, errors))
+                    oks.append(True)
+                except fail_excs:
+                    if strict:
+                        raise
+                    outs.append(None)
+                    oks.append(False)
+            yield pdf.assign(**{out_col: outs, "ok": oks})[cols]
+
+    return df.mapInPandas(kernel, schema)
+
+
+
 def decode_text(df: DataFrame, col: str = "payload", charset: str = "utf8",
                 out_col: str = "text", mode: str = "strict") -> DataFrame:
     """Binary column -> string column in the given charset (see module doc
@@ -52,34 +93,10 @@ def decode_text(df: DataFrame, col: str = "payload", charset: str = "utf8",
         # ANSI decode raises on malformed input = fail-the-stream, JVM-side
         return df.withColumn(out_col, F.decode(F.col(col), jvm_name)) \
                  .withColumn("ok", F.lit(True))
-    if mode not in ("strict", "attempt", "replace"):
-        raise ValueError(f"unknown mode {mode!r}")
-
-    import pandas as pd  # noqa: PLC0415
-
-    strict = mode == "strict"
-    errors = "replace" if mode == "replace" else "strict"
-    passthrough = [f for f in df.schema.fields if f.name not in (out_col, "ok")]
-    cols = [f.name for f in passthrough] + [out_col, "ok"]
-    schema = ", ".join(
-        [f"`{f.name}` {f.dataType.simpleString()}" for f in passthrough]
-        + [f"{out_col} string", "ok boolean"])
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            texts, oks = [], []
-            for raw in pdf[col]:
-                try:
-                    texts.append(bytes(raw).decode(py_codec, errors=errors))
-                    oks.append(True)
-                except (UnicodeDecodeError, TypeError):
-                    if strict:
-                        raise
-                    texts.append(None)
-                    oks.append(False)
-            yield pdf.assign(**{out_col: texts, "ok": oks})[cols]
-
-    return df.mapInPandas(kernel, schema)
+    return _convert_kernel(
+        df, col, out_col, "string", mode,
+        lambda raw, errors: bytes(raw).decode(py_codec, errors=errors),
+        (UnicodeDecodeError,))
 
 
 def encode_text(df: DataFrame, col: str = "text", charset: str = "utf8",
@@ -98,31 +115,7 @@ def encode_text(df: DataFrame, col: str = "text", charset: str = "utf8",
         # ANSI encode raises on unencodable chars = fail-the-stream, JVM-side
         return df.withColumn(out_col, F.encode(F.col(col), jvm_name)) \
                  .withColumn("ok", F.lit(True))
-    if mode not in ("strict", "attempt", "replace"):
-        raise ValueError(f"unknown mode {mode!r}")
-
-    import pandas as pd  # noqa: PLC0415
-
-    strict = mode == "strict"
-    errors = "replace" if mode == "replace" else "strict"
-    passthrough = [f for f in df.schema.fields if f.name not in (out_col, "ok")]
-    cols = [f.name for f in passthrough] + [out_col, "ok"]
-    schema = ", ".join(
-        [f"`{f.name}` {f.dataType.simpleString()}" for f in passthrough]
-        + [f"{out_col} binary", "ok boolean"])
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            outs, oks = [], []
-            for s in pdf[col]:
-                try:
-                    outs.append(s.encode(py_codec, errors=errors))
-                    oks.append(True)
-                except (UnicodeEncodeError, AttributeError):
-                    if strict:
-                        raise
-                    outs.append(None)
-                    oks.append(False)
-            yield pdf.assign(**{out_col: outs, "ok": oks})[cols]
-
-    return df.mapInPandas(kernel, schema)
+    return _convert_kernel(
+        df, col, out_col, "binary", mode,
+        lambda s, errors: s.encode(py_codec, errors=errors),
+        (UnicodeEncodeError,))

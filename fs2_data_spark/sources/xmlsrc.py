@@ -65,16 +65,41 @@ def resolve_entities(entities: dict[str, str]) -> dict[str, str]:
     return {n: expand(n) for n in entities}
 
 
+_ENTITY_SKIP = None  # compiled lazily: CDATA / comment / PI spans
+
+
 def substitute_entities(xml: str, resolved: dict[str, str]) -> str:
     """One-pass substitution of ``&name;`` references from a pre-resolved
-    entity map (see :func:`resolve_entities`). Unknown references are left
-    for the parser (built-ins parse; undefined ones error per mode)."""
+    entity map (see :func:`resolve_entities`). Matches the reference
+    resolver's semantics (``xml/package.scala:58-66``): the replacement is
+    CHARACTER DATA — it is XML-escaped before insertion so markup-looking
+    replacement text parses back as the literal characters, never as
+    markup — and references inside CDATA sections, comments, and processing
+    instructions are NOT references and are left untouched. Unknown
+    references are left for the parser (built-ins parse; undefined ones
+    error per mode)."""
     import re  # noqa: PLC0415
+    from xml.sax.saxutils import escape  # noqa: PLC0415
 
-    return re.sub(
-        r"&([A-Za-z_][\w.-]*);",
-        lambda m: resolved.get(m.group(1), m.group(0)),
-        xml)
+    global _ENTITY_SKIP
+    if _ENTITY_SKIP is None:
+        _ENTITY_SKIP = re.compile(
+            r"<!\[CDATA\[.*?\]\]>|<!--.*?-->|<\?.*?\?>", re.S)
+    ref = re.compile(r"&([A-Za-z_][\w.-]*);")
+
+    def sub_text(seg: str) -> str:
+        return ref.sub(
+            lambda m: escape(resolved[m.group(1)], {'"': "&quot;"})
+            if m.group(1) in resolved else m.group(0),
+            seg)
+
+    out, last = [], 0
+    for m in _ENTITY_SKIP.finditer(xml):
+        out.append(sub_text(xml[last:m.start()]))
+        out.append(m.group(0))
+        last = m.end()
+    out.append(sub_text(xml[last:]))
+    return "".join(out)
 
 
 def xml_events(df: DataFrame, xml_col: str = "xml", key_col: str = "doc_key",
@@ -229,9 +254,11 @@ def xml_events_raw(df: DataFrame, xml_col: str = "xml",
         counter = [0]
 
         def emit(event, name=None, attrs=None, text=None, owner=None,
-                 is_cdata=False, at_depth=None):
+                 is_cdata=False, at_depth=None, path=None):
+            # path: ancestor-or-self for StartTag (passed explicitly), the
+            # enclosing element's path for everything else
             pname = stack[-1][0] if stack else None
-            ppath = stack[-1][2] if stack else None
+            ppath = path if path is not None else (stack[-1][2] if stack else None)
             own = owner if owner is not None else (stack[-1][1] if stack else None)
             events.append((key, counter[0],
                            at_depth if at_depth is not None else len(stack),
@@ -271,7 +298,8 @@ def xml_events_raw(df: DataFrame, xml_col: str = "xml",
             flush_text()
             ppath = stack[-1][2] if stack else ""
             path = f"{ppath}/{name}"
-            emit("StartTag", name=name, attrs=dict(attrs), owner=counter[0])
+            emit("StartTag", name=name, attrs=dict(attrs), owner=counter[0],
+                 path=path)
             stack.append((name, counter[0] - 1, path))
 
         def on_end(name):

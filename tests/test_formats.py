@@ -438,3 +438,73 @@ def test_typed_decode_one_liners(spark):
     c = {r.id: (r.value.a, r.value.lang)
          for r in decode_cbor(df, "a bigint, lang string", col="cb").collect()}
     assert c == {1: (7, None), 2: (9, "fr")}
+
+
+def test_entity_substitution_is_character_data_and_skips_cdata(spark):
+    """Code-review fixes: replacement text is CHARACTER DATA (markup-looking
+    replacements don't parse as markup / break the parse), and &name; inside
+    CDATA/comments/PIs is not a reference and stays verbatim."""
+    from fs2_data_spark.sources.xmlsrc import (
+        substitute_entities, xml_events, xml_events_raw)
+
+    ents = {"e": "a < b & c"}
+    df = spark.createDataFrame([("d1", "<r>&e;</r>")],
+                               "doc_key string, xml string")
+    rows = xml_events(df, entities=ents).orderBy("event_no").collect()
+    assert [r.text for r in rows if r.event == "XmlString"] == ["a < b & c"]
+
+    cd = spark.createDataFrame([("d2", "<r><![CDATA[&e;]]>x<!--&e;--></r>")],
+                               "doc_key string, xml string")
+    raw = xml_events_raw(cd, entities=ents).orderBy("event_no").collect()
+    cdata = [r.text for r in raw if r.is_cdata]
+    assert cdata == ["&e;"]  # CDATA content untouched
+    comments = [r.text for r in raw if r.event == "Comment"]
+    assert comments == ["&e;"]
+    # attribute-value references DO resolve (escaped, incl. quotes)
+    at = spark.createDataFrame([("d3", '<r a="&q;"/>')],
+                               "doc_key string, xml string")
+    got = xml_events(at, entities={"q": 'say "hi" < now'}).collect()
+    start = [r for r in got if r.event == "StartTag"][0]
+    assert start.attrs == {"a": 'say "hi" < now'}
+    # pure-function check: substitution output still parses
+    assert "&lt;" in substitute_entities("<r>&e;</r>", {"e": "a < b"})
+
+
+def test_xml_events_raw_starttag_path_is_ancestor_or_self(spark):
+    from fs2_data_spark.sources.xmlsrc import xml_events_raw
+
+    df = spark.createDataFrame([("d1", "<r><b>x</b></r>")],
+                               "doc_key string, xml string")
+    rows = xml_events_raw(df).orderBy("event_no").collect()
+    paths = {(r.event, r.name): r.path for r in rows if r.event == "StartTag"}
+    assert paths == {("StartTag", "r"): "/r", ("StartTag", "b"): "/r/b"}
+
+
+def test_decode_typed_preserves_existing_json_column(spark):
+    """decode_msgpack must not clobber a pre-existing `json` column (the
+    intermediate rides in a reserved name)."""
+    from fs2_data_spark.sources.binary_codecs import decode_msgpack, msgpack_encode
+
+    rows = [(1, '{"user":"kept"}', msgpack_encode({"a": 5}))]
+    df = spark.createDataFrame(rows, "id bigint, json string, mp binary")
+    out = decode_msgpack(df, "a bigint", col="mp").first()
+    assert out.json == '{"user":"kept"}' and out.value.a == 5
+
+
+def test_decode_text_null_payload_consistent_across_charsets(spark):
+    """strict-mode NULL handling must not depend on which charset alias
+    routed to the JVM vs Arrow path: NULL -> NULL text, ok=true, everywhere."""
+    from fs2_data_spark.sources.charsets import decode_text, encode_text
+
+    df = spark.createDataFrame([(1, None), (2, b"ok")],
+                               "id bigint, payload binary")
+    for cs in ("utf8", "latin1", "latin9", "ascii"):
+        got = {r.id: (r.text, r.ok) for r in
+               decode_text(df, charset=cs, mode="strict").collect()}
+        assert got[1] == (None, True), cs
+        assert got[2] == ("ok", True), cs
+    sdf = spark.createDataFrame([(1, None), (2, "ok")], "id bigint, text string")
+    for cs in ("utf8", "latin9"):
+        got = {r.id: r.payload for r in
+               encode_text(sdf, charset=cs, mode="strict").collect()}
+        assert got[1] is None and bytes(got[2]) == b"ok", cs

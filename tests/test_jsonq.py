@@ -387,54 +387,3 @@ def test_jq_path_composed_descent():
     assert eval_jq(doc, parse_jq(".a..b")) == [1, 2]
     assert eval_jq(doc, parse_jq("..b")) == eval_jq(doc, parse_jq(".. | .b"))
     assert eval_jq(doc, parse_jq(".l..b")) == [3]
-
-
-def test_select_path_all_prefix_pushdown_equivalence(spark):
-    """prefix_pushdown=True (variant_get JVM prefix walk) must be
-    row-identical to the pure Python engine, incl. missing prefixes, scalar
-    prefixes, JSON-looking strings (must NOT be re-interpreted), and
-    strict/attempt malformed handling."""
-    from fs2_data_spark.functions.jsonq import select_path_all
-
-    docs = [
-        (1, '{"a":{"b":{"c":1,"d":{"c":2}},"x":0}}'),
-        (2, '{"a":{"b":[{"c":3},{"y":4}]}}'),
-        (3, '{"a":{}}'),                      # prefix .a.b missing
-        (4, '{"z":1}'),                       # prefix .a missing
-        (5, '{"a":{"b":"[1,2]"}}'),           # string that LOOKS like JSON
-        (6, '{"a":{"b":null}}'),              # JSON null at prefix
-        (7, '{"a":{"b":7}}'),                 # scalar at prefix
-    ]
-    df = spark.createDataFrame(docs, "doc_id bigint, js string")
-    cols = ["doc_id", "match_no", "value"]
-
-    for path in ("$.a.b..c", "$.a.b[0]..c", "$.a.b[*]", "$.a..*"):
-        pure = sorted(tuple(r) for r in select_path_all(
-            df, "js", path, keep=["doc_id"]).select(*cols).collect())
-        push = sorted(tuple(r) for r in select_path_all(
-            df, "js", path, keep=["doc_id"], prefix_pushdown=True)
-            .select(*cols).collect())
-        assert push == pure, path
-
-    # strict mode still fails on malformed docs (parse_json raises JVM-side)
-    bad = spark.createDataFrame([(9, "{nope")], "doc_id bigint, js string")
-    import pytest as _pytest
-    with _pytest.raises(Exception):
-        select_path_all(bad, "js", "$.a..b", keep=["doc_id"],
-                        prefix_pushdown=True).collect()
-    # attempt mode skips malformed docs silently, like the pure engine
-    att = select_path_all(bad, "js", "$.a..b", keep=["doc_id"],
-                          mode="attempt", prefix_pushdown=True).collect()
-    assert att == []
-
-
-def test_prefix_pushdown_plan_is_jvm_side(spark):
-    """The pushdown variant: prefix filtering happens in the scan stage —
-    the plan carries a VariantGet-based Filter BEFORE the Python engine."""
-    from fs2_data_spark.functions.jsonq import select_path_all
-
-    df = spark.createDataFrame([(1, '{"a":{"b":1}}')], "doc_id bigint, js string")
-    out = select_path_all(df, "js", "$.a.b..c", keep=["doc_id"],
-                          prefix_pushdown=True)
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "variant_get" in plan.lower() or "variantget" in plan.lower()

@@ -448,6 +448,13 @@ def xml_render(events: DataFrame, key_col: str = "doc_key") -> DataFrame:
             .when(F.col("event") == "EndTag",
                   F.concat(F.lit("</"), F.col("name"), F.lit(">")))
             .when(F.col("event") == "XmlString", esc(F.col("text")))
+            .when(F.col("event") == "Comment",
+                  F.concat(F.lit("<!--"), F.col("text"), F.lit("-->")))
+            .when(F.col("event") == "XmlPI",
+                  F.concat(F.lit("<?"), F.col("name"),
+                           F.when(F.length(F.coalesce(F.col("text"), F.lit(""))) > 0,
+                                  F.concat(F.lit(" "), F.col("text")))
+                           .otherwise(F.lit("")), F.lit("?>")))
             .otherwise(F.lit("")))
     return (events.select(F.col(key_col), F.struct("event_no", frag.alias("frag")).alias("s"))
             .groupBy(key_col)

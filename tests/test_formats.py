@@ -508,3 +508,23 @@ def test_decode_text_null_payload_consistent_across_charsets(spark):
         got = {r.id: r.payload for r in
                encode_text(sdf, charset=cs, mode="strict").collect()}
         assert got[1] is None and bytes(got[2]) == b"ok", cs
+
+
+def test_xml_render_comments_and_pis_roundtrip(spark):
+    """xml_render re-emits Comment/XmlPI rows, so an events->render->events
+    roundtrip preserves the commented stream."""
+    from pyspark.sql import functions as F
+    from fs2_data_spark.sources.xmlsrc import xml_events, xml_render
+
+    doc = '<?style css?><r><!--note-->x<b>y</b></r>'
+    df = spark.createDataFrame([("d1", doc)], "doc_key string, xml string")
+    ev = xml_events(df, include_comments=True, include_pis=True)
+    rendered = xml_render(ev).first().xml
+    assert rendered == doc
+    # roundtrip: re-parsing the render gives the identical event stream
+    df2 = spark.createDataFrame([("d1", rendered)], "doc_key string, xml string")
+    a = [tuple(r) for r in xml_events(df, include_comments=True,
+                                      include_pis=True).orderBy("event_no").collect()]
+    b = [tuple(r) for r in xml_events(df2, include_comments=True,
+                                      include_pis=True).orderBy("event_no").collect()]
+    assert a == b

@@ -528,3 +528,23 @@ def test_xml_render_comments_and_pis_roundtrip(spark):
     b = [tuple(r) for r in xml_events(df2, include_comments=True,
                                       include_pis=True).orderBy("event_no").collect()]
     assert a == b
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(min_size=0, max_size=40).filter(
+    lambda s: "\x00" not in s and all(c >= " " or c in "\t\n" for c in s)))
+def test_entity_substitution_character_data_law(repl):
+    """Law: for ANY replacement text, substituting &e; and re-parsing yields
+    exactly that text as character data (never markup, never a parse
+    error)."""
+    import xml.etree.ElementTree as ET
+    from fs2_data_spark.sources.xmlsrc import resolve_entities, substitute_entities
+
+    doc = "<r>pre&e;post</r>"
+    out = substitute_entities(doc, resolve_entities({"e": repl}))
+    root = ET.fromstring(out)
+    assert root.text == f"pre{repl}post"
+    assert len(root) == 0  # replacement never becomes child markup

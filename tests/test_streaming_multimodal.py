@@ -120,3 +120,48 @@ def test_extract_audio_features_stub(spark):
     out2 = extract_audio_features(df, n_bands=6, fake=True).collect()
     assert [(r.media_id, list(r.audio_features)) for r in sorted(out, key=lambda r: r.media_id)] == \
            [(r.media_id, list(r.audio_features)) for r in sorted(out2, key=lambda r: r.media_id)]
+
+
+def test_streaming_late_data_dropped_by_watermark(spark, tmp_path):
+    """§2.9 late-data semantics: an event older than the committed watermark
+    arriving in a later micro-batch is DROPPED — the finalized session keeps
+    its on-time event count (zero temporal re-write), matching the
+    append-mode session_window contract."""
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "user_id string, ts timestamp, value double"
+
+    def write_part(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    from datetime import datetime
+    t = lambda h, m: datetime(2026, 1, 1, h, m)
+    # batch 1: session A (2 events), plus an event that advances the
+    # watermark (10 min delay) well past session A's end
+    write_part([("A", t(10, 0), 1.0), ("A", t(10, 5), 1.0),
+                ("B", t(12, 0), 1.0)], "p1")
+
+    outdir = str(tmp_path / "late_out")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = streaming_session_aggregate(stream, key="user_id", ts="ts",
+                                          gap="30 minutes",
+                                          watermark="10 minutes")
+        q = (agg.writeStream.outputMode("append").format("parquet")
+             .option("path", outdir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    # batch 2: a LATE event inside session A's window (watermark is already
+    # at 11:50) + a fresh event to advance processing
+    write_part([("A", t(10, 2), 99.0), ("C", t(13, 0), 1.0)], "p2")
+    run_once()
+
+    rows = spark.read.parquet(outdir).collect()
+    a_sessions = [r for r in rows if r.user_id == "A"]
+    # exactly one finalized A session, with the late event NOT merged
+    assert len(a_sessions) == 1, rows
+    assert a_sessions[0].n_events == 2 and a_sessions[0].sum_value == 2.0

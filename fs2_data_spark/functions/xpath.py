@@ -270,3 +270,99 @@ def xpath_filter(df: DataFrame, xml_col: str, xpath: str,
             yield pd.DataFrame(out, columns=cols)
 
     return df.mapInPandas(kernel, _OUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JVM fast path (VERDICT r03 item #4)
+# ---------------------------------------------------------------------------
+# Spark ships Hive's XPath-1.0 UDFs (``xpath``, ``xpath_string``, ... —
+# JVM-side, whole-stage-codegen friendly).  Simple absolute child-axis
+# queries — the common case of the reference's XPath surface
+# (``xml/src/main/scala/fs2/data/xml/xpath/package.scala:54-133``) — can run
+# there at scan speed instead of the ~40 MB/s Python event-walk tier.
+# Guarded: descendant axes, alternation, wildcards and prefixed (namespace)
+# names fall back to :func:`xpath_filter`, whose automaton semantics differ
+# from Hive's DOM evaluation in exactly those classes.
+
+
+def _pred_to_xpath1(pred: tuple) -> str | None:
+    """Predicate AST -> XPath 1.0 predicate body (None = untranslatable)."""
+    k = pred[0]
+    if k == "true":
+        return "true()"
+    if k == "false":
+        return "false()"
+    if k == "exists":
+        return f"@{pred[1]}"
+    if k in ("eq", "neq"):
+        v = pred[2]
+        # XPath 1.0 string literals have no escapes; a value containing both
+        # quote kinds cannot be written as one literal
+        if '"' in v and "'" in v:
+            return None
+        lit = f'"{v}"' if '"' not in v else f"'{v}'"
+        op = "=" if k == "eq" else "!="
+        # XPath 1.0 ``@a != "v"`` is false when @a is absent — the same
+        # presence-required semantics as the reference (QueryPipeSpec
+        # "attribute neq query") and as _eval_pred above
+        return f"@{pred[1]}{op}{lit}"
+    if k in ("and", "or"):
+        a, b = _pred_to_xpath1(pred[1]), _pred_to_xpath1(pred[2])
+        return None if a is None or b is None else f"({a} {k} {b})"
+    if k == "not":
+        a = _pred_to_xpath1(pred[1])
+        return None if a is None else f"not({a})"
+    return None
+
+
+def compile_xpath_fast(xpath: str) -> str | None:
+    """Translate an engine XPath to a Hive-``xpath``-eligible XPath 1.0 path,
+    or None when the query needs the Python automaton tier.
+
+    Eligible: one branch, child axes only, literal unprefixed names, any
+    attribute predicate algebra expressible in XPath 1.0.  Ineligible (and
+    why): descendant ``//`` and alternation ``|`` (per-match capture order
+    diverges between the automaton and DOM evaluation for nested matches),
+    ``*`` wildcards (Hive matches namespace nodes differently), prefixed
+    names (Hive's evaluator has no namespace context — prefixes match
+    literally), mixed-quote string literals (inexpressible in XPath 1.0)."""
+    branches = parse_xpath(xpath)
+    if len(branches) != 1:
+        return None
+    parts = []
+    for step in branches[0]:
+        if step.descendant or step.name is None or ":" in step.name:
+            return None
+        pred = ""
+        if step.pred is not None:
+            body = _pred_to_xpath1(step.pred)
+            if body is None:
+                return None
+            pred = f"[{body}]"
+        parts.append(step.name + pred)
+    return "/" + "/".join(parts)
+
+
+def xpath_texts(df: DataFrame, xml_col: str, xpath: str,
+                key_col: str = "doc_key", mode: str = "strict") -> DataFrame:
+    """Text content of every element matching ``xpath`` — one row per text
+    node, in document order: ``(doc_key, match_no, value)``.
+
+    Routing: if :func:`compile_xpath_fast` accepts the query it runs on the
+    JVM via Spark's built-in Hive ``xpath(...)`` expression (array of
+    ``text()`` nodes, exploded with positions); otherwise it falls back to
+    the Python :func:`xpath_filter` tier and returns each match's subtree
+    text.  On the fast path a malformed document yields no rows (the Hive
+    UDF cannot raise per-row); the Python tier honors ``mode='strict'``.
+    The two tiers agree on simple-content matches — pinned by
+    tests/test_xpath.py parity cases."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    fast = compile_xpath_fast(xpath)
+    if fast is None:
+        m = xpath_filter(df, xml_col, xpath, key_col=key_col, mode=mode)
+        return m.select("doc_key", "match_no",
+                        F.col("inner_text").alias("value"))
+    arr = F.xpath(F.col(xml_col), F.lit(fast + "/text()"))
+    return (df.select(F.col(key_col).cast("string").alias("doc_key"),
+                      F.posexplode(arr).alias("match_no", "value")))

@@ -1331,11 +1331,24 @@ def _stream_query_name(spark, base: str) -> str:
     return f"{base}_{_STREAM_QUERY_SEQ[0]}"
 
 
-@_q("streaming_session_smoke", None)
+@_q("streaming_session_smoke", """
+WITH g AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS flag
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+SELECT user_id, count(*) AS n_events, epoch_us(min(ts)) AS start_us
+FROM s GROUP BY user_id, sid
+""")
 def streaming_sessions(spark, sf_dir):
     """Structured Streaming session_window over the events table, driven to
-    completion with availableNow (batch-equivalent rows; streaming engine
-    exercised for real). No SQL oracle: stateful streaming semantics."""
+    completion with availableNow (streaming engine exercised for real; state
+    store + watermark path).  Hard oracle: the finalized streaming sessions
+    must equal batch gap-sessionization — the same DuckDB SQL already proven
+    against the batch ``session_window_native`` query (sessions merge while
+    the inter-event gap <= 30 min, a new session starts strictly beyond)."""
     import os  # noqa: PLC0415
 
     from fs2_data_spark.streaming.sessions import streaming_session_aggregate
@@ -1356,12 +1369,19 @@ def streaming_sessions(spark, sf_dir):
         F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"))
 
 
-@_q("streaming_running_features_smoke", None)
+@_q("streaming_running_features_smoke", """
+SELECT user_id, count(*) AS n,
+       SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS sum_v_us,
+       epoch_us(max(ts)) AS last_ts_us
+FROM events WHERE user_id < 50 GROUP BY user_id
+""")
 def streaming_running_features_smoke(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState running
-    per-key features), driven to completion with availableNow. No SQL
-    oracle: stateful streaming semantics; batch-equivalence is pinned by
-    tests/test_streaming_multimodal.py."""
+    per-key features), driven to completion with availableNow.  Hard oracle:
+    the final emitted state per key (row with the largest running count) must
+    equal the batch aggregate — the count, the exact integer value
+    accumulator (per-row floor(value*1e6) summed as int64, associative hence
+    order/batching-independent), and the last event time."""
     import os  # noqa: PLC0415
 
     from fs2_data_spark.streaming.sessions import streaming_running_features
@@ -1376,15 +1396,23 @@ def streaming_running_features_smoke(spark, sf_dir):
     q = (out.writeStream.outputMode("update").format("memory")
          .queryName(name).trigger(availableNow=True).start())
     q.awaitTermination(300)
+    # final state per key = the emitted row with the largest running count
     return spark.table(name).groupBy("user_id").agg(
-        F.max("n").alias("n"), F.max("sum_v").alias("sum_v"))
+        F.max("n").alias("n"),
+        F.max_by("sum_v_us", "n").alias("sum_v_us"),
+        F.max_by("last_ts_us", "n").alias("last_ts_us"))
 
 
-@_q("cbor_transcode_roundtrip", None)
+@_q("cbor_transcode_roundtrip", """
+SELECT doc_id, text AS t, lang AS l, CAST(TRUE AS BOOLEAN) AS ok FROM documents
+""")
 def cbor_roundtrip(spark, sf_dir):
-    """Encode each document row to CBOR binary in one Arrow pass, then stream
-    it through the CBOR->JSON transcoder; returns per-doc ok flags + payload
-    sizes. No SQL oracle: binary codec surface."""
+    """Encode each document row to CBOR binary in one Arrow pass, stream it
+    through the CBOR->JSON transcoder, then parse the JSON back with Catalyst
+    ``from_json``.  The whole chain is an identity on the source fields
+    (reference parity semantics ``cbor-json/shared/src/main/scala/fs2/data/
+    cbor/package.scala:32-44``), so the DuckDB oracle is simply the source
+    table — a hard value oracle on encode -> transcode -> parse."""
     import pandas as pd  # noqa: PLC0415
 
     from fs2_data_spark.sources.binary_codecs import cbor_encode, transcode_cbor_to_json
@@ -1400,7 +1428,9 @@ def cbor_roundtrip(spark, sf_dir):
 
     enc_df = d.mapInPandas(enc, "doc_id bigint, payload binary")
     out = transcode_cbor_to_json(enc_df, "payload", mode="attempt")
-    return out.select("doc_id", "ok", F.length("payload").alias("n_bytes"))
+    parsed = out.withColumn("j", F.from_json("json", "t string, l string"))
+    return parsed.select("doc_id", F.col("j.t").alias("t"),
+                         F.col("j.l").alias("l"), "ok")
 
 
 # ---------------------------------------------------------------------------
@@ -1632,69 +1662,198 @@ def charset_roundtrip_docs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Driver-window ordering (VERDICT r02 item #1)
+# CSV family (S4-S8): first driver-checked queries for the RFC-4180 stack
+# ---------------------------------------------------------------------------
+
+def _csv_tmp(sf_dir: str, tag: str) -> str:
+    import os  # noqa: PLC0415
+    return os.path.join("/tmp", f"fs2_csv_{tag}_{abs(hash(sf_dir)) % 10**9}")
+
+
+@_q("csv_roundtrip_docs", r"""
+SELECT doc_id, text, lang,
+       'x,"' || lang || '"' || chr(10) || 'y' AS tricky
+FROM documents
+""")
+def csv_roundtrip_docs(spark, sf_dir):
+    """RFC-4180 roundtrip (S4/S7/S8): documents + a synthesized column that
+    forces every quoting rule (embedded comma, doubled quote, quoted newline)
+    -> ``write_csv`` -> ``read_csv`` (decodeUsingHeaders path: header names
+    inferred, string cells, caller casts — reference
+    ``csv/shared/src/main/scala/fs2/data/csv/package.scala:128-222``).  The
+    whole chain is an identity, so the oracle is the source expression."""
+    from fs2_data_spark.sources.csvsrc import read_csv, write_csv
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang",
+        F.concat(F.lit('x,"'), F.col("lang"), F.lit('"\ny')).alias("tricky"))
+    path = _csv_tmp(sf_dir, "rt")
+    write_csv(d, path)
+    back = read_csv(spark, path, header=True, multiline=True)
+    return back.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                       "text", "lang", "tricky")
+
+
+@_q("csv_decode_cells", """
+SELECT doc_id,
+       printf('%08d-0000-4000-8000-%012d', doc_id, doc_id) AS u,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE (doc_id % 90) * 60000000 END AS dur,
+       CAST(doc_id % 7 <> 0 AS BOOLEAN) AS dur_ok,
+       CAST(doc_id % 12 + 1 AS INTEGER) AS mon,
+       CAST(1900 + doc_id % 200 AS INTEGER) AS yr
+FROM documents
+""")
+def csv_decode_cells(spark, sf_dir):
+    """CellDecoder breadth over a headerless CSV (S5/S6): cells synthesized
+    from doc_id (uuid / ISO-8601 duration with an invalid cell every 7th row
+    / month name / year), written without a header, read back with given
+    headers (decodeGivenHeaders, reference ``csv/package.scala:150-178``),
+    then typed with ``decode_cells`` in attempt mode (``attemptDecode``
+    Either -> null + ok flag, ``CellDecoder.scala:161-257``)."""
+    from fs2_data_spark.sources.csvsrc import decode_cells, read_csv, write_csv
+    months = F.array(*[F.lit(m) for m in
+                       ["JANUARY", "FEBRUARY", "MARCH", "APRIL", "MAY",
+                        "JUNE", "JULY", "AUGUST", "SEPTEMBER", "OCTOBER",
+                        "NOVEMBER", "DECEMBER"]])
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string("%08d-0000-4000-8000-%012d",
+                        F.col("doc_id"), F.col("doc_id")).alias("u"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("not-a-duration"))
+         .otherwise(F.concat(F.lit("PT"), (F.col("doc_id") % 90).cast("string"),
+                             F.lit("M"))).alias("dur"),
+        F.element_at(months, (F.col("doc_id") % 12 + 1).cast("int")).alias("mon"),
+        (F.lit(1900) + F.col("doc_id") % 200).cast("string").alias("yr"))
+    path = _csv_tmp(sf_dir, "cells")
+    write_csv(d, path, header=False)
+    raw = read_csv(spark, path, header=False,
+                   schema="doc_id bigint, u string, dur string, mon string, yr string")
+    typed = decode_cells(raw, {"u": "uuid", "dur": "duration_us",
+                               "mon": "month", "yr": "year"}, mode="attempt")
+    return typed.select("doc_id", "u", "dur", "dur_ok", "mon", "yr")
+
+
+# ---------------------------------------------------------------------------
+# Driver-window rotation (VERDICT r02 item #1; rotation policy r03 item #3)
 # ---------------------------------------------------------------------------
 # The driver's correctness harness checks only the FIRST 50 entries of
-# ``queries()``.  Registration order above is file order, which left the 19
-# round-2 additions (including the flagship ``pit_fused_events``) at
-# positions 51-69 with no driver CORRECTNESS row for two rounds.  Reorder the
-# registry explicitly: never-driver-checked entries first, twice-green
-# relational/window/token staples rotated past the window (they remain
-# covered by tests/ and tools/oracle_check.py, which check all entries).
+# ``queries()``.  Rather than a fixed front/tail split (whose tail would
+# never regain a driver row), the registry is reordered every round from the
+# recorded driver-check history: the flagship first, then queries that have
+# never had a driver row, then queries whose implementation or oracle changed
+# after their last row, then everything else stalest-first.  With ~77 queries
+# and a 50-entry window this guarantees no query's last driver row ages past
+# two rounds (pinned by tests/test_registry_order.py).
 
-_DRIVER_FRONT = [
-    # round-2 additions, flagship first (0 driver rows so far)
-    "pit_fused_events",
-    "pit_fused_events_segmented",
-    "salted_agg_supplier_volume",
-    "jsonpath_descendant_docs",
-    "jq_construct_docs",
-    "xpath_attr_filter",
-    "selector_mandatory_docs",
-    "json_merge_patch_docs",
-    "json_transform_docs",
-    "xml_dom_docs",
-    "xml_render_docs",
-    "xml_roundtrip",
+CURRENT_ROUND = 4
+
+# Which registry entries each round's driver harness actually checked
+# (the first 50 of that round's ordering; source: CORRECTNESS_r0N.json).
+DRIVER_HISTORY: dict[int, list[str]] = {
+    1: ["q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "q4_order_priority", "top_customers_per_segment",
+        "part_type_stats", "orders_by_status_priority", "w_lag_lead", "w_rolling",
+        "w_rank", "locf_backfill", "sessionize_events", "session_stats",
+        "asof_join_events", "asof_join_events_pandas", "asof_join_events_strict",
+        "tokenize_docs", "tok_slice_docs", "tok_index_docs", "tok_stats_docs",
+        "tok_fingerprint_docs", "tok_positions", "text_quality", "lang_guess",
+        "doc_fingerprint", "dedup_exact", "minhash_signatures",
+        "minhash_band_buckets", "simhash_docs", "jaccard_pairs", "ann_cosine_topk",
+        "emb_label_stats", "pivot_status_by_priority", "rollup_order_totals",
+        "cube_lineitem_counts", "intersect_repeat_customers",
+        "anti_join_customers_no_orders", "semi_join_recent_suppliers",
+        "distinct_stats_by_segment", "min_cost_supplier_per_part", "date_features",
+        "string_features_parts", "math_features", "json_props_extract",
+        "percentiles_by_type", "w_time_range_rolling", "session_window_native",
+        "tok_bigram_shingles", "xml_roundtrip"],
+    2: ["q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "q4_order_priority", "top_customers_per_segment",
+        "part_type_stats", "orders_by_status_priority", "w_lag_lead", "w_rolling",
+        "w_rank", "locf_backfill", "sessionize_events", "session_stats",
+        "asof_join_events", "asof_join_events_pandas", "asof_join_events_strict",
+        "tokenize_docs", "tok_slice_docs", "tok_index_docs", "tok_stats_docs",
+        "tok_fingerprint_docs", "tok_features_arrow_docs", "tok_positions",
+        "text_quality", "lang_guess", "doc_fingerprint", "dedup_exact",
+        "minhash_signatures", "minhash_band_buckets", "simhash_docs",
+        "jaccard_pairs", "ann_cosine_topk", "ann_lsh_topk", "emb_near_dups",
+        "multimodal_decode_smoke", "ann_ivf_topk", "emb_label_stats",
+        "pivot_status_by_priority", "rollup_order_totals", "cube_lineitem_counts",
+        "intersect_repeat_customers", "anti_join_customers_no_orders",
+        "semi_join_recent_suppliers", "distinct_stats_by_segment",
+        "min_cost_supplier_per_part", "date_features", "string_features_parts",
+        "math_features", "json_props_extract"],
+    3: ["pit_fused_events", "pit_fused_events_segmented",
+        "salted_agg_supplier_volume", "jsonpath_descendant_docs",
+        "jq_construct_docs", "xpath_attr_filter", "selector_mandatory_docs",
+        "json_merge_patch_docs", "json_transform_docs", "xml_dom_docs",
+        "xml_render_docs", "xml_roundtrip", "cbor_transcode_roundtrip",
+        "percentiles_by_type", "w_time_range_rolling", "session_window_native",
+        "tok_bigram_shingles", "streaming_session_smoke",
+        "streaming_running_features_smoke", "wrap_object_docs",
+        "msgpack_typed_decode", "json_tokenize_raw_docs", "xml_events_full_docs",
+        "xml_raw_events_docs", "charset_roundtrip_docs", "tok_features_arrow_docs",
+        "text_quality", "lang_guess", "doc_fingerprint", "dedup_exact",
+        "minhash_signatures", "minhash_band_buckets", "simhash_docs",
+        "jaccard_pairs", "ann_cosine_topk", "ann_lsh_topk", "emb_near_dups",
+        "multimodal_decode_smoke", "ann_ivf_topk", "emb_label_stats",
+        "pivot_status_by_priority", "rollup_order_totals", "cube_lineitem_counts",
+        "intersect_repeat_customers", "anti_join_customers_no_orders",
+        "semi_join_recent_suppliers", "distinct_stats_by_segment",
+        "min_cost_supplier_per_part", "json_props_extract", "q1_pricing_summary"],
+}
+
+_FLAGSHIP = "pit_fused_events"
+
+# Queries whose implementation or oracle changed AFTER their last driver row
+# — they need a fresh row this round regardless of staleness.
+FORCE_FRONT: list[str] = [
+    # round 4: oracles added (were no_oracle rows in r3)
     "cbor_transcode_roundtrip",
-    "percentiles_by_type",
-    "w_time_range_rolling",
-    "session_window_native",
-    "tok_bigram_shingles",
     "streaming_session_smoke",
     "streaming_running_features_smoke",
-    # round-3 additions (registered above this block)
-    "wrap_object_docs",
-    "msgpack_typed_decode",
-    "json_tokenize_raw_docs",
-    "xml_events_full_docs",
-    "xml_raw_events_docs",
-    "charset_roundtrip_docs",
+    # round 4: operators/asof.py changed in r3 after their r2 rows, and its
+    # pandas dedup tie-break is vectorized this round
+    "asof_join_events", "asof_join_events_pandas", "asof_join_events_strict",
 ]
 
-_DRIVER_TAIL = [
-    # twice driver-green (r01+r02); rotate past the 50-entry window
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q4_order_priority", "top_customers_per_segment",
-    "part_type_stats", "orders_by_status_priority",
-    "w_lag_lead", "w_rolling", "w_rank",
-    "locf_backfill", "sessionize_events", "session_stats",
-    "asof_join_events", "asof_join_events_pandas", "asof_join_events_strict",
-    "tokenize_docs", "tok_slice_docs", "tok_index_docs", "tok_stats_docs",
-    "tok_fingerprint_docs", "tok_positions",
-    "date_features", "string_features_parts", "math_features",
-]
+DRIVER_WINDOW = 50
 
 
 def _apply_driver_order() -> None:
-    front = [n for n in _DRIVER_FRONT if n in REGISTRY]
-    tail = [n for n in _DRIVER_TAIL if n in REGISTRY]
-    placed = set(front) | set(tail)
-    mid = [n for n in REGISTRY if n not in placed]
-    ordered = {n: REGISTRY[n] for n in front + mid + tail}
+    last_row: dict[str, int] = {}
+    for rnd, names in DRIVER_HISTORY.items():
+        for n in names:
+            if n in REGISTRY:
+                last_row[n] = max(last_row.get(n, 0), rnd)
+    reg_index = {n: i for i, n in enumerate(REGISTRY)}
+    forced = set(FORCE_FRONT)
+
+    def key(n: str):
+        if n == _FLAGSHIP:
+            tier = 0
+        elif last_row.get(n, 0) == 0:
+            tier = 1          # never driver-checked
+        elif n in forced:
+            tier = 2          # changed after last row
+        else:
+            tier = 3          # stalest-first
+        return (tier, last_row.get(n, 0), reg_index[n])
+
+    ordered = {n: REGISTRY[n] for n in sorted(REGISTRY, key=key)}
     assert len(ordered) == len(REGISTRY)
     REGISTRY.clear()
     REGISTRY.update(ordered)
+
+
+def driver_last_row() -> dict[str, int]:
+    """Round of the most recent driver CORRECTNESS row per query (0 = never);
+    exported for the staleness-bound test."""
+    last = {n: 0 for n in REGISTRY}
+    for rnd, names in DRIVER_HISTORY.items():
+        for n in names:
+            if n in last:
+                last[n] = max(last[n], rnd)
+    return last
 
 
 _apply_driver_order()

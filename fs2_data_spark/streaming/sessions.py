@@ -77,25 +77,33 @@ def streaming_running_features(
 
     key_type = {f.name: f.dataType.simpleString()
                 for f in events.schema.fields}[key]
-    out_schema = (f"{key} {key_type}, n bigint, sum_v double, "
+    out_schema = (f"{key} {key_type}, n bigint, sum_v double, sum_v_us bigint, "
                   "last_v double, last_ts_us bigint")
-    state_schema = "n bigint, sum_v double, last_v double, last_ts_us bigint"
+    state_schema = ("n bigint, sum_v double, sum_v_us bigint, "
+                    "last_v double, last_ts_us bigint")
 
     def fn(k: tuple, pdfs, state: GroupState):
+        import numpy as np  # noqa: PLC0415
+
         if state.hasTimedOut:
             state.remove()
             return
-        n, sv, lv, lt = state.get if state.exists else (0, 0.0, None, None)
+        n, sv, svus, lv, lt = state.get if state.exists else (0, 0.0, 0, None, None)
         for pdf in pdfs:
             pdf = pdf.sort_values(ts, kind="mergesort")
             n += len(pdf)
             sv += float(pdf[value].sum())
+            # exact accumulator: per-row floor(value * 1e6) summed as int64 is
+            # associative, so the running total is order/batching-independent
+            # (unlike the float sum) and SQL-oracle-able
+            svus += int(np.floor(pdf[value].to_numpy(dtype="float64") * 1e6)
+                        .astype("int64").sum())
             if len(pdf):
                 lv = float(pdf[value].iloc[-1])
                 lt = int(pd.Timestamp(pdf[ts].iloc[-1]).value // 1000)
-        state.update((n, sv, lv, lt))
+        state.update((n, sv, svus, lv, lt))
         state.setTimeoutDuration(timeout_s * 1000)
-        yield pd.DataFrame([{key: k[0], "n": n, "sum_v": sv,
+        yield pd.DataFrame([{key: k[0], "n": n, "sum_v": sv, "sum_v_us": svus,
                              "last_v": lv, "last_ts_us": lt}])
 
     events = events.withColumn(ts, F.col(ts).cast("timestamp"))

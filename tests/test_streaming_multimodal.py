@@ -80,11 +80,17 @@ def test_streaming_running_features_matches_batch(spark, events, tmp_path):
     exp = {r.user_id: r for r in
            sub.groupBy("user_id").agg(
                F.count(F.lit(1)).alias("n"),
-               F.sum("value").alias("s")).collect()}
+               F.sum("value").alias("s"),
+               F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("s_us"),
+               F.unix_micros(F.max(F.col("ts").cast("timestamp"))).alias("lt"),
+           ).collect()}
     assert set(got) == set(exp)
     for k, e in exp.items():
         assert got[k].n == e.n
         assert abs(got[k].sum_v - e.s) < 1e-6
+        # exact integer accumulator must match the batch aggregate bit-for-bit
+        assert got[k].sum_v_us == e.s_us
+        assert got[k].last_ts_us == e.lt
 
 
 def test_resize_image_stub(spark):

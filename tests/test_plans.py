@@ -94,3 +94,17 @@ def test_fused_segmented_carry_join_validated():
     from fs2_data_spark.pipeline import fused_pit_features
     with pytest.raises(ValueError, match="carry_join"):
         fused_pit_features(None, None, carry_join="nope")
+
+
+def test_xpath_fast_texts_stays_jvm_side(spark):
+    """The XPath fast path must compile to the built-in Hive xpath
+    expression — zero Python/Arrow eval nodes in the plan (VERDICT r03 #4:
+    take the common child-axis case off the ~40 MB/s Python tier)."""
+    df = q(spark, "xpath_fast_texts")
+    plan = plan_of(df)
+    # the Hive xpath expression lives inside a codegen'd Generate (explode)
+    assert "Generate" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"Python tier leaked into plan: {marker}"
+    # projections/scan are codegen'd (the from_xml Generate itself is not)
+    assert plan.count("* ") >= 3

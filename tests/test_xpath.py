@@ -111,3 +111,89 @@ def test_match_chain_semantics():
     assert match_chain(b, [("x", {}), ("a", {}), ("c", {})])
     assert not match_chain(b, [("a", {}), ("b", {}), ("c", {})])
     assert not match_chain(b, [("a", {}), ("c", {}), ("d", {})])  # must end on match
+
+
+# ---------------------------------------------------------------------------
+# JVM fast path (VERDICT r03 item #4)
+# ---------------------------------------------------------------------------
+
+from fs2_data_spark.functions.xpath import compile_xpath_fast, xpath_texts  # noqa: E402
+
+
+def _texts(spark, xml: str, query: str):
+    df = spark.createDataFrame([("d", xml)], "doc_key string, xml string")
+    return [(r.match_no, r.value)
+            for r in xpath_texts(df, "xml", query).orderBy("match_no").collect()]
+
+
+def _py_texts(spark, xml: str, query: str):
+    df = spark.createDataFrame([("d", xml)], "doc_key string, xml string")
+    out = xpath_filter(df, "xml", query).orderBy("match_no").collect()
+    return [(r.match_no, r.inner_text) for r in out]
+
+
+def test_fast_path_eligibility():
+    steps = compile_xpath_fast('/r/item[@cls == "x"]')
+    assert steps is not None and [s.name for s in steps] == ["r", "item"]
+    assert compile_xpath_fast('/r/a[@k != "v" && @id]/b') is not None
+    assert compile_xpath_fast('/r/a[!(@k == "1" || @c)]') is not None
+    # Column-literal predicates make mixed-quote values eligible (they were
+    # inexpressible in the rejected Hive XPath-1.0 string prototype)
+    assert compile_xpath_fast('/r/a[@k == "b\'o\\"th"]') is not None
+    # ineligible classes each fall back to the Python automaton tier
+    assert compile_xpath_fast("//item") is None                 # descendant
+    assert compile_xpath_fast("/r/a|/r/b") is None              # alternation
+    assert compile_xpath_fast("/r/*") is None                   # wildcard
+    assert compile_xpath_fast("/r/ns:a") is None                # prefixed name
+
+
+def test_fast_schema_is_minimal():
+    from fs2_data_spark.functions.xpath import _fast_schema
+    steps = compile_xpath_fast('/r/a[@k != "v" && @id]/b')
+    assert _fast_schema(steps) == \
+        "`a` array<struct<`_id` string, `_k` string, `b` array<struct<`_VALUE` string>>>>"
+
+
+_PARITY_XML = ('<r><item id="1" cls="x">t1</item>'
+               '<sub><item id="2" cls="x">skip</item></sub>'
+               '<item cls="y">no</item><item cls="x">t2</item>'
+               '<other cls="x">w</other></r>')
+
+_PARITY_QUERIES = [
+    "/r/item",
+    '/r/item[@cls == "x"]',
+    '/r/item[@id != "9"]',          # presence-required neq: both tiers
+    "/r/item[@id]",
+    '/r/item[!(@cls == "y") && @cls]',
+    "/r/sub/item",
+]
+
+
+@pytest.mark.parametrize("q", _PARITY_QUERIES)
+def test_fast_path_parity_vs_python_tier(spark, q):
+    """On eligible child-axis paths over simple-content elements the JVM
+    Hive-xpath tier must return exactly the Python automaton tier's rows."""
+    assert compile_xpath_fast(q) is not None
+    assert _texts(spark, _PARITY_XML, q) == _py_texts(spark, _PARITY_XML, q)
+
+
+def test_fast_path_fallback_same_schema(spark):
+    """Ineligible query routes to the Python tier with the same output
+    schema, so callers are agnostic to the routing decision."""
+    fast = _texts(spark, _PARITY_XML, '/r/item[@cls == "x"]')
+    fb = _texts(spark, _PARITY_XML, '//item[@cls == "x"]')
+    assert fast == [(0, "t1"), (1, "t2")]
+    assert fb == [(0, "t1"), (1, "skip"), (2, "t2")]
+
+
+def test_fast_path_malformed_doc_strict_raises_attempt_skips(spark):
+    """Hive xpath raises on malformed XML — consistent with strict mode; the
+    attempt mode routes to the Python tier, which skips the bad document."""
+    import py4j.protocol
+    df = spark.createDataFrame(
+        [("good", "<r><item>ok</item></r>"), ("bad", "<r><unclosed></r>")],
+        "doc_key string, xml string")
+    with pytest.raises(py4j.protocol.Py4JJavaError):
+        xpath_texts(df, "xml", "/r/item", mode="strict").count()
+    got = xpath_texts(df, "xml", "/r/item", mode="attempt").collect()
+    assert [(r.doc_key, r.value) for r in got] == [("good", "ok")]

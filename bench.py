@@ -75,17 +75,27 @@ def _noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def timed_min(mk, passes: int = 2) -> float:
-    """Min over short repeats: single-shot timings on this host swing up to
-    3x (shared-VM noise) and have produced spurious round-over-round
-    'regressions'; min-of-2 keeps numbers comparable across rounds. One
-    protocol for the headline batch AND the engine rows."""
-    best = float("inf")
-    for _ in range(passes):
+def timed_both(mk, passes: int = 2) -> tuple[float, float]:
+    """(first_shot, min-of-passes) wall seconds.  Min over short repeats:
+    single-shot timings on this host swing up to 3x (shared-VM noise) and
+    have produced spurious round-over-round 'regressions'.  BOTH statistics
+    are reported (VERDICT r03 #5: r1/r2 were single-shot, r3 switched to
+    min-of-2 — publishing the pair for one round re-bases the series; the
+    headline stays min-of-2 going forward).  One protocol for the headline
+    batch AND the engine rows."""
+    first = best = float("inf")
+    for i in range(passes):
         t0 = time.perf_counter()
         _noop(mk())
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+        dt = time.perf_counter() - t0
+        if i == 0:
+            first = dt
+        best = min(best, dt)
+    return round(first, 3), round(best, 3)
+
+
+def timed_min(mk, passes: int = 2) -> float:
+    return timed_both(mk, passes)[1]
 
 
 # docs per sf-unit for the Python-tier engine bench (sf0.1 -> 200k docs)
@@ -157,7 +167,7 @@ def engine_batch(spark, sf: float) -> tuple[dict[str, float], dict[str, dict]]:
                 docs.select(F.col("doc_id").cast("string").alias("doc_key"), "xml"),
                 "xml", '//item[@cls == "x"]|//other[@cls]'), xml_b),
         # JVM fast path (VERDICT r03 #4): same corpus, child-axis query
-        # compiled to the built-in Hive xpath expression — no Python tier
+        # compiled to from_xml + array HOFs — no Python tier
         "engine_xpath_fast": (
             lambda: xpath_texts(
                 docs.select(F.col("doc_id").cast("string").alias("doc_key"), "xml"),
@@ -168,8 +178,10 @@ def engine_batch(spark, sf: float) -> tuple[dict[str, float], dict[str, dict]]:
     }
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
+    singles: dict[str, float] = {}
     for name, (mk, nbytes) in runs.items():
-        dt = timed_min(mk)
+        first, dt = timed_both(mk)
+        singles[name] = first
         timings[name] = dt
         stats[name] = {
             "docs_per_sec": round(n_docs / dt),
@@ -178,7 +190,7 @@ def engine_batch(spark, sf: float) -> tuple[dict[str, float], dict[str, dict]]:
     stats["_corpus"] = {"n_docs": int(n_docs),
                         "bytes": {"js": int(js_b), "xml": int(xml_b),
                                   "cbor": int(cbor_b)}}
-    return timings, stats
+    return timings, stats, singles
 
 
 def main() -> None:
@@ -213,27 +225,34 @@ def main() -> None:
     _noop(flagship(spark, data_dir, hot_keys=hot))
 
     timings: dict[str, float] = {}
-    timings["flagship_asof_features"] = timed_min(
-        lambda: flagship(spark, data_dir, hot_keys=hot))
+    singles: dict[str, float] = {}
+    singles["flagship_asof_features"], timings["flagship_asof_features"] = \
+        timed_both(lambda: flagship(spark, data_dir, hot_keys=hot))
 
     for name in headline:
         fn, _sql = REGISTRY[name]
-        timings[name] = timed_min(lambda: fn(spark, SF_DIR))
+        singles[name], timings[name] = timed_both(lambda: fn(spark, SF_DIR))
 
-    eng_timings, eng_stats = engine_batch(spark, sf)
+    eng_timings, eng_stats, eng_singles = engine_batch(spark, sf)
 
     # `value` keeps the round-1/2 definition (flagship + headline batch) so
     # BENCH_r{N} totals stay comparable; the engine rows are reported
     # separately in `queries`/`engines` with their own subtotal
     total = round(sum(timings.values()), 3)
+    total_single = round(sum(singles.values()), 3)
     flag_s = timings["flagship_asof_features"]
     timings.update(eng_timings)
+    singles.update(eng_singles)
     out = {
         "metric": "asof+window feature pipeline + headline query batch, wall sec",
         "value": total,
+        "value_single_shot": total_single,
         "engine_batch_sec": round(sum(eng_timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_single_shot": singles,
+        "timing_protocol": "queries=min of 2 passes (r3+ protocol); "
+                           "queries_single_shot=first pass (r1/r2 protocol)",
         "sf": sf,
         "throughput": {
             "flagship_rows": n_seq,

@@ -2,10 +2,13 @@
 
 Image/audio/video payloads ride as ``binary`` columns with a metadata struct
 (modality, width/height or sample rate, codec). The Spark-side plumbing —
-schema, partitioning, Arrow batch shape, UDF signatures — is real and tested;
-the codec step itself is STUBBED (no image/audio libraries in this container):
-``decode_image`` raises ``NotImplementedError`` unless ``fake=True``, which
-produces a deterministic fake decode so pipelines can be exercised end-to-end.
+schema, partitioning, Arrow batch shape, UDF signatures — is real and tested.
+The codec step probes for its library at call time (``PIL`` for images,
+``soundfile`` for audio): when importable the real decode runs; when absent
+(this container ships neither) the operator raises ``NotImplementedError``
+naming the missing library unless ``fake=True``, which produces a
+deterministic stand-in decode so pipelines are exercised end-to-end either
+way (VERDICT r03 item #6).
 
 At scale: binary payloads dominate row size, so operators here use
 ``mapInPandas`` (iterator of Arrow batches — bounded memory per task,
@@ -15,9 +18,18 @@ never collect or explode payloads.
 
 from __future__ import annotations
 
+import importlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def probe(module: str):
+    """Import probe for an optional codec library: module or None."""
+    try:
+        return importlib.import_module(module)
+    except ImportError:
+        return None
 
 MEDIA_SCHEMA = (
     "media_id bigint, modality string, payload binary, "
@@ -39,10 +51,12 @@ def decode_image(df: DataFrame, payload_col: str = "payload", *, fake: bool = Fa
                  out_dim: int = 16) -> DataFrame:
     """Decode image bytes -> fixed-size feature vector (array<float>).
 
-    Real decode requires an imaging library (not in this container) -> raises
-    ``NotImplementedError``. With ``fake=True`` a deterministic stand-in
-    derives ``out_dim`` floats from the payload bytes so the Arrow plumbing,
-    schema, and batch shapes are fully exercised and testable.
+    Probes for ``PIL`` at call time: when importable the real decode runs
+    (grayscale -> ``out_dim``-pixel strip -> unit-scaled floats); when absent
+    it raises ``NotImplementedError`` naming the missing library, unless
+    ``fake=True`` — a deterministic stand-in deriving ``out_dim`` floats
+    from the payload bytes so the Arrow plumbing, schema, and batch shapes
+    are fully exercised and testable either way.
     """
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
@@ -53,14 +67,25 @@ def decode_image(df: DataFrame, payload_col: str = "payload", *, fake: bool = Fa
         + [f"features array<float>"]
     )
 
+    use_real = not fake and probe("PIL.Image") is not None
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real:
+            import io  # noqa: PLC0415
+            from PIL import Image  # noqa: PLC0415
         for pdf in batches:
-            if not fake:
+            if not fake and not use_real:
                 raise NotImplementedError(
-                    "image decoding requires an imaging library not present "
-                    "in this environment; pass fake=True for the deterministic stub")
+                    "image decoding requires Pillow ('PIL' not importable in "
+                    "this environment); pass fake=True for the deterministic stub")
             feats = []
             for raw in pdf[payload_col]:
+                if use_real:
+                    img = Image.open(io.BytesIO(raw)).convert("L")
+                    strip = np.asarray(img.resize((out_dim, 1)),
+                                       dtype=np.float32).reshape(-1)
+                    feats.append(strip / np.float32(255.0))
+                    continue
                 b = np.frombuffer(raw or b"\x00", dtype=np.uint8)
                 # deterministic fake "decode": strided byte means, unit-scaled
                 chunks = np.array_split(b, out_dim) if len(b) >= out_dim else [b] * out_dim
@@ -89,10 +114,10 @@ def resize_image(df: DataFrame, payload_col: str = "payload",
                  width: int = 8, height: int = 8, *,
                  fake: bool = False, out_col: str = "resized") -> DataFrame:
     """Resize plumbing: image bytes -> ``width*height``-byte thumbnail
-    payload. Real resampling needs an imaging library (absent here) ->
-    ``NotImplementedError``; ``fake=True`` takes a deterministic byte-stride
-    sample of the payload so schema/batch shapes are real and testable.
-    Output stays ``binary`` (thumbnails ride like any other payload)."""
+    payload (grayscale raster when PIL is importable; deterministic
+    byte-stride sample when absent with ``fake=True``, else
+    ``NotImplementedError`` naming the missing library). Output stays
+    ``binary`` (thumbnails ride like any other payload)."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
@@ -101,14 +126,23 @@ def resize_image(df: DataFrame, payload_col: str = "payload",
         + [f"{out_col} binary"])
     n_out = width * height
 
+    use_real = not fake and probe("PIL.Image") is not None
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real:
+            import io  # noqa: PLC0415
+            from PIL import Image  # noqa: PLC0415
         for pdf in batches:
-            if not fake:
+            if not fake and not use_real:
                 raise NotImplementedError(
-                    "image resizing requires an imaging library not present "
-                    "in this environment; pass fake=True for the deterministic stub")
+                    "image resizing requires Pillow ('PIL' not importable in "
+                    "this environment); pass fake=True for the deterministic stub")
             outs = []
             for raw in pdf[payload_col]:
+                if use_real:
+                    img = Image.open(io.BytesIO(raw)).convert("L")
+                    outs.append(img.resize((width, height)).tobytes())
+                    continue
                 b = np.frombuffer(raw or b"\x00", dtype=np.uint8)
                 idx = np.linspace(0, len(b) - 1, n_out).astype(np.int64)
                 outs.append(b[idx].tobytes())
@@ -121,10 +155,12 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload",
                            n_bands: int = 12, *, fake: bool = False,
                            out_col: str = "audio_features") -> DataFrame:
     """Audio feature-extraction plumbing: payload -> ``n_bands`` floats
-    (band-energy style). Real extraction needs an audio library (absent) ->
-    ``NotImplementedError``; ``fake=True`` computes deterministic windowed
-    byte RMS per band — same vector shape a real MFCC/band-energy stage
-    would emit, so downstream similarity/dedup operators compose on it."""
+    (band-energy style). Probes for ``soundfile`` at call time: when
+    importable, real decoded samples feed the band RMS; when absent,
+    ``fake=True`` computes deterministic windowed byte RMS per band (else
+    ``NotImplementedError`` naming the missing library) — same vector shape
+    a real MFCC/band-energy stage would emit, so downstream similarity/dedup
+    operators compose on it."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
@@ -132,19 +168,30 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload",
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
         + [f"{out_col} array<float>"])
 
+    use_real = not fake and probe("soundfile") is not None
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real:
+            import io  # noqa: PLC0415
+            import soundfile  # noqa: PLC0415
         for pdf in batches:
-            if not fake:
+            if not fake and not use_real:
                 raise NotImplementedError(
-                    "audio feature extraction requires an audio library not "
-                    "present in this environment; pass fake=True for the "
+                    "audio feature extraction requires 'soundfile' (not "
+                    "importable in this environment); pass fake=True for the "
                     "deterministic stub")
             feats = []
             for raw in pdf[payload_col]:
-                b = np.frombuffer(raw or b"\x00", dtype=np.uint8).astype(np.float64)
+                if use_real:
+                    samples, _sr = soundfile.read(io.BytesIO(raw))
+                    b = np.abs(np.asarray(samples, dtype=np.float64)).reshape(-1)
+                    scale = 1.0
+                else:
+                    b = np.frombuffer(raw or b"\x00", dtype=np.uint8).astype(np.float64)
+                    scale = 255.0
                 bands = np.array_split(b, n_bands) if len(b) >= n_bands else [b] * n_bands
                 feats.append(np.array(
-                    [float(np.sqrt((c ** 2).mean())) / 255.0 if len(c) else 0.0
+                    [float(np.sqrt((c ** 2).mean())) / scale if len(c) else 0.0
                      for c in bands], dtype=np.float32))
             yield pdf.assign(**{out_col: feats})
 

@@ -155,31 +155,33 @@ def _asof_pandas(left, right, on, left_ts, right_ts, right_cols,
         rp = rpdf[[rtsc, *internal]]
         if dedup_right and internal and rp[rtsc].duplicated().any():
             # same deterministic winner as the union strategy's max-struct:
-            # lexicographically greatest payload per duplicate ts, null
-            # smallest (Spark struct ordering). sort_values can't order
-            # array-typed cells, so rank duplicated rows with a Python key;
-            # the (0|1, value) prefix keeps nulls from ever being compared
-            # against values.
-            def skey(row):
-                out = []
-                for v in row:
-                    isnull = v is None or (isinstance(v, float) and pd.isna(v))
-                    if isnull:
-                        out.append((0, 0))
-                    else:
-                        if not isinstance(v, (str, int, float, bool)):
-                            v = tuple(v)  # ndarray/list payloads
-                        out.append((1, v))
-                return tuple(out)
+            # lexicographically greatest payload per duplicate ts, null/NaN
+            # smallest (Spark struct ordering, which the old Python-key path
+            # also used). Vectorized (VERDICT r03 #9): stable-sort by
+            # (ts, payload...) with na_position='first', then keep the last
+            # row per ts. Array-typed cells can't feed sort_values directly,
+            # so only those columns are mapped to tuples (Python compare
+            # inside the sort); scalar columns sort fully vectorized.
+            import numpy as np  # noqa: PLC0415
 
-            dup = rp[rtsc].duplicated(keep=False)
-            dup_part = rp[dup]
-            winners = (dup_part.groupby(rtsc, sort=False)
-                       .apply(lambda g: g.index[max(
-                           range(len(g)),
-                           key=lambda i: skey(g[internal].iloc[i]))]))
-            rp = pd.concat([rp[~dup], dup_part.loc[winners.to_numpy()]])
-        rp = rp.sort_values(rtsc, kind="mergesort")
+            keyed = rp.copy()
+            sk_cols = []
+            for i, c in enumerate(internal):
+                s = rp[c]
+                if s.dtype == object:
+                    nn = s.dropna()
+                    if len(nn) and isinstance(nn.iloc[0], (list, tuple, np.ndarray)):
+                        s = s.map(lambda v: np.nan
+                                  if v is None or (isinstance(v, float) and pd.isna(v))
+                                  else tuple(v))
+                sk = f"__sk_{i}"
+                keyed[sk] = s
+                sk_cols.append(sk)
+            keyed = keyed.sort_values([rtsc, *sk_cols], kind="mergesort",
+                                      na_position="first")
+            rp = keyed.drop_duplicates(rtsc, keep="last")[[rtsc, *internal]]
+        else:
+            rp = rp.sort_values(rtsc, kind="mergesort")
         merged = pd.merge_asof(
             lpdf, rp, left_on=ltsc, right_on=rtsc,
             direction="backward", allow_exact_matches=allow_exact, tolerance=tol,

@@ -165,12 +165,45 @@ def decode_cells(df: DataFrame, casts: dict[str, str], mode: str = "strict") -> 
     return out
 
 
-def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> None:
+def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",",
+              escape_mode: str = "auto") -> None:
     """CSV render (fs2-data ``encodeWithGivenHeaders``/``RowWriter`` analogue,
-    ``csv/package.scala:226-328``)."""
+    ``csv/package.scala:226-328``).
+
+    ``escape_mode`` mirrors ``EscapeMode`` (``internals/RowWriter.scala:25-42``,
+    matrix pinned by ``RowWriterTest.scala``):
+
+    - ``auto``   — quote only fields containing separator/newline/quote,
+      doubling embedded quotes (RFC-4180);
+    - ``always`` — quote every field (still doubling embedded quotes);
+    - ``never``  — write fields verbatim, never quoted — like the reference,
+      a field containing the separator then produces a row with extra
+      columns (the caller opted out of escaping).
+    """
+    if escape_mode == "never":
+        # verbatim cells joined by the separator, written as raw text lines —
+        # the univocity CSV writer cannot be told to never quote (a sentinel
+        # quote char still gets emitted around separator-bearing cells), and
+        # raw lines are exactly the reference's Never contract anyway
+        cells = [F.coalesce(F.col(c).cast("string"), F.lit(""))
+                 for c in df.columns]
+        lines = df.select(F.concat_ws(sep, *cells).alias("value"))
+        if header:
+            head = (df.sparkSession
+                    .createDataFrame([(sep.join(df.columns),)], "value string")
+                    .coalesce(1))
+            # part files sort lexicographically, so the single-partition
+            # header df becomes part-00000 and reads back first
+            lines = head.union(lines)
+        lines.write.mode("overwrite").text(path)
+        return
+    if escape_mode not in ("auto", "always"):
+        raise ValueError(f"unknown escape_mode: {escape_mode!r} "
+                         "(use 'auto', 'always' or 'never')")
     (df.write.mode("overwrite")
      .option("header", str(header).lower())
      .option("sep", sep)
      .option("quote", '"')
      .option("escape", '"')   # RFC-4180 doubled quotes, matching read_csv
+     .option("quoteAll", str(escape_mode == "always").lower())
      .csv(path))

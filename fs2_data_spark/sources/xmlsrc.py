@@ -83,13 +83,20 @@ def substitute_entities(xml: str, resolved: dict[str, str]) -> str:
 
     global _ENTITY_SKIP
     if _ENTITY_SKIP is None:
+        # DOCTYPE span is bracket-aware: an internal subset [ ... ] may
+        # contain ENTITY declarations whose names collide with user entities
+        # — substituting inside them would corrupt the DTD (ADVICE r03)
         _ENTITY_SKIP = re.compile(
-            r"<!\[CDATA\[.*?\]\]>|<!--.*?-->|<\?.*?\?>", re.S)
+            r"<!\[CDATA\[.*?\]\]>|<!--.*?-->|<\?.*?\?>"
+            r"|<!DOCTYPE[^\[>]*(?:\[[^\]]*\])?[^>]*>", re.S)
     ref = re.compile(r"&([A-Za-z_][\w.-]*);")
 
     def sub_text(seg: str) -> str:
+        # both attribute delimiters escaped: a replacement apostrophe inside
+        # a single-quoted attribute must not terminate it (ADVICE r03)
         return ref.sub(
-            lambda m: escape(resolved[m.group(1)], {'"': "&quot;"})
+            lambda m: escape(resolved[m.group(1)],
+                             {'"': "&quot;", "'": "&apos;"})
             if m.group(1) in resolved else m.group(0),
             seg)
 
@@ -318,7 +325,12 @@ def xml_events_raw(df: DataFrame, xml_col: str = "xml",
             in_cdata[0] = True
 
         def on_cdata_end():
-            flush_text()
+            if buf:
+                flush_text()
+            else:
+                # <![CDATA[]]> still carries XmlString("", isCDATA=true) in
+                # the reference's raw ADT (ADVICE r03)
+                emit("XmlString", text="", is_cdata=True)
             in_cdata[0] = False
 
         def on_comment(data):

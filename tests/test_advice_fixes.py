@@ -133,3 +133,38 @@ def test_xml_namespace_resolution(spark):
     ev = xml_events(df).filter(F.col("event") == "StartTag")
     got = {tuple(r.q): True for r in ev.select(split_qname("name").alias("q")).collect()}
     assert set(got) == {("urn:d", "a"), ("urn:x", "b"), ("urn:d", "c")}
+
+
+# --- round-3 ADVICE items ---------------------------------------------------
+
+def test_entity_replacement_in_single_quoted_attribute(spark):
+    """ADVICE r03: a replacement apostrophe inside a single-quoted attribute
+    value must not terminate the attribute."""
+    xml = "<r a='&who;'/>"
+    df = spark.createDataFrame([("d", xml)], "doc_key string, xml string")
+    ev = xml_events(df, entities={"who": "O'Brien \"q\""})
+    tags = ev.filter(F.col("event") == "StartTag").collect()
+    assert tags[0].attrs["a"] == 'O\'Brien "q"'
+
+
+def test_entity_skip_doctype_internal_subset(spark):
+    """ADVICE r03: &name; inside a DOCTYPE internal subset is a DTD
+    declaration, not a reference — substitution must not touch it (a user
+    entity colliding with a DTD-declared name would corrupt the DTD)."""
+    from fs2_data_spark.sources.xmlsrc import substitute_entities
+    xml = ('<!DOCTYPE r [ <!ENTITY who "dtd-value"> ]>'
+           "<r a='&who;'>&who;</r>")
+    out = substitute_entities(xml, {"who": "user-value"})
+    # the DTD declaration is untouched; both body references substituted
+    assert '<!ENTITY who "dtd-value">' in out
+    assert out.count("user-value") == 2
+
+
+def test_empty_cdata_emits_raw_event(spark):
+    """ADVICE r03: <![CDATA[]]> carries XmlString("", isCDATA=true) in the
+    raw ADT, like the reference's event model."""
+    from fs2_data_spark.sources.xmlsrc import xml_events_raw
+    df = spark.createDataFrame([("d", "<r><![CDATA[]]></r>")],
+                               "doc_key string, xml string")
+    ev = xml_events_raw(df).filter(F.col("event") == "XmlString").collect()
+    assert len(ev) == 1 and ev[0].text == "" and ev[0].is_cdata

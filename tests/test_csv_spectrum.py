@@ -114,3 +114,51 @@ def test_cell_decoder_strict_raises(spark):
         decode_cells(df, {"v": "uuid"}, mode="strict").collect()
     ok = spark.createDataFrame([("PT1S",)], "v string")
     assert decode_cells(ok, {"v": "duration_us"}, mode="strict").first().v == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# EscapeMode matrix (reference internals/RowWriter.scala:25-42, pinned by
+# RowWriterTest.scala "escape according to the given escape mode")
+# ---------------------------------------------------------------------------
+
+def _written_cells(spark, tmp_path, mode: str) -> list[str]:
+    """Write one row of the RowWriterTest fixture cells and return the raw
+    encoded line's fields-as-written (split is inspectable because the
+    marker cells are single characters)."""
+    import glob
+    df = spark.createDataFrame([(",", '"', "test")], "a string, b string, c string")
+    out = str(tmp_path / f"esc_{mode}")
+    write_csv(df.coalesce(1), out, header=False, escape_mode=mode)
+    [part] = glob.glob(f"{out}/part-*")
+    with open(part, newline="") as fh:
+        return fh.read().rstrip("\n")
+
+
+def test_escape_mode_auto(spark, tmp_path):
+    # separator -> quoted; quote -> doubled+quoted; plain -> bare
+    assert _written_cells(spark, tmp_path, "auto") == '",","""",test'
+
+
+def test_escape_mode_always(spark, tmp_path):
+    assert _written_cells(spark, tmp_path, "always") == '",","""","test"'
+
+
+def test_escape_mode_never(spark, tmp_path):
+    # verbatim: the separator cell bleeds an extra column, the quote cell
+    # stays a lone quote — exactly the reference's Never contract
+    assert _written_cells(spark, tmp_path, "never") == ',,",test'
+
+
+@pytest.mark.parametrize("mode", ["auto", "always"])
+def test_escape_mode_roundtrips(spark, tmp_path, mode):
+    rows = [("a,b", 'say "hi"', "plain"), ("", ",", '""')]
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    out = str(tmp_path / f"esc_rt_{mode}")
+    write_csv(df, out, escape_mode=mode)
+    back = read_csv(spark, out, header=True)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_escape_mode_unknown_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="escape_mode"):
+        write_csv(spark.range(1), str(tmp_path / "x"), escape_mode="huh")

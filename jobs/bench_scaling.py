@@ -194,7 +194,9 @@ def main() -> None:
     if "--update" in sys.argv:
         with open("BASELINE.md", "a") as f:
             f.write(
-                f"\n## Scaling evidence r3 (three-level curve local{list(LEVELS)}, "
+                f"\n## Scaling evidence "
+                f"{os.environ.get('SPARK_GRAFT_ROUND', 'r4')} "
+                f"(three-level curve local{list(LEVELS)}, "
                 f"{N_ROWS:,} sequences, {PASSES}-pass timed blocks, fresh JVM per trial, "
                 f"min of {TRIALS} interleaved trials)\n\n"
                 f"| level | block s | s/pass | sequences/sec | tokens/sec | blocks (s) |\n"

@@ -1758,6 +1758,59 @@ def csv_decode_cells(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Streaming pretty-printers (reference text/render StreamPrinter)
+# ---------------------------------------------------------------------------
+
+@_q("json_pretty_docs", """
+SELECT doc_id,
+       '{' || chr(10) ||
+       '  "lang": "' || lang || '",' || chr(10) ||
+       '  "ids": [' || chr(10) ||
+       '    ' || CAST(doc_id AS VARCHAR) || ',' || chr(10) ||
+       '    ' || CAST(doc_id + 1 AS VARCHAR) || chr(10) ||
+       '  ]' || chr(10) ||
+       '}' AS pretty,
+       CAST(TRUE AS BOOLEAN) AS ok
+FROM documents
+""")
+def json_pretty_docs(spark, sf_dir):
+    """Width-aware JSON pretty-printing (reference ``json.render.prettyPrint``
+    via the group/indent doc-event model of ``text/render/StreamPrinter.
+    scala``): at width 10 every container breaks one entry per line — the
+    oracle constructs the exact laid-out text."""
+    from fs2_data_spark.functions.render import pretty_json
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit('{"lang": "'), F.col("lang"), F.lit('", "ids": ['),
+                 F.col("doc_id").cast("string"), F.lit(", "),
+                 (F.col("doc_id") + 1).cast("string"), F.lit("]}")).alias("js"))
+    return pretty_json(d, "js", width=10, indent=2)
+
+
+@_q("xml_pretty_docs", """
+SELECT doc_id,
+       '<r a="x' || CAST(doc_id AS VARCHAR) || '">' || chr(10) ||
+       '  <v>' || chr(10) ||
+       '    t' || CAST(doc_id AS VARCHAR) || chr(10) ||
+       '  </v>' || chr(10) ||
+       '</r>' AS pretty,
+       CAST(TRUE AS BOOLEAN) AS ok
+FROM documents
+""")
+def xml_pretty_docs(spark, sf_dir):
+    """Width-aware XML pretty-printing (reference ``xml.render.prettyPrint``,
+    ``XmlEvent.scala:83-155`` Renderable): width 0 forces the fully-broken
+    indented layout the oracle constructs."""
+    from fs2_data_spark.functions.render import pretty_xml
+    i = F.col("doc_id").cast("string")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit('<r a="x'), i, F.lit('"><v>t'), i,
+                 F.lit("</v></r>")).alias("xml"))
+    return pretty_xml(d, "xml", width=0, indent=2)
+
+
+# ---------------------------------------------------------------------------
 # Driver-window rotation (VERDICT r02 item #1; rotation policy r03 item #3)
 # ---------------------------------------------------------------------------
 # The driver's correctness harness checks only the FIRST 50 entries of

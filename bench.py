@@ -98,8 +98,12 @@ def timed_min(mk, passes: int = 2) -> float:
     return timed_both(mk, passes)[1]
 
 
-# docs per sf-unit for the Python-tier engine bench (sf0.1 -> 200k docs)
-ENGINE_DOCS_PER_SF = 2_000_000
+# docs per sf-unit for the Python-tier engine bench (sf0.1 -> 1M docs).
+# r4: raised 2M -> 10M per sf-unit — at 200k docs the ~0.3-0.5 s fixed job
+# overhead swamped per-doc kernel cost and the JVM fast paths measured only
+# 1.6x instead of their real ~6x; docs/sec at 1M docs is overhead-free to
+# within a few percent (cross-round note in BASELINE.md)
+ENGINE_DOCS_PER_SF = 10_000_000
 
 
 def engine_corpus_dir(spark, sf: float) -> str:
@@ -138,6 +142,7 @@ def engine_batch(spark, sf: float) -> tuple[dict[str, float], dict[str, dict]]:
     honest tier for recursion Catalyst can't express) and report docs/sec +
     MB/s so their 100 TB cost is measured, not guessed (VERDICT r02 #3)."""
     from fs2_data_spark.functions.jsonq import jq_run, select_path_all
+    from fs2_data_spark.functions.render import pretty_json
     from fs2_data_spark.functions.selector import apply_selector
     from fs2_data_spark.functions.xpath import xpath_filter, xpath_texts
     from fs2_data_spark.sources.binary_codecs import transcode_cbor_to_json
@@ -175,6 +180,11 @@ def engine_batch(spark, sf: float) -> tuple[dict[str, float], dict[str, dict]]:
         "engine_cbor_to_json": (
             lambda: transcode_cbor_to_json(docs.select("doc_id", "cbor"), "cbor"),
             cbor_b),
+        # r4: streaming pretty-printer (Python tier by design — per-doc
+        # layout recursion); measured so its 100 TB cost is known
+        "engine_pretty_json": (
+            lambda: pretty_json(docs.select("doc_id", "js"), "js", width=40),
+            js_b),
     }
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}

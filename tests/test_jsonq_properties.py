@@ -123,3 +123,26 @@ def test_merge_patch_laws(t, p):
 def test_jq_construct_wraps_value(v):
     out = eval_jq(v, parse_jq('{ "v": . }'))
     assert out == [{"v": v}]
+
+
+@settings(max_examples=200, deadline=None)
+@given(_json, st.sampled_from([0, 8, 40, 100]))
+def test_pretty_print_roundtrip_law(v, width):
+    """Pretty-printing at ANY width is semantics-preserving: re-parsing the
+    laid-out text yields the same value (the RenderSpec roundtrip law)."""
+    from fs2_data_spark.functions.render import json_doc_events, layout
+    from fs2_data_spark.functions.jsonq import value_tokens
+    out = layout(json_doc_events(value_tokens(v)), width=width)
+    assert json.loads(out) == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(_json)
+def test_pretty_print_wide_equals_compact_with_spaces(v):
+    """At effectively infinite width the pretty layout is the compact
+    rendering with ', '/': ' separators (everything stays flat)."""
+    from fs2_data_spark.functions.render import json_doc_events, layout
+    from fs2_data_spark.functions.jsonq import value_tokens
+    out = layout(json_doc_events(value_tokens(v)), width=10**9)
+    assert json.loads(out) == v
+    assert "\n" not in out

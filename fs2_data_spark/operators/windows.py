@@ -93,3 +93,38 @@ def top_k_per_group(
     )
     return (df.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def with_ewma(
+    df: DataFrame,
+    value: str = "value",
+    key: str | Sequence[str] = "doc_id",
+    ts: str | Sequence[str] = "event_time",
+    alpha: float = 0.5,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average of ``value`` along each key's
+    ordered timeline (``adjust=True`` weights: the row ``j`` steps back
+    weighs ``(1-alpha)**j``, normalized) — the time-decayed feature of a
+    point-in-time stack.
+
+    Engine choice: EWMA is a sequential recurrence; the closed-form prefix
+    trick (``sum(v_i * a**-i) * a**t``) overflows for long keys, so the
+    honest tier is a per-key vectorized pandas kernel (``Series.ewm`` —
+    C-implemented, one Arrow exchange, no per-row Python).  ``ts`` may be a
+    list whose tail is a tie-break key — EWMA is order-sensitive, so ties
+    must be broken deterministically."""
+    import pandas as pd  # noqa: PLC0415
+
+    key = [key] if isinstance(key, str) else list(key)
+    ts = [ts] if isinstance(ts, str) else list(ts)
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"`{out_col}` double"])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts, kind="mergesort")
+        return pdf.assign(
+            **{out_col: pdf[value].ewm(alpha=alpha, adjust=True).mean()})
+
+    return df.groupBy(*key).applyInPandas(kernel, schema)

@@ -1758,6 +1758,37 @@ def csv_decode_cells(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Time-decayed features (W-stack extension for the PIT pipeline)
+# ---------------------------------------------------------------------------
+
+@_q("w_ewma_events", """
+WITH o AS (
+  SELECT event_id, user_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+  FROM events)
+SELECT event_id, user_id,
+       ROUND(
+         list_sum(list_transform(l, (x, i) -> x * pow(0.5, len(l) - i))) /
+         list_sum(list_transform(l, (x, i) -> pow(0.5, len(l) - i))), 4) AS ewma4
+FROM o
+""")
+def w_ewma_events(spark, sf_dir):
+    """Per-user EWMA (alpha=0.5, adjust=True) along the event timeline —
+    the time-decayed feature of a PIT stack.  The Spark side runs the
+    vectorized pandas ``ewm`` recurrence; the oracle evaluates the closed
+    form (normalized ``(1-a)^j`` weights over the ordered prefix) — equal to
+    4 decimals, which absorbs the recurrence-vs-closed-form fp difference
+    (~1e-13) while pinning every digit that matters."""
+    from fs2_data_spark.operators.windows import with_ewma
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = with_ewma(ev, value="value", key="user_id", ts=["ts", "event_id"],
+                    alpha=0.5)
+    return out.select("event_id", "user_id",
+                      F.round("ewma", 4).alias("ewma4"))
+
+
+# ---------------------------------------------------------------------------
 # Streaming pretty-printers (reference text/render StreamPrinter)
 # ---------------------------------------------------------------------------
 

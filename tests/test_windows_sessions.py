@@ -79,3 +79,32 @@ def test_session_aggregate(spark, events):
         starts, ends = list(g.session_start), list(g.session_end)
         assert all(s <= e for s, e in zip(starts, ends))
         assert all(ends[i] < starts[i + 1] for i in range(len(g) - 1))
+
+
+def test_ewma_matches_closed_form(spark):
+    from fs2_data_spark.operators.windows import with_ewma
+    vs = [10.0, 20.0, 5.0, 40.0, 0.0]
+    df = spark.createDataFrame([(1, i, v) for i, v in enumerate(vs)],
+                               "k int, t int, value double")
+    got = {r.t: r.ewma for r in with_ewma(df, key="k", ts="t",
+                                          alpha=0.3).collect()}
+    for t in range(len(vs)):
+        num = sum((1 - 0.3) ** (t - j) * vs[j] for j in range(t + 1))
+        den = sum((1 - 0.3) ** (t - j) for j in range(t + 1))
+        assert abs(got[t] - num / den) < 1e-12
+
+
+def test_ewma_partitioning_invariant_and_tiebreak(spark, events):
+    """EWMA is order-sensitive: with (ts, event_id) tie-break the result
+    must not depend on input partitioning."""
+    from pyspark.sql import functions as F
+    from fs2_data_spark.operators.windows import with_ewma
+    sub = events.filter(F.col("user_id") < 20).select(
+        "event_id", "user_id", "ts", "value")
+    a = {r.event_id: r.ewma for r in
+         with_ewma(sub, key="user_id", ts=["ts", "event_id"]).collect()}
+    b = {r.event_id: r.ewma for r in
+         with_ewma(sub.repartition(13), key="user_id",
+                   ts=["ts", "event_id"]).collect()}
+    assert a == b
+    assert len(a) == sub.count()

@@ -405,7 +405,11 @@ def _fast_values(steps: list[_Step], struct_col, i: int):
         return F.transform(arr, value_of)
 
     def descend(s):
-        return _fast_values(steps, s, i + 1)
+        # an element missing the child entirely yields a null inner array;
+        # flatten() nulls out the WHOLE result on any null element, so
+        # coalesce each branch to empty
+        return F.coalesce(_fast_values(steps, s, i + 1),
+                          F.array().cast("array<string>"))
     return F.flatten(F.transform(arr, descend))
 
 

@@ -197,3 +197,41 @@ def test_fast_path_malformed_doc_strict_raises_attempt_skips(spark):
         xpath_texts(df, "xml", "/r/item", mode="strict").count()
     got = xpath_texts(df, "xml", "/r/item", mode="attempt").collect()
     assert [(r.doc_key, r.value) for r in got] == [("good", "ok")]
+
+
+def test_fast_path_generated_corpus_parity(spark):
+    """Batch parity sweep: 200 generated documents x 5 eligible queries in
+    one job per tier.  Docs are random within the fast path's documented
+    contract (simple-content leaves at matched paths, no same-name
+    nesting); both tiers must produce identical (doc, match, value) sets."""
+    import random
+    rng = random.Random(42)
+    docs = []
+    for d in range(200):
+        items = []
+        for i in range(rng.randint(0, 4)):
+            cls = rng.choice(['x', 'y', None])
+            attr = f' cls="{cls}"' if cls else ""
+            kid = rng.choice(["", f"<b k=\"{i}\">v{d}_{i}</b>"])
+            items.append(f'<a{attr} id="{i}">{kid}</a>'
+                         if kid else f'<a{attr} id="{i}">t{d}_{i}</a>')
+        docs.append((str(d), "<r>" + "".join(items) + f"<z>tail{d}</z></r>"))
+    df = spark.createDataFrame(docs, "doc_key string, xml string")
+    queries = ["/r/a", '/r/a[@cls == "x"]', '/r/a[@cls != "x"]',
+               "/r/a[@cls]/b", "/r/z"]
+    for q in queries:
+        assert compile_xpath_fast(q) is not None
+        fast = {(r.doc_key, r.match_no, r.value)
+                for r in xpath_texts(df, "xml", q).collect()}
+        # python tier: subtree text of each match; restrict to matches whose
+        # content is a single text node (the fast path's text() semantics)
+        slow_rows = xpath_filter(df, "xml", q).collect()
+        slow = set()
+        per_doc: dict = {}
+        for r in sorted(slow_rows, key=lambda r: (r.doc_key, r.match_no)):
+            if "<" in r.xml.split(">", 1)[1][:-len(r.name) - 3]:
+                continue  # element-content match: text() emits nothing
+            n = per_doc.get(r.doc_key, 0)
+            per_doc[r.doc_key] = n + 1
+            slow.add((r.doc_key, n, r.inner_text))
+        assert fast == slow, f"query {q}: {sorted(fast ^ slow)[:5]}"

@@ -177,3 +177,36 @@ def test_pretty_xml_operator(spark):
         [(1, "<doc><a k='1'>hi</a></doc>")], "doc_id bigint, xml string")
     out = pretty_xml(df, "xml", width=0).collect()[0].pretty
     assert out == '<doc>\n  <a k="1">\n    hi\n  </a>\n</doc>'
+
+
+def test_xml_pretty_structural_roundtrip_sweep():
+    """Random trees x widths: the pretty output must re-parse to the same
+    element structure, attributes, and whitespace-normalized text (layout
+    may only move whitespace)."""
+    import random
+    import xml.etree.ElementTree as ET
+
+    rng = random.Random(7)
+
+    def gen(depth):
+        tag = rng.choice("abcde")
+        attrs = "".join(f' k{i}="v{rng.randint(0, 9)}&quot;x"'
+                        for i in range(rng.randint(0, 3)))
+        if depth >= 3 or rng.random() < 0.3:
+            body = rng.choice(["", "some text here", "x &amp; y"])
+        else:
+            body = "".join(gen(depth + 1) for _ in range(rng.randint(1, 3)))
+        return f"<{tag}{attrs}>{body}</{tag}>"
+
+    def shape(e):
+        # per-element direct text, whitespace-normalized; tails are layout
+        # whitespace (the generator never produces mixed content)
+        return (e.tag, dict(e.attrib), " ".join((e.text or "").split()),
+                [shape(c) for c in e])
+
+    for trial in range(40):
+        src = gen(0)
+        for width in (0, 20, 200):
+            out = pretty_xml_text(src, width=width)
+            assert shape(ET.fromstring(out)) == shape(ET.fromstring(src)), \
+                (trial, width, src, out)

@@ -56,6 +56,10 @@ def read_csv(
               .option("quote", quote)
               .option("escape", quote)          # RFC-4180 doubled quotes
               .option("multiLine", str(multiline).lower())
+              # RFC-4180/fs2-data: whitespace is field content — Spark's
+              # default trimming of unquoted edges breaks roundtrips
+              .option("ignoreLeadingWhiteSpace", "false")
+              .option("ignoreTrailingWhiteSpace", "false")
               .option("enforceSchema", "false"))
     if not empty_as_null:
         # a sentinel no real cell contains: only it maps to null
@@ -206,4 +210,8 @@ def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",",
      .option("quote", '"')
      .option("escape", '"')   # RFC-4180 doubled quotes, matching read_csv
      .option("quoteAll", str(escape_mode == "always").lower())
+     # the univocity WRITER also trims unquoted edges by default — keep
+     # whitespace verbatim like the reference RowWriter
+     .option("ignoreLeadingWhiteSpace", "false")
+     .option("ignoreTrailingWhiteSpace", "false")
      .csv(path))

@@ -122,3 +122,50 @@ def test_backfill_locf(spark):
     assert vals[("a", ts(3))] == 1.0
     assert vals[("a", ts(4))] == 4.0
     assert vals[("b", ts(0))] is None
+
+
+def test_adversarial_sweep_vs_bruteforce(spark):
+    """Randomized PIT sweep: heavy timestamp ties on both sides, null
+    payloads, all strategy x strict x tolerance combinations, verified
+    against a brute-force oracle that re-derives every row's winner (max
+    eligible t', ties broken by greatest payload, nulls smallest).  Directly
+    certifies zero temporal leakage and the vectorized dedup tie-break."""
+    import random
+    rng = random.Random(11)
+    keys = [f"k{i}" for i in range(6)]
+    lrows = [(rng.choice(keys), ts(rng.randint(0, 30)), i) for i in range(300)]
+    rrows = []
+    for j in range(200):
+        pay = None if rng.random() < 0.2 else round(rng.random() * 100, 2)
+        rrows.append((rng.choice(keys), ts(rng.randint(0, 30)), pay))
+    left = spark.createDataFrame(lrows, "doc_id string, event_time timestamp, seq int")
+    right = spark.createDataFrame(rrows, "doc_id string, obs_time timestamp, feat double")
+
+    def brute(allow_exact, tol_min):
+        out = {}
+        for k, t, seq in lrows:
+            elig = [(rt, p) for rk, rt, p in rrows
+                    if rk == k and (rt <= t if allow_exact else rt < t)
+                    and (tol_min is None or (t - rt).total_seconds() <= tol_min * 60)]
+            if not elig:
+                out[seq] = None
+                continue
+            best_t = max(rt for rt, _ in elig)
+            cands = [p for rt, p in elig if rt == best_t]
+            with_vals = [p for p in cands if p is not None]
+            out[seq] = max(with_vals) if with_vals else None
+        return out
+
+    for strategy in ("union", "pandas"):
+        for allow_exact in (True, False):
+            for tol_min in (None, 5):
+                got = {r.seq: r.feat for r in asof_join(
+                    left, right, on="doc_id", left_ts="event_time",
+                    right_ts="obs_time", right_cols=["feat"],
+                    strategy=strategy, allow_exact=allow_exact,
+                    tolerance_us=None if tol_min is None else tol_min * 60 * 10**6,
+                ).collect()}
+                exp = brute(allow_exact, tol_min)
+                assert got == exp, (strategy, allow_exact, tol_min,
+                                    {s: (got[s], exp[s]) for s in exp
+                                     if got.get(s) != exp[s]})

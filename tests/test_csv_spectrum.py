@@ -162,3 +162,23 @@ def test_escape_mode_roundtrips(spark, tmp_path, mode):
 def test_escape_mode_unknown_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="escape_mode"):
         write_csv(spark.range(1), str(tmp_path / "x"), escape_mode="huh")
+
+
+def test_adversarial_roundtrip_sweep(spark, tmp_path):
+    """Randomized cells (separators, quotes, newlines, unicode, empties)
+    through write_csv(auto|always) -> read_csv must be the identity."""
+    import random
+    rng = random.Random(3)
+    alphabet = ['a', 'b', ',', '"', '""', "\n", "'", "ß", "é", " ", "x,y",
+                'pre"post', ""]
+
+    def cell():
+        return "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 4)))
+
+    rows = [(str(i), cell(), cell()) for i in range(120)]
+    df = spark.createDataFrame(rows, "id string, c1 string, c2 string")
+    for mode in ("auto", "always"):
+        out = str(tmp_path / f"sweep_{mode}")
+        write_csv(df, out, escape_mode=mode)
+        back = read_csv(spark, out, header=True, multiline=True)
+        assert sorted(map(tuple, back.collect())) == sorted(rows), mode

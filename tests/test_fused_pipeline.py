@@ -108,3 +108,19 @@ def test_fused_segmented_shuffle_carry_equals_broadcast(spark, payload):
                            carry_join="shuffle")
     cols = sorted(a.columns)
     assert _rows(a, cols) == _rows(b, cols)
+
+
+def test_fused_zero_temporal_leakage(spark, payload):
+    """north_rule invariant, pinned directly on the flagship plan: adding
+    right-side observations strictly AFTER every sequence timestamp must not
+    change a single output row (t' <= t, no future influence)."""
+    from pyspark.sql import functions as F
+    seqs, obs = payload
+    base = fused_pit_features(seqs, obs, gap_s=1800)
+    max_t = seqs.agg(F.max("event_time")).first()[0]
+    future = obs.limit(40).withColumn(
+        "obs_time", F.lit(max_t) + F.expr("INTERVAL 1 HOUR")).withColumn(
+        "feature_vec", F.transform("feature_vec", lambda x: x * 0 + 9999.0))
+    poisoned = fused_pit_features(seqs, obs.unionByName(future), gap_s=1800)
+    cols = base.columns
+    assert _rows(base, cols) == _rows(poisoned, cols)

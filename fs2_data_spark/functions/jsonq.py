@@ -221,6 +221,11 @@ class _JqParser:
                 if self.src.startswith("]", self.pos):
                     self.pos += 1
                     steps.append(("iterate",))
+                elif self.src.startswith('"', self.pos):
+                    # bracket field access .["quoted key"] (reference
+                    # JqParser access: string literal inside brackets)
+                    steps.append(("field", self.string()))
+                    self._eat("]")
                 else:
                     m = re.compile(r"(-?\d*)\s*(:?)\s*(-?\d*)").match(self.src, self.pos)
                     a, colon, b = m.group(1), m.group(2), m.group(3)

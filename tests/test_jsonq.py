@@ -387,3 +387,12 @@ def test_jq_path_composed_descent():
     assert eval_jq(doc, parse_jq(".a..b")) == [1, 2]
     assert eval_jq(doc, parse_jq("..b")) == eval_jq(doc, parse_jq(".. | .b"))
     assert eval_jq(doc, parse_jq(".l..b")) == [3]
+
+
+def test_jq_bracket_string_field_access():
+    """Reference JqParser access: a string literal inside brackets is field
+    access — works chained and inside constructors."""
+    from fs2_data_spark.functions.jsonq import eval_jq, parse_jq
+    assert eval_jq({"a b": 2}, parse_jq('.["a b"]')) == [2]
+    assert eval_jq({"a": {"k y": [1, 2]}}, parse_jq('.a["k y"][]')) == [1, 2]
+    assert eval_jq({"a": 1}, parse_jq('{ "x": .["a"] }')) == [{"x": 1}]

@@ -45,6 +45,7 @@ _JP_TOKEN = re.compile(
       | \.(?P<name>[A-Za-z_][\w-]*)       # .name   (child)
       | \.\*                              # .*      (child wildcard)
       | \[(?P<idx>-?\d+)\]                # [i]
+      | \[(?P<qname>"[^"]*")\]             # ["name"] (bracket field)
       | \[(?P<lo>\d*):(?P<hi>\d*)\]       # [lo:hi] (hi inclusive)
       | \[\*\]                            # [*]
     """,
@@ -78,6 +79,10 @@ def parse_jsonpath(path: str) -> list[_Loc]:
             out.append(_Loc("child", m.group("name")))
         elif tok == ".*":
             out.append(_Loc("child", None))
+        elif m.group("qname") is not None:
+            # ["name"]: bracket-quoted child property (reference
+            # JsonPathParser predicate case '"' -> Property.Name)
+            out.append(_Loc("child", m.group("qname")[1:-1]))
         elif m.group("idx") is not None:
             out.append(_Loc("pred", None, a=int(m.group("idx")), pred="index"))
         elif tok == "[*]":

@@ -396,3 +396,12 @@ def test_jq_bracket_string_field_access():
     assert eval_jq({"a b": 2}, parse_jq('.["a b"]')) == [2]
     assert eval_jq({"a": {"k y": [1, 2]}}, parse_jq('.a["k y"][]')) == [1, 2]
     assert eval_jq({"a": 1}, parse_jq('{ "x": .["a"] }')) == [{"x": 1}]
+
+
+def test_jsonpath_bracket_quoted_property():
+    """Reference JsonPathParser predicate: ["name"] is child property access
+    (names that aren't identifiers)."""
+    from fs2_data_spark.functions.jsonq import eval_jsonpath, parse_jsonpath
+    assert eval_jsonpath({"a b": 3}, parse_jsonpath('$["a b"]')) == [3]
+    assert eval_jsonpath({"x": {"a b": [1, 2]}},
+                         parse_jsonpath('$.x["a b"][*]')) == [1, 2]

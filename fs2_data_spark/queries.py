@@ -1758,6 +1758,35 @@ def csv_decode_cells(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Cross-document duplicate token spans (exact-substring dedup candidates)
+# ---------------------------------------------------------------------------
+
+@_q("dup_token_spans", f"""
+WITH t AS (SELECT doc_id,
+             list_transform({TOKENS_SQL}, x -> CAST(x AS BIGINT)) AS l
+           FROM documents),
+s0 AS (SELECT doc_id, l, unnest(range(0, len(l) - 8 + 1)) AS pos
+       FROM t WHERE len(l) >= 8),
+s AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+        list_reduce(l[pos + 1:pos + 8],
+                    (a, x) -> (a * 31 + x) % 1000000007) AS span_h
+      FROM s0),
+g AS (SELECT span_h, COUNT(DISTINCT doc_id) AS n_docs
+      FROM s GROUP BY span_h HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT s.doc_id, s.pos, s.span_h, g.n_docs FROM s JOIN g USING (span_h)
+""")
+def dup_token_spans(spark, sf_dir):
+    """Exact-substring dedup candidates: all (doc, position) pairs whose
+    8-token rolling-hash window recurs in >=2 distinct documents.  The
+    oracle recomputes the identical rolling hash with DuckDB list ops
+    (list_reduce seeds with the first element, which equals the 0-seeded
+    fold for ``a*31+x``)."""
+    from fs2_data_spark.operators.dedup import duplicate_spans
+    d = _doc_tokens(spark, sf_dir).select("doc_id", "tokens")
+    return duplicate_spans(d, k=8, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
 # Time-decayed features (W-stack extension for the PIT pipeline)
 # ---------------------------------------------------------------------------
 

@@ -166,3 +166,35 @@ def test_ivf_index_deterministic(spark, vecs):
     m1 = {r.id: r.cell for r in a1.collect()}
     m2 = {r.id: r.cell for r in a2.collect()}
     assert m1 == m2  # partitioning-invariant (deterministic seeds + steps)
+
+
+def test_duplicate_spans_candidates(spark):
+    """Exact-substring dedup candidates: shared k-window -> both docs report
+    the span at the right positions; unique windows never reported."""
+    from fs2_data_spark.operators.dedup import duplicate_spans
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5, 6]), (2, [9, 1, 2, 3, 4, 8]),
+         (3, [7, 7, 7]), (4, [5, 6, 7, 8])],
+        "doc_id bigint, tokens array<int>")
+    out = sorted((r.doc_id, r.pos, r.n_docs)
+                 for r in duplicate_spans(df, k=4).collect())
+    assert out == [(1, 0, 2), (2, 1, 2)]
+    # within-doc repetition alone does not cross the min_docs bar
+    rep = spark.createDataFrame([(1, [1, 2, 1, 2, 1, 2, 1, 2])],
+                                "doc_id bigint, tokens array<int>")
+    assert duplicate_spans(rep, k=4).count() == 0
+
+
+def test_duplicate_spans_plan_no_python_no_cartesian(spark):
+    import io
+    from contextlib import redirect_stdout
+    from fs2_data_spark.operators.dedup import duplicate_spans
+    df = spark.createDataFrame([(1, [1, 2, 3, 4])],
+                               "doc_id bigint, tokens array<int>")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        duplicate_spans(df, k=2).explain("formatted")
+    plan = buf.getvalue()
+    for marker in ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                   "MapInPandas"):
+        assert marker not in plan

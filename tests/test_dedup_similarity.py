@@ -198,3 +198,19 @@ def test_duplicate_spans_plan_no_python_no_cartesian(spark):
     for marker in ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
                    "MapInPandas"):
         assert marker not in plan
+
+
+def test_duplicate_spans_exact_mode_agrees(spark):
+    """exact=True (slice-keyed, collision-free) equals the hash path on
+    collision-free data, same output schema."""
+    from fs2_data_spark.operators.dedup import duplicate_spans
+    import random
+    rng = random.Random(5)
+    shared = [rng.randint(0, 1000) for _ in range(6)]
+    rows = [(i, [rng.randint(0, 1000) for _ in range(rng.randint(0, 4))]
+             + shared + [rng.randint(0, 1000) for _ in range(3)])
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, tokens array<int>")
+    a = sorted(map(tuple, duplicate_spans(df, k=6).collect()))
+    b = sorted(map(tuple, duplicate_spans(df, k=6, exact=True).collect()))
+    assert a == b and len(a) >= 10

@@ -1786,6 +1786,36 @@ def dup_token_spans(spark, sf_dir):
     return duplicate_spans(d, k=8, min_docs=2)
 
 
+@_q("decontaminate_docs", f"""
+WITH t AS (SELECT doc_id,
+             list_transform({TOKENS_SQL}, x -> CAST(x AS BIGINT)) AS l
+           FROM documents),
+s0 AS (SELECT doc_id, l, unnest(range(0, len(l) - 8 + 1)) AS pos
+       FROM t WHERE len(l) >= 8),
+s AS (SELECT doc_id,
+        list_reduce(l[pos + 1:pos + 8],
+                    (a, x) -> (a * 31 + x) % 1000000007) AS span_h
+      FROM s0),
+b AS (SELECT DISTINCT span_h FROM s WHERE doc_id % 17 = 0),
+h AS (SELECT s.doc_id, COUNT(*) AS n_contaminated_spans
+      FROM s JOIN b USING (span_h) GROUP BY s.doc_id)
+SELECT d.doc_id,
+       COALESCE(h.n_contaminated_spans, 0) AS n_contaminated_spans,
+       COALESCE(h.n_contaminated_spans, 0) > 0 AS contaminated
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN h USING (doc_id)
+""")
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination: every 17th document plays the benchmark
+    set; corpus docs sharing any 8-token span with it are flagged with their
+    overlapping-span counts.  Benchmark span hashes are broadcast (map-side
+    semi-join — no corpus-side shuffle)."""
+    from fs2_data_spark.operators.dedup import decontaminate
+    d = _doc_tokens(spark, sf_dir).select("doc_id", "tokens")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    return decontaminate(d, bench, k=8)
+
+
 # ---------------------------------------------------------------------------
 # Time-decayed features (W-stack extension for the PIT pipeline)
 # ---------------------------------------------------------------------------

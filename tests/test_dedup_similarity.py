@@ -214,3 +214,24 @@ def test_duplicate_spans_exact_mode_agrees(spark):
     a = sorted(map(tuple, duplicate_spans(df, k=6).collect()))
     b = sorted(map(tuple, duplicate_spans(df, k=6, exact=True).collect()))
     assert a == b and len(a) >= 10
+
+
+def test_decontaminate_flags_and_plan(spark):
+    from fs2_data_spark.operators.dedup import decontaminate
+    corpus = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5]), (2, [9, 9, 9, 9]), (3, [0, 1, 2, 3, 4]),
+         (4, [])],
+        "doc_id bigint, tokens array<int>")
+    bench = spark.createDataFrame([(100, [1, 2, 3, 4])],
+                                  "doc_id bigint, tokens array<int>")
+    out = decontaminate(corpus, bench, k=4)
+    got = {r.doc_id: (r.n_contaminated_spans, r.contaminated)
+           for r in out.collect()}
+    assert got == {1: (1, True), 2: (0, False), 3: (1, True), 4: (0, False)}
+    # the benchmark span table must be broadcast (map-side semi-join)
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()

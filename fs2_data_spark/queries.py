@@ -1786,6 +1786,35 @@ def dup_token_spans(spark, sf_dir):
     return duplicate_spans(d, k=8, min_docs=2)
 
 
+@_q("tok_repetition_docs", f"""
+WITH t AS (SELECT doc_id,
+             list_transform({TOKENS_SQL}, x -> CAST(x AS BIGINT)) AS l
+           FROM documents),
+s AS (SELECT doc_id, len(l) AS n,
+        CASE WHEN len(l) >= 4 THEN
+          list_transform(range(0, len(l) - 4 + 1),
+            i -> list_reduce(l[i + 1:i + 4],
+                             (a, x) -> (a * 31 + x) % 1000000007))
+        ELSE [] END AS spans
+      FROM t)
+SELECT doc_id, CAST(len(spans) AS INTEGER) AS rep_n_spans,
+       CAST(len(list_distinct(spans)) AS INTEGER) AS rep_n_distinct,
+       CASE WHEN len(spans) > 0 THEN
+         CAST(len(spans) - len(list_distinct(spans)) AS DOUBLE) / len(spans)
+       ELSE 0.0 END AS rep_dup_frac
+FROM s
+""")
+def tok_repetition_docs(spark, sf_dir):
+    """Intra-document repetition quality signal (duplicated 4-token-window
+    fraction): pure per-row Catalyst — rolling hashes + array_distinct, zero
+    shuffle.  dup_frac is an exact small-integer ratio, identical across
+    engines."""
+    from fs2_data_spark.operators.dedup import repetition_stats
+    d = _doc_tokens(spark, sf_dir).select("doc_id", "tokens")
+    out = repetition_stats(d, k=4)
+    return out.select("doc_id", "rep_n_spans", "rep_n_distinct", "rep_dup_frac")
+
+
 @_q("decontaminate_docs", f"""
 WITH t AS (SELECT doc_id,
              list_transform({TOKENS_SQL}, x -> CAST(x AS BIGINT)) AS l

@@ -235,3 +235,22 @@ def test_decontaminate_flags_and_plan(spark):
     with redirect_stdout(buf):
         out.explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_repetition_stats_values_and_no_shuffle(spark):
+    from fs2_data_spark.operators.dedup import repetition_stats
+    df = spark.createDataFrame(
+        [(1, [1, 2, 1, 2, 1, 2]),   # windows of 2: [1,2],[2,1],[1,2],[2,1],[1,2] -> 5 spans, 2 distinct
+         (2, [1, 2, 3, 4]),          # all distinct
+         (3, [7])],                  # shorter than k
+        "doc_id bigint, tokens array<int>")
+    out = {r.doc_id: (r.rep_n_spans, r.rep_n_distinct, round(r.rep_dup_frac, 6))
+           for r in repetition_stats(df, k=2).collect()}
+    assert out == {1: (5, 2, 0.6), 2: (3, 3, 0.0), 3: (0, 0, 0.0)}
+    # pure per-row: the plan must contain no Exchange at all
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        repetition_stats(df, k=2).explain("formatted")
+    assert "Exchange" not in buf.getvalue()

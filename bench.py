@@ -253,25 +253,37 @@ def main() -> None:
     flag_s = timings["flagship_asof_features"]
     timings.update(eng_timings)
     singles.update(eng_singles)
-    out = {
-        "metric": "asof+window feature pipeline + headline query batch, wall sec",
-        "value": total,
+    throughput = {
+        "flagship_rows": n_seq,
+        "flagship_tokens": int(n_tok_total),
+        "sequences_per_sec": round(n_seq / flag_s),
+        "tokens_per_sec": round(n_tok_total / flag_s),
+        "cpus": CPUS,
+    }
+    # VERDICT r04 #2: the driver tail-captures only ~2 KB of stdout, so the
+    # headline line must stay compact — single-shot timings + engine stats
+    # (the full r3 dual-protocol record) go to a side file and a SEPARATE
+    # earlier stdout line; the final printed line is the parseable contract.
+    detail = {
         "value_single_shot": total_single,
-        "engine_batch_sec": round(sum(eng_timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
         "queries_single_shot": singles,
         "timing_protocol": "queries=min of 2 passes (r3+ protocol); "
                            "queries_single_shot=first pass (r1/r2 protocol)",
-        "sf": sf,
-        "throughput": {
-            "flagship_rows": n_seq,
-            "flagship_tokens": int(n_tok_total),
-            "sequences_per_sec": round(n_seq / flag_s),
-            "tokens_per_sec": round(n_tok_total / flag_s),
-            "cpus": CPUS,
-        },
         "engines": eng_stats,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps(detail))
+    out = {
+        "metric": "asof+window feature pipeline + headline query batch, wall sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "engine_batch_sec": round(sum(eng_timings.values()), 3),
+        "throughput": throughput,
+        "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(out))
     spark.stop()

@@ -1941,7 +1941,7 @@ def xml_pretty_docs(spark, sf_dir):
 # and a 50-entry window this guarantees no query's last driver row ages past
 # two rounds (pinned by tests/test_registry_order.py).
 
-CURRENT_ROUND = 4
+CURRENT_ROUND = 5
 
 # Which registry entries each round's driver harness actually checked
 # (the first 50 of that round's ordering; source: CORRECTNESS_r0N.json).
@@ -1996,6 +1996,31 @@ DRIVER_HISTORY: dict[int, list[str]] = {
         "intersect_repeat_customers", "anti_join_customers_no_orders",
         "semi_join_recent_suppliers", "distinct_stats_by_segment",
         "min_cost_supplier_per_part", "json_props_extract", "q1_pricing_summary"],
+    4: ["pit_fused_events", "xpath_fast_texts",
+        "csv_roundtrip_docs", "csv_decode_cells",
+        "dup_token_spans", "tok_repetition_docs",
+        "decontaminate_docs", "w_ewma_events",
+        "json_pretty_docs", "xml_pretty_docs",
+        "asof_join_events", "asof_join_events_pandas",
+        "asof_join_events_strict", "streaming_session_smoke",
+        "streaming_running_features_smoke", "cbor_transcode_roundtrip",
+        "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "q4_order_priority",
+        "top_customers_per_segment", "part_type_stats",
+        "orders_by_status_priority", "w_lag_lead",
+        "w_rolling", "w_rank",
+        "locf_backfill", "sessionize_events",
+        "session_stats", "tokenize_docs",
+        "tok_slice_docs", "tok_index_docs",
+        "tok_stats_docs", "tok_fingerprint_docs",
+        "tok_positions", "date_features",
+        "string_features_parts", "math_features",
+        "q1_pricing_summary", "tok_features_arrow_docs",
+        "text_quality", "lang_guess",
+        "doc_fingerprint", "dedup_exact",
+        "minhash_signatures", "minhash_band_buckets",
+        "simhash_docs", "jaccard_pairs",
+        "ann_cosine_topk", "ann_lsh_topk"],
 }
 
 _FLAGSHIP = "pit_fused_events"
@@ -2003,13 +2028,10 @@ _FLAGSHIP = "pit_fused_events"
 # Queries whose implementation or oracle changed AFTER their last driver row
 # — they need a fresh row this round regardless of staleness.
 FORCE_FRONT: list[str] = [
-    # round 4: oracles added (were no_oracle rows in r3)
-    "cbor_transcode_roundtrip",
-    "streaming_session_smoke",
+    # round 5: the r4 driver hash-fail — state kernel's last_* carry is now
+    # event-time-keyed (streaming/sessions.py _fold_running_state); needs a
+    # fresh driver row to prove the fix under the driver's batching
     "streaming_running_features_smoke",
-    # round 4: operators/asof.py changed in r3 after their r2 rows, and its
-    # pandas dedup tie-break is vectorized this round
-    "asof_join_events", "asof_join_events_pandas", "asof_join_events_strict",
 ]
 
 DRIVER_WINDOW = 50

@@ -50,6 +50,44 @@ def streaming_session_aggregate(
     )
 
 
+def _fold_running_state(carry, pdf, ts: str, value: str):
+    """Fold one pandas chunk into the running-feature state tuple
+    ``(n, sum_v, sum_v_us, last_v, last_ts_us)``.
+
+    Pure and batching-invariant: ``n``/``sum_v``/``sum_v_us`` are associative
+    sums; ``(last_ts_us, last_v)`` is the lexicographic max of
+    ``(epoch_us(ts), value)`` over all rows folded so far, so any chunk
+    partitioning/ordering of the same row set yields the same final state.
+    Extracted to module level so tests can pin chunking-invariance directly.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    n, sv, svus, lv, lt = carry
+    if not len(pdf):
+        return carry
+    vals = pdf[value].to_numpy(dtype="float64")
+    n += len(pdf)
+    sv += float(vals.sum())
+    # exact accumulator: per-row floor(value * 1e6) summed as int64 is
+    # associative, so the running total is order/batching-independent
+    # (unlike the float sum) and SQL-oracle-able
+    svus += int(np.floor(vals * 1e6).astype("int64").sum())
+    # event-time-keyed last_* carry: chunk max of (ts, value), with value as
+    # the deterministic tie-break within equal timestamps; replace the carried
+    # pair only when the chunk's max beats it (round-4 driver hash-fail root
+    # cause: overwriting last_* from each chunk's final row in arrival order)
+    s = pd.to_datetime(pdf[ts])
+    if getattr(s.dt, "tz", None) is not None:
+        s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+    ts_us = s.to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+    c_lt = int(ts_us.max())
+    c_lv = float(vals[ts_us == c_lt].max())
+    if lt is None or (c_lt, c_lv) > (lt, lv):
+        lt, lv = c_lt, c_lv
+    return (n, sv, svus, lv, lt)
+
+
 def streaming_running_features(
     events: DataFrame,
     key: str = "user_id",
@@ -68,7 +106,16 @@ def streaming_running_features(
     and emits one row per batch with the updated running features — i.e.
     streaming LOCF + running aggregates. State expires ``timeout_s`` after
     the last event (processing-time timeout), bounding the state store like
-    the watermark bounds the session operator."""
+    the watermark bounds the session operator.
+
+    Batching-invariance contract: every carried field is a function of the
+    event *set*, not of arrival order.  ``n``/``sum_v``/``sum_v_us`` are
+    associative accumulators; ``(last_ts_us, last_v)`` is the lexicographic
+    maximum of ``(ts, value)`` over all events seen — the carried pair is
+    replaced only when a chunk's own max beats it, so chunks arriving in
+    shuffle order (not event-time order) converge to the same final state
+    (round-4 driver hash-fail root cause: the previous kernel overwrote
+    ``last_*`` from the final row of each chunk in arrival order)."""
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.streaming.state import (  # noqa: PLC0415
         GroupState,
@@ -83,24 +130,13 @@ def streaming_running_features(
                     "last_v double, last_ts_us bigint")
 
     def fn(k: tuple, pdfs, state: GroupState):
-        import numpy as np  # noqa: PLC0415
-
         if state.hasTimedOut:
             state.remove()
             return
-        n, sv, svus, lv, lt = state.get if state.exists else (0, 0.0, 0, None, None)
+        carry = state.get if state.exists else (0, 0.0, 0, None, None)
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts, kind="mergesort")
-            n += len(pdf)
-            sv += float(pdf[value].sum())
-            # exact accumulator: per-row floor(value * 1e6) summed as int64 is
-            # associative, so the running total is order/batching-independent
-            # (unlike the float sum) and SQL-oracle-able
-            svus += int(np.floor(pdf[value].to_numpy(dtype="float64") * 1e6)
-                        .astype("int64").sum())
-            if len(pdf):
-                lv = float(pdf[value].iloc[-1])
-                lt = int(pd.Timestamp(pdf[ts].iloc[-1]).value // 1000)
+            carry = _fold_running_state(carry, pdf, ts, value)
+        n, sv, svus, lv, lt = carry
         state.update((n, sv, svus, lv, lt))
         state.setTimeoutDuration(timeout_s * 1000)
         yield pd.DataFrame([{key: k[0], "n": n, "sum_v": sv, "sum_v_us": svus,

@@ -93,6 +93,49 @@ def test_streaming_running_features_matches_batch(spark, events, tmp_path):
         assert got[k].last_ts_us == e.lt
 
 
+def test_running_state_fold_chunking_invariant():
+    """The per-chunk state fold must yield the same final state for any chunk
+    partitioning AND any arrival order of the same row set (round-4 driver
+    hash-fail: last_v/last_ts_us depended on which chunk arrived last)."""
+    import numpy as np
+    import pandas as pd
+
+    from fs2_data_spark.streaming.sessions import _fold_running_state
+
+    rng = np.random.default_rng(7)
+    nrows = 97
+    rows = pd.DataFrame({
+        # duplicated timestamps on purpose: exercises the value tie-break
+        "ts": pd.to_datetime(rng.integers(0, 40, nrows), unit="s"),
+        "value": rng.normal(size=nrows).round(3),
+    })
+
+    def run(chunks):
+        carry = (0, 0.0, 0, None, None)
+        for c in chunks:
+            carry = _fold_running_state(carry, c, "ts", "value")
+        return carry
+
+    # reference: one time-sorted chunk
+    ref = run([rows.sort_values(["ts", "value"])])
+    # splits with different sizes, shuffled row order, reversed chunk order
+    for seed in range(5):
+        r = np.random.default_rng(seed)
+        perm = rows.iloc[r.permutation(nrows)].reset_index(drop=True)
+        cuts = np.sort(r.choice(np.arange(1, nrows), size=6, replace=False))
+        chunks = np.split(perm, cuts)
+        for order in (chunks, chunks[::-1]):
+            got = run(list(order) + [perm.iloc[0:0]])  # plus an empty chunk
+            assert got[0] == ref[0]
+            assert abs(got[1] - ref[1]) < 1e-9
+            assert got[2] == ref[2]          # exact int accumulator
+            assert got[3] == ref[3]          # last_v bit-identical
+            assert got[4] == ref[4]          # last_ts_us bit-identical
+
+    # the oracle contract: last_ts_us == epoch_us(max(ts))
+    assert ref[4] == int(rows["ts"].max().value // 1000)
+
+
 def test_resize_image_stub(spark):
     """resize plumbing: binary in -> width*height binary out, deterministic,
     partitioning-invariant; real path raises NotImplementedError."""

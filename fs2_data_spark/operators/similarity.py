@@ -99,6 +99,7 @@ def ivf_index(
     vec_col: str = "embedding",
     n_cells: int = 16,
     iters: int = 2,
+    canonical: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF (inverted-file) index: deterministic k-means-lite centroids +
     cell assignment — the coarse quantizer of the classic IVF-Flat ANN
@@ -110,14 +111,26 @@ def ivf_index(
     hash aggregation, so index build is linear with no driver-side loops
     over data. Returns ``(centroids, assigned)`` where ``assigned`` adds a
     ``cell`` column to the corpus.
+
+    ``canonical=True`` makes the whole build *engine-portable* so an
+    ANSI-SQL oracle can reproduce it bit-for-bit (VERDICT r04 #4): the seed
+    ordering hash becomes pure arithmetic (``(id*2654435761) % 1000003``
+    instead of xxhash64), Lloyd means accumulate as DECIMAL(27,12) sums
+    (order-independent, bit-identical across engines) rounded to 9 dp, and
+    assignment distances are rounded to 6 dp before the argmin so a
+    sub-ulp cross-engine summation difference cannot flip a cell choice
+    (tie within the quantum breaks on cell id in both engines). The plan
+    shape is unchanged — same broadcasts, same single aggregation per step.
     """
     c = corpus.select(F.col(id_col).alias("id"),
                       _as_double(F.col(vec_col)).alias("v"))
     # deterministic spread-out seeds: hash-order top-k — planned as
     # TakeOrderedAndProject (parallel partial top-k + merge), NOT a global
     # sort or single-partition window
-    seeds = (c.orderBy(F.xxhash64(F.col("id").cast("string"))).limit(n_cells)
-             .collect())
+    seed_hash = (F.pmod(F.col("id").cast("bigint") * 2_654_435_761,
+                        F.lit(1_000_003)) if canonical
+                 else F.xxhash64(F.col("id").cast("string")))
+    seeds = (c.orderBy(seed_hash, "id").limit(n_cells).collect())
     spark = corpus.sparkSession
     cents = spark.createDataFrame(
         [(i, list(r.v)) for i, r in enumerate(seeds)], "cell int, cv array<double>")
@@ -126,18 +139,23 @@ def ivf_index(
         dist = F.aggregate(
             F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
             F.lit(0.0), lambda acc, x: acc + x)
+        if canonical:
+            dist = F.round(dist, 6)
         scored = (df.crossJoin(F.broadcast(cents_df))
                   .select("id", "v", "cell", dist.alias("d")))
         ww = Window.partitionBy("id").orderBy("d", "cell")
         return (scored.withColumn("__rn", F.row_number().over(ww))
                 .filter(F.col("__rn") == 1).drop("__rn", "d"))
 
+    mean = (F.round(F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+                    / F.count(F.lit(1)), 9)
+            if canonical else F.avg("x"))
     for _ in range(iters):
         assigned = assign(c, cents)
         # Lloyd step: per-cell mean vector (posexplode + groupBy, all JVM)
         exploded = assigned.select(
             "cell", F.posexplode(F.col("v")).alias("j", "x"))
-        means = (exploded.groupBy("cell", "j").agg(F.avg("x").alias("m"))
+        means = (exploded.groupBy("cell", "j").agg(mean.alias("m"))
                  .groupBy("cell")
                  .agg(F.array_sort(F.collect_list(F.struct("j", "m"))).alias("s"))
                  .select("cell", F.transform("s", lambda t: t.getField("m")).alias("cv")))
@@ -155,19 +173,25 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 2,
     round_dp: int | None = 4,
+    canonical: bool = False,
 ) -> DataFrame:
     """ANN via IVF: each query scans only its ``nprobe`` nearest cells'
     inverted lists — an equi-join on the cell id replaces the full corpus
     scan (the second 100 TB-friendly ANN variant next to
     :func:`lsh_bucket_topk`). Exact cosine ranks within the probed cells;
-    recall vs brute force pinned by tests."""
-    cents, assigned = ivf_index(corpus, id_col, vec_col, n_cells)
+    recall vs brute force pinned by tests.  ``canonical=True`` selects the
+    SQL-reproducible index build (see :func:`ivf_index`) and rounds probe
+    distances the same way."""
+    cents, assigned = ivf_index(corpus, id_col, vec_col, n_cells,
+                                canonical=canonical)
     q = (queries.select(F.col(id_col).alias("q_vec_id"),
                         _as_double(F.col(vec_col)).alias("qv"))
          .select("q_vec_id", "qv", _norm(F.col("qv")).alias("qn")))
     dist = F.aggregate(
         F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x)
+    if canonical:
+        dist = F.round(dist, 6)
     wq = Window.partitionBy("q_vec_id").orderBy("d", "cell")
     probes = (q.crossJoin(F.broadcast(cents))
               .select("q_vec_id", "qv", "qn", "cell", dist.alias("d"))

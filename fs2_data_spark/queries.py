@@ -866,17 +866,78 @@ def multimodal_smoke(spark, sf_dir):
                       F.size("features").alias("n_features"))
 
 
-@_q("ann_ivf_topk", None)
+_IVF_DIST = ("ROUND(list_sum(list_transform(list_zip({a}, {b}), "
+             "p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)")
+
+
+def _ivf_assign_sql(src: str, cents: str) -> str:
+    """Argmin-cell assignment CTE body: rounded L2 distance, cell tie-break
+    — mirrors the canonical ``ivf_index`` assign step exactly."""
+    d = _IVF_DIST.format(a=f"{src}.v", b=f"{cents}.cv")
+    return (f"SELECT id, v, cell FROM ("
+            f"SELECT {src}.id, {src}.v, {cents}.cell, "
+            f"row_number() OVER (PARTITION BY {src}.id ORDER BY {d}, {cents}.cell)"
+            f" AS rn FROM {src} CROSS JOIN {cents}) WHERE rn = 1")
+
+
+_IVF_MEAN_SQL = """
+  SELECT cell, list(m ORDER BY j) AS cv FROM (
+    SELECT cell, j,
+           ROUND(CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 9) AS m
+    FROM (SELECT cell, unnest(v) AS x,
+                 unnest(generate_series(1, len(v))) AS j FROM {src})
+    GROUP BY cell, j) GROUP BY cell
+"""
+
+
+@_q("ann_ivf_topk", f"""
+WITH e AS (SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+seeds AS (SELECT row_number() OVER (ORDER BY h, id) - 1 AS cell, v AS cv
+          FROM (SELECT id, v, (id * 2654435761) % 1000003 AS h
+                FROM e ORDER BY h, id LIMIT 16)),
+a0 AS ({_ivf_assign_sql('e', 'seeds')}),
+c1 AS ({_IVF_MEAN_SQL.format(src='a0')}),
+a1 AS ({_ivf_assign_sql('e', 'c1')}),
+c2 AS ({_IVF_MEAN_SQL.format(src='a1')}),
+a2 AS ({_ivf_assign_sql('e', 'c2')}),
+q AS (SELECT id AS q_vec_id, v AS qv,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS qn
+      FROM e WHERE id % 50 = 0),
+probes AS (SELECT q_vec_id, qv, qn, cell FROM (
+  SELECT q.q_vec_id, q.qv, q.qn, c2.cell,
+         row_number() OVER (PARTITION BY q.q_vec_id
+             ORDER BY {_IVF_DIST.format(a='q.qv', b='c2.cv')}, c2.cell) AS rn
+  FROM q CROSS JOIN c2) WHERE rn <= 4),
+inv AS (SELECT id AS n_vec_id, v AS cv2, cell,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
+        FROM a2),
+pairs AS (SELECT p.q_vec_id, i.n_vec_id,
+                 ROUND(list_dot_product(p.qv, i.cv2) / (p.qn * i.cn), 4) AS cos_sim
+          FROM probes p JOIN inv i USING (cell)
+          WHERE i.n_vec_id != p.q_vec_id)
+SELECT q_vec_id, n_vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+               ORDER BY cos_sim DESC, n_vec_id) AS rn FROM pairs)
+WHERE rn <= 3
+""")
 def ann_ivf(spark, sf_dir):
     """IVF-Flat ANN (inverted-file coarse quantizer + exact cosine within
-    probed cells). No SQL oracle: the Lloyd-step centroid means are
-    floating-point aggregation-order-dependent; recall vs brute force is
-    pinned by tests/test_dedup_similarity.py instead (rows-only check)."""
+    probed cells), in the *canonical* engine-portable build (VERDICT r04
+    #4): arithmetic seed hash, DECIMAL-sum Lloyd means rounded to 9 dp,
+    assignment/probe distances rounded to 6 dp before the argmin.  The
+    DuckDB oracle replays the entire index build — seeds, two Lloyd
+    iterations, final assignment, probe selection — and must reproduce the
+    exact same top-k per query (hard value oracle; the former rows-only
+    excuse was the fp-order-dependence of un-canonicalized centroid
+    means).  Recall vs the brute-force baseline remains pinned by
+    tests/test_dedup_similarity.py."""
     from fs2_data_spark.operators.similarity import ivf_topk
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 50 == 0)
     return ivf_topk(q, emb, id_col="vec_id", vec_col="embedding", k=3,
-                    n_cells=16, nprobe=4)
+                    n_cells=16, nprobe=4, canonical=True)
 
 
 @_q("emb_label_stats", """

@@ -168,6 +168,29 @@ def test_ivf_index_deterministic(spark, vecs):
     assert m1 == m2  # partitioning-invariant (deterministic seeds + steps)
 
 
+def test_ivf_canonical_mode(spark, vecs):
+    """Canonical (SQL-reproducible) IVF build: partitioning-invariant,
+    centroid coordinates land on the 9-dp rounding grid (decimal-sum means),
+    and top-k recall stays comparable to the default build."""
+    from fs2_data_spark.operators.similarity import ivf_index, ivf_topk
+    cents, a1 = ivf_index(vecs, n_cells=4, canonical=True)
+    _, a2 = ivf_index(vecs.repartition(7), n_cells=4, canonical=True)
+    assert ({r.id: r.cell for r in a1.collect()}
+            == {r.id: r.cell for r in a2.collect()})
+    for r in cents.collect():
+        for x in r.cv:
+            assert abs(x - round(x, 9)) < 1e-15
+    exact = {r.q_vec_id: r.cos_sim
+             for r in cosine_topk(vecs.filter("vec_id < 8"), vecs, k=1,
+                                  round_dp=4).collect()}
+    ivf = {r.q_vec_id: r.cos_sim
+           for r in ivf_topk(vecs.filter("vec_id < 8"), vecs, k=1,
+                             n_cells=8, nprobe=2, canonical=True).collect()}
+    assert set(ivf) == set(exact)
+    hits = sum(1 for q in exact if ivf[q] == exact[q])
+    assert hits >= 0.8 * len(exact), (hits, len(exact))
+
+
 def test_duplicate_spans_candidates(spark):
     """Exact-substring dedup candidates: shared k-window -> both docs report
     the span at the right positions; unique windows never reported."""

@@ -268,6 +268,108 @@ def test_extract_audio_features_real_path(spark):
     assert all(abs(f - 0.5) < 1e-2 for f in out[0].audio_features)
 
 
+no_pil = pytest.mark.skipif(probe("PIL.Image") is not None,
+                            reason="Pillow present: PIL tier shadows the stdlib tier")
+no_soundfile = pytest.mark.skipif(probe("soundfile") is not None,
+                                  reason="soundfile present: shadows stdlib WAV tier")
+
+
+def test_stdlib_pnm_roundtrip_and_luma():
+    import numpy as np
+    from fs2_data_spark.sources.stdlib_media import decode_pnm, encode_pgm, sniff
+
+    px = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    raw = encode_pgm(px)
+    assert sniff(raw) == "pgm"
+    assert (decode_pnm(raw) == px).all()
+    # P6 RGB reduces with the BT.601 integer luma PIL uses for convert("L")
+    ppm = b"P6\n# comment\n2 1\n255\n" + bytes([255, 0, 0, 0, 255, 0])
+    assert sniff(ppm) == "ppm"
+    assert decode_pnm(ppm).tolist() == [[255 * 299 // 1000, 255 * 587 // 1000]]
+
+
+def test_stdlib_bmp_decode():
+    import struct
+    import numpy as np
+    from fs2_data_spark.sources.stdlib_media import decode_bmp
+
+    # hand-built 3x2 24-bit bottom-up BMP, row stride padded to 12 bytes
+    w, h = 3, 2
+    rows = [
+        bytes([10, 10, 10, 20, 20, 20, 30, 30, 30]) + b"\x00\x00\x00",  # bottom row
+        bytes([40, 40, 40, 50, 50, 50, 60, 60, 60]) + b"\x00\x00\x00",  # top row
+    ]
+    pix = b"".join(rows)
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                            2835, 2835, 0, 0))
+    px = decode_bmp(header + pix)
+    # gray R==G==B: luma == the value itself; bottom-up flips to top-down
+    assert px.tolist() == [[40, 50, 60], [10, 20, 30]]
+    assert px.dtype == np.uint8
+
+
+def test_stdlib_wav_roundtrip():
+    import numpy as np
+    from fs2_data_spark.sources.stdlib_media import decode_wav, encode_wav, sniff
+
+    s = np.sin(np.linspace(0, 6.0, 480))
+    raw = encode_wav(s, sr=16000)
+    assert sniff(raw) == "wav"
+    got, sr = decode_wav(raw)
+    assert sr == 16000 and len(got) == 480
+    # quantize ~1.5e-5 + the 32767-encode/32768-decode scale skew ~3e-5
+    assert float(np.abs(got - s).max()) < 1e-4
+
+
+@no_pil
+def test_decode_image_stdlib_real_path(spark):
+    """The REAL (non-fake) branch runs in this container via the stdlib
+    PGM decoder — mirrors test_decode_image_real_path's assertions."""
+    import numpy as np
+    from fs2_data_spark.operators.multimodal import decode_image
+    from fs2_data_spark.sources.stdlib_media import encode_pgm
+
+    raw = encode_pgm(np.full((32, 32), 128, dtype=np.uint8))
+    df = spark.createDataFrame([(1, raw)], "media_id bigint, payload binary")
+    out = decode_image(df, out_dim=8).collect()
+    assert len(out[0].features) == 8
+    assert all(abs(f - 128 / 255) < 1e-6 for f in out[0].features)
+
+
+@no_pil
+def test_resize_image_stdlib_real_path(spark):
+    import numpy as np
+    from fs2_data_spark.operators.multimodal import resize_image
+    from fs2_data_spark.sources.stdlib_media import encode_pgm
+
+    raw = encode_pgm(np.full((32, 32), 7, dtype=np.uint8))
+    df = spark.createDataFrame([(1, raw)], "media_id bigint, payload binary")
+    out = resize_image(df, width=4, height=4).collect()
+    assert len(out[0].resized) == 16 and set(out[0].resized) == {7}
+    # area-average: a half-black/half-white image lands mid-gray
+    grad = np.zeros((8, 8), dtype=np.uint8)
+    grad[:, 4:] = 255
+    df2 = spark.createDataFrame([(2, encode_pgm(grad))],
+                                "media_id bigint, payload binary")
+    r = bytes(resize_image(df2, width=1, height=1).collect()[0].resized)
+    assert r == bytes([128])  # floor(127.5 + 0.5)
+
+
+@no_soundfile
+def test_extract_audio_features_stdlib_real_path(spark):
+    """Mirrors test_extract_audio_features_real_path via stdlib WAV."""
+    import numpy as np
+    from fs2_data_spark.operators.multimodal import extract_audio_features
+    from fs2_data_spark.sources.stdlib_media import encode_wav
+
+    raw = encode_wav(np.full(4800, 0.5), sr=48000)
+    df = spark.createDataFrame([(1, raw)], "media_id bigint, payload binary")
+    out = extract_audio_features(df, n_bands=6).collect()
+    assert len(out[0].audio_features) == 6
+    assert all(abs(f - 0.5) < 1e-2 for f in out[0].audio_features)
+
+
 def test_stub_error_names_missing_library(spark):
     """Without the library and without fake=True the operator must raise a
     NotImplementedError that NAMES what is missing (honest env stub)."""

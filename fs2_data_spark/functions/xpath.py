@@ -197,8 +197,18 @@ def xpath_filter(df: DataFrame, xml_col: str, xpath: str,
                  key_col: str = "doc_key", mode: str = "strict") -> DataFrame:
     """All elements matching ``xpath`` — one row per match (matches may nest,
     like the reference's ``filter.unsafeRaw``), with the element's attrs, the
-    concatenated text of its subtree, and the serialized subtree XML."""
-    import xml.etree.ElementTree as ET  # noqa: PLC0415
+    concatenated text of its subtree, and the serialized subtree XML.
+
+    Names match *as written* — a prefixed element ``<ns:item>`` matches the
+    step ``ns:item``, never its expanded URI — because the reference's
+    automaton compares literal ``QName(prefix, local)`` pairs with no URI
+    resolution (``xml/src/main/scala/fs2/data/xml/xpath/XPath.scala:29-40``).
+    The parser is stdlib expat with namespace processing OFF (r5: previously
+    ElementTree, which force-expands tags to Clark ``{uri}local`` notation and
+    silently failed every prefixed query); ``xmlns``/``xmlns:p`` declarations
+    stay visible as ordinary attributes, exactly like the reference's raw
+    event model (``Attr(QName("xmlns", ...))``)."""
+    from xml.parsers import expat  # noqa: PLC0415
     from xml.sax.saxutils import escape, quoteattr  # noqa: PLC0415
 
     import pandas as pd  # noqa: PLC0415
@@ -213,50 +223,58 @@ def xpath_filter(df: DataFrame, xml_col: str, xpath: str,
         return "".join(parts)
 
     def parse_one(key, xml):
-        parser = ET.XMLPullParser(events=("start", "end"))
-        parser.feed(xml)
-        parser.close()
         rows = []          # (key, match_no, event_no, name, attrs, text, xml)
         chain: list[tuple[str, dict]] = []
         # active captures: [depth_at_start, row_index, xml_parts, text_parts]
         active: list[list] = []
-        n = 0
+        state = {"n": 0, "pending": []}
 
-        def emit_text(t):
+        def flush_text():
+            # character data belongs to the event stream at the next
+            # structural boundary — same segmentation as one text/tail slot
+            t = "".join(state["pending"])
+            state["pending"].clear()
+            if t.strip() and chain:
+                s = t.strip()
+                for cap in active:
+                    cap[2].append(escape(s))
+                    cap[3].append(s)
+                state["n"] += 1
+
+        def on_start(name, attr_items):
+            flush_text()
+            attrs = dict(attr_items)
+            chain.append((name, attrs))
+            if match_chain(branches, chain):
+                rows.append([key, len(rows), state["n"], name, attrs, [], []])
+                active.append([len(chain), rows[-1], [], []])
             for cap in active:
-                cap[2].append(escape(t))
-                cap[3].append(t)
+                cap[2].append(render_start(name, attrs))
+            state["n"] += 1
 
-        for ev, elem in parser.read_events():
-            if ev == "start":
-                attrs = dict(elem.attrib)
-                chain.append((elem.tag, attrs))
-                if match_chain(branches, chain):
-                    rows.append([key, len(rows), n, elem.tag, attrs, [], []])
-                    active.append([len(chain), rows[-1], [], []])
-                for cap in active:
-                    cap[2].append(render_start(elem.tag, attrs))
-                n += 1
-                if elem.text and elem.text.strip():
-                    emit_text(elem.text.strip())
-                    n += 1
-            else:
-                for cap in active:
-                    cap[2].append(f"</{elem.tag}>")
-                done = [c for c in active if c[0] == len(chain)]
-                for cap in done:
-                    cap[1][5] = " ".join(cap[3])
-                    cap[1][6] = "".join(cap[2])
-                active = [c for c in active if c[0] != len(chain)]
-                chain.pop()
-                n += 1
-                if elem.tail and elem.tail.strip() and chain:
-                    emit_text(elem.tail.strip())
-                    n += 1
-                elem.clear()
+        def on_end(name):
+            nonlocal active
+            flush_text()
+            for cap in active:
+                cap[2].append(f"</{name}>")
+            done = [c for c in active if c[0] == len(chain)]
+            for cap in done:
+                cap[1][5] = " ".join(cap[3])
+                cap[1][6] = "".join(cap[2])
+            active = [c for c in active if c[0] != len(chain)]
+            chain.pop()
+            state["n"] += 1
+
+        p = expat.ParserCreate()          # namespace processing OFF
+        p.buffer_text = True
+        p.StartElementHandler = on_start
+        p.EndElementHandler = on_end
+        p.CharacterDataHandler = state["pending"].append
+        p.Parse(xml, True)
         return [tuple(r) for r in rows]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xml.parsers.expat import ExpatError  # noqa: PLC0415
         cols = ["doc_key", "match_no", "event_no", "name", "attrs",
                 "inner_text", "xml"]
         for pdf in batches:
@@ -264,7 +282,7 @@ def xpath_filter(df: DataFrame, xml_col: str, xpath: str,
             for key, xml in zip(pdf[key_col], pdf[xml_col]):
                 try:
                     out.extend(parse_one(str(key), xml))
-                except ET.ParseError:
+                except ExpatError:
                     if strict:
                         raise
             yield pd.DataFrame(out, columns=cols)
@@ -285,9 +303,11 @@ def xpath_filter(df: DataFrame, xml_col: str, xpath: str,
 # Spark's Hive ``xpath()`` UDF was prototyped first and REJECTED: its
 # per-row DOM build ran at 100k docs/s — 0.8x the Python tier, slower than
 # what it was meant to replace.
-# Guarded: descendant axes, alternation, wildcards and prefixed (namespace)
-# names fall back to :func:`xpath_filter`, whose automaton semantics have no
-# from_xml counterpart in exactly those classes.
+# Guarded: descendant axes, alternation and wildcards fall back to
+# :func:`xpath_filter`, whose automaton semantics have no from_xml
+# counterpart in exactly those classes.  Prefixed (namespace) names are
+# fast-path-eligible since r5 — both tiers match the literal as-written
+# QName, like the reference.
 
 
 def _pred_attrs(pred: tuple | None, out: set) -> None:
@@ -307,18 +327,21 @@ def compile_xpath_fast(xpath: str) -> list[_Step] | None:
     """Return the parsed step chain when ``xpath`` is eligible for the
     Catalyst ``from_xml`` fast path, else None (Python automaton tier).
 
-    Eligible: one branch, child axes only, literal unprefixed names, any
-    attribute predicate algebra (compiled to boolean Columns, so string
-    values are unrestricted).  Ineligible (and why): descendant ``//`` and
-    alternation ``|`` (match sets span nesting levels the fixed from_xml
-    schema cannot name), ``*`` wildcards (schema fields need names),
-    prefixed names (from_xml has no namespace context)."""
+    Eligible: one branch, child axes only, literal names — including
+    ``ns:``-prefixed ones (r5: ``from_xml`` names struct fields by the
+    *as-written* tag, so a backtick-quoted ```ns:item``` field matches a
+    prefixed element literally — the same no-URI-resolution QName semantics
+    the automaton tier and the reference use), any attribute predicate
+    algebra (compiled to boolean Columns, so string values are
+    unrestricted).  Ineligible (and why): descendant ``//`` and alternation
+    ``|`` (match sets span nesting levels the fixed from_xml schema cannot
+    name), ``*`` wildcards (schema fields need names)."""
     branches = parse_xpath(xpath)
     if len(branches) != 1:
         return None
     steps = branches[0]
     for step in steps:
-        if step.descendant or step.name is None or ":" in step.name:
+        if step.descendant or step.name is None:
             return None
     return steps
 
@@ -377,8 +400,9 @@ def _pred_column(pred: tuple, get):
 
 
 # first element tag of the document, skipping decl/comments/doctype
+# (tag pattern includes the optional ns: prefix — literal QName, r5)
 _ROOT_TAG_RE = (r"(?s)^(?:\s+|<\?.*?\?>|<!--.*?-->|<!DOCTYPE[^>]*>)*"
-                r"<([A-Za-z_][\w.\-]*)")
+                r"<([A-Za-z_][\w.\-]*(?::[A-Za-z_][\w.\-]*)?)")
 
 
 def _struct_attr_getter(struct_col):

@@ -1317,10 +1317,12 @@ UNION ALL SELECT doc_id, 1, 'v' || CAST(doc_id AS VARCHAR) FROM documents
 """)
 def xpath_fast_texts(spark, sf_dir):
     """JVM fast path for simple child-axis XPath (VERDICT r03 item #4): the
-    query compiles to Spark's built-in Hive ``xpath`` expression — no Python
-    tier — and must match only the two cls="x" items per doc (the nested
-    non-cls item and the cls="y" item must NOT match).  The plan containing
-    no PythonUDF/ArrowEval node is pinned by tests/test_plans.py."""
+    query compiles to ``from_xml`` with a path-derived minimal schema plus
+    array higher-order functions (the Hive ``xpath`` UDF alternative was
+    prototyped and rejected — per-row DOM, 0.8x the Python tier) — no
+    Python tier — and must match only the two cls="x" items per doc (the
+    nested non-cls item and the cls="y" item must NOT match).  The plan
+    containing no PythonUDF/ArrowEval node is pinned by tests/test_plans.py."""
     from fs2_data_spark.functions.xpath import xpath_texts
     i = F.col("doc_id").cast("string")
     d = _t(spark, sf_dir, "documents").select(

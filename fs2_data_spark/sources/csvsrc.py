@@ -193,12 +193,26 @@ def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",",
                  for c in df.columns]
         lines = df.select(F.concat_ws(sep, *cells).alias("value"))
         if header:
-            head = (df.sparkSession
-                    .createDataFrame([(sep.join(df.columns),)], "value string")
-                    .coalesce(1))
-            # part files sort lexicographically, so the single-partition
-            # header df becomes part-00000 and reads back first
-            lines = head.union(lines)
+            # the header goes at the top of EVERY part file — the same
+            # layout Spark's own CSV writer produces with header=true, so
+            # reading the directory back with read_csv(header=True) is
+            # correct per-partition (ADVICE r04: a single union'd header
+            # row would make every other part file lose its first row)
+            import pandas as pd  # noqa: PLC0415
+
+            hdr = sep.join(df.columns)
+
+            def with_header(batches):
+                emitted = False
+                for pdf in batches:
+                    if not emitted:
+                        yield pd.DataFrame({"value": [hdr]})
+                        emitted = True
+                    yield pdf
+                if not emitted:
+                    yield pd.DataFrame({"value": [hdr]})
+
+            lines = lines.mapInPandas(with_header, "value string")
         lines.write.mode("overwrite").text(path)
         return
     if escape_mode not in ("auto", "always"):

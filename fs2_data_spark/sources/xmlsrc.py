@@ -85,11 +85,37 @@ def substitute_entities(xml: str, resolved: dict[str, str]) -> str:
     if _ENTITY_SKIP is None:
         # DOCTYPE span is bracket-aware: an internal subset [ ... ] may
         # contain ENTITY declarations whose names collide with user entities
-        # — substituting inside them would corrupt the DTD (ADVICE r03)
+        # — substituting inside them would corrupt the DTD (ADVICE r03).
+        # The subset end is found by _doctype_end, not a regex: a ']' inside
+        # a DTD comment or quoted literal must not close it (ADVICE r04)
         _ENTITY_SKIP = re.compile(
-            r"<!\[CDATA\[.*?\]\]>|<!--.*?-->|<\?.*?\?>"
-            r"|<!DOCTYPE[^\[>]*(?:\[[^\]]*\])?[^>]*>", re.S)
+            r"<!\[CDATA\[.*?\]\]>|<!--.*?-->|<\?.*?\?>|<!DOCTYPE", re.S)
     ref = re.compile(r"&([A-Za-z_][\w.-]*);")
+
+    def _doctype_end(i: int) -> int:
+        """Index just past the '>' closing a DOCTYPE whose '<!DOCTYPE' ends
+        at ``i`` — skipping DTD comments and quoted literals, tracking
+        internal-subset bracket depth."""
+        n = len(xml)
+        depth = 0
+        while i < n:
+            c = xml[i]
+            if xml.startswith("<!--", i):
+                j = xml.find("-->", i + 4)
+                i = n if j < 0 else j + 3
+                continue
+            if c in "'\"":
+                j = xml.find(c, i + 1)
+                i = n if j < 0 else j + 1
+                continue
+            if c == "[":
+                depth += 1
+            elif c == "]":
+                depth -= 1
+            elif c == ">" and depth <= 0:
+                return i + 1
+            i += 1
+        return n
 
     def sub_text(seg: str) -> str:
         # both attribute delimiters escaped: a replacement apostrophe inside
@@ -101,10 +127,15 @@ def substitute_entities(xml: str, resolved: dict[str, str]) -> str:
             seg)
 
     out, last = [], 0
-    for m in _ENTITY_SKIP.finditer(xml):
+    pos = 0
+    while True:
+        m = _ENTITY_SKIP.search(xml, pos)
+        if m is None:
+            break
+        end = _doctype_end(m.end()) if m.group(0) == "<!DOCTYPE" else m.end()
         out.append(sub_text(xml[last:m.start()]))
-        out.append(m.group(0))
-        last = m.end()
+        out.append(xml[m.start():end])
+        last = pos = end
     out.append(sub_text(xml[last:]))
     return "".join(out)
 

@@ -160,6 +160,23 @@ def test_entity_skip_doctype_internal_subset(spark):
     assert out.count("user-value") == 2
 
 
+def test_entity_skip_doctype_bracket_in_comment_and_literal(spark):
+    """ADVICE r04: a ']' inside a DTD comment or quoted literal must not
+    close the internal-subset skip span — declarations after it stay
+    untouched by entity substitution."""
+    from fs2_data_spark.sources.xmlsrc import substitute_entities
+    xml = ("<!DOCTYPE r [ <!-- tricky ] comment --> "
+           '<!ENTITY a "has ] bracket"> '
+           '<!ENTITY who "&late;"> ]>'
+           "<r>&who;</r>")
+    out = substitute_entities(xml, {"who": "user-value", "late": "boom"})
+    # every declaration inside the subset is verbatim — including the one
+    # after the ']'-bearing comment and literal, whose &late; is DTD text
+    assert '<!ENTITY who "&late;">' in out
+    assert '<!ENTITY a "has ] bracket">' in out
+    assert out.count("user-value") == 1 and "boom" not in out
+
+
 def test_empty_cdata_emits_raw_event(spark):
     """ADVICE r03: <![CDATA[]]> carries XmlString("", isCDATA=true) in the
     raw ADT, like the reference's event model."""

@@ -159,6 +159,25 @@ def test_escape_mode_roundtrips(spark, tmp_path, mode):
     assert sorted(map(tuple, back.collect())) == sorted(rows)
 
 
+def test_escape_mode_never_multipartition_reread(spark, tmp_path):
+    """ADVICE r04: never-mode with header=True must put the header at the
+    top of EVERY part file (Spark's own CSV layout) — reading the directory
+    back with header=true must not drop one row per partition."""
+    rows = [(str(i), f"v{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "a string, b string").repartition(7)
+    out = str(tmp_path / "never_parts")
+    write_csv(df, out, header=True, escape_mode="never")
+    back = read_csv(spark, out, header=True)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+    # every non-empty part file leads with the header line
+    import glob
+    for part in glob.glob(f"{out}/part-*"):
+        with open(part) as fh:
+            first = fh.readline().rstrip("\n")
+        if first:
+            assert first == "a,b", part
+
+
 def test_escape_mode_unknown_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="escape_mode"):
         write_csv(spark.range(1), str(tmp_path / "x"), escape_mode="huh")

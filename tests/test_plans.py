@@ -97,12 +97,12 @@ def test_fused_segmented_carry_join_validated():
 
 
 def test_xpath_fast_texts_stays_jvm_side(spark):
-    """The XPath fast path must compile to the built-in Hive xpath
-    expression — zero Python/Arrow eval nodes in the plan (VERDICT r03 #4:
-    take the common child-axis case off the ~40 MB/s Python tier)."""
+    """The XPath fast path must compile to from_xml + array HOFs — zero
+    Python/Arrow eval nodes in the plan (VERDICT r03 #4: take the common
+    child-axis case off the ~40 MB/s Python tier)."""
     df = q(spark, "xpath_fast_texts")
     plan = plan_of(df)
-    # the Hive xpath expression lives inside a codegen'd Generate (explode)
+    # the posexplode over the from_xml result lives in a Generate node
     assert "Generate" in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, f"Python tier leaked into plan: {marker}"

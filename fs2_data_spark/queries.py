@@ -851,6 +851,44 @@ def emb_near_dups_q(spark, sf_dir):
             .filter(F.col("cos_sim") >= 0.4))
 
 
+@_q("dedup_cluster_docs", f"""
+WITH RECURSIVE e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             {_hyperplane_sig_sql(4, 64)} AS sig
+      FROM e),
+p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.4),
+edges AS (SELECT id1 AS a, id2 AS b FROM p
+          UNION SELECT id2, id1 FROM p),
+reach AS (
+  SELECT vec_id AS id, vec_id AS r FROM embeddings
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+SELECT id AS vec_id, MIN(r) AS cluster_id,
+       (id = MIN(r)) AS is_canonical
+FROM reach GROUP BY id
+""")
+def dedup_cluster_docs(spark, sf_dir):
+    """Fuzzy-dedup clustering: the transitive closure over near-duplicate
+    PAIRS (here the oracle-proven hyperplane-bucket embedding pairs of
+    ``emb_near_dups``) via iterative min-label propagation with pointer
+    jumping (``operators/dedup.py connected_components``) — the
+    keep-one-per-cluster step LSH candidate generation feeds in every
+    production dedup pipeline.  Hard oracle: the component-min labeling is
+    unique and engine-portable, so a DuckDB recursive CTE (min reachable
+    node id) must reproduce every (vec_id, cluster_id, is_canonical) row
+    exactly."""
+    from fs2_data_spark.operators.dedup import dedup_clusters
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = emb_near_dups_q(spark, sf_dir).select("id1", "id2")
+    return dedup_clusters(emb, pairs, id_col="vec_id").select(
+        "vec_id", "cluster_id", "is_canonical")
+
+
 @_q("multimodal_decode_smoke", None)
 def multimodal_smoke(spark, sf_dir):
     """Multimodal binary-column plumbing driven end-to-end with the

@@ -277,3 +277,37 @@ def test_repetition_stats_values_and_no_shuffle(spark):
     with redirect_stdout(buf):
         repetition_stats(df, k=2).explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label CC: a 9-node path (forces multiple propagation rounds —
+    pointer jumping must close it), a triangle, and an isolated edge all
+    resolve to their component minimum."""
+    from fs2_data_spark.operators.dedup import connected_components
+    chain = [(i, i + 1) for i in range(10, 18)]          # 10-..-18
+    tri = [(2, 5), (5, 7), (2, 7)]
+    pair = [(100, 99)]
+    pairs = spark.createDataFrame(chain + tri + pair, "id1 bigint, id2 bigint")
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert all(got[n] == 10 for n in range(10, 19))
+    assert got[2] == got[5] == got[7] == 2
+    assert got[99] == got[100] == 99
+    # partitioning-invariant
+    got2 = {r.node: r.component
+            for r in connected_components(pairs.repartition(5)).collect()}
+    assert got == got2
+
+
+def test_dedup_clusters_keep_policy(spark):
+    from fs2_data_spark.operators.dedup import dedup_clusters
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id bigint")
+    pairs = spark.createDataFrame([(1, 4), (4, 6), (2, 3)],
+                                  "id1 bigint, id2 bigint")
+    out = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in dedup_clusters(docs, pairs).collect()}
+    assert out[1] == (1, True) and out[4] == (1, False) and out[6] == (1, False)
+    assert out[2] == (2, True) and out[3] == (2, False)
+    # singletons are their own canonical cluster
+    for s in (0, 5, 7):
+        assert out[s] == (s, True)
+    assert sum(1 for c, k in out.values() if k) == 5  # kept rows

@@ -1,0 +1,103 @@
+"""Data-mixing operators: deterministic stratified sampling for corpus
+composition control — the "mix 30% code, 60% web, 10% books" step of a
+training-data pipeline, done as a pure per-row decision so it scales to any
+corpus size with zero shuffle.
+
+Sampling is hash-Bernoulli on the row id: a row is kept iff
+``hash(id, seed) / M < rate(stratum)``.  Unlike ``df.sample``, the decision
+is a deterministic function of (id, seed) — reruns, retries, and different
+partitionings keep exactly the same rows (reproducible ablations, stable
+joins against previously sampled artifacts).
+
+Two hash methods:
+
+- ``xxhash64`` (default): Spark's 64-bit xxHash — full avalanche, the
+  production choice.
+- ``portable``: two multiplicative-mod rounds in plain bigint arithmetic,
+  identical in any ANSI-SQL engine — the oracle-checkable tier (same
+  pattern as the canonical IVF build).  Residues of
+  ``((id*2654435761 + seed) % 1000003 * 40503 + 17) % 999983`` are
+  equidistributed over sequential ids; thresholds are exact integers so the
+  keep decision never touches floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_P1, _P2 = 1_000_003, 999_983
+_M1, _M2 = 2_654_435_761, 40_503
+
+
+def portable_unit_hash(id_col: F.Column, seed: int = 42) -> F.Column:
+    """Engine-portable integer hash of a bigint id in ``[0, 999983)``."""
+    h1 = F.pmod(id_col.cast("bigint") * _M1 + seed, F.lit(_P1))
+    return F.pmod(h1 * _M2 + 17, F.lit(_P2))
+
+
+def portable_unit_hash_sql(id_expr: str, seed: int = 42) -> str:
+    """The identical hash as an ANSI-SQL expression (for oracles)."""
+    return f"((({id_expr}) * {_M1} + {seed}) % {_P1} * {_M2} + 17) % {_P2}"
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_rate: float = 0.0,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    ``rates`` maps stratum value -> keep probability in [0, 1]; strata not
+    listed use ``default_rate``.  Zero shuffle: the rate lookup is a small
+    CASE expression (or a broadcast join if you materialize rates as a
+    table) and the keep decision is per-row arithmetic — the filter pushes
+    to the scan, so at 100 TB the sample never materializes the dropped
+    rows anywhere.
+    """
+    if method == "portable":
+        h = portable_unit_hash(F.col(id_col), seed)
+        m = _P2
+    elif method == "xxhash64":
+        h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 31))
+        m = 1 << 31
+    else:
+        raise ValueError(f"unknown method {method!r} (portable | xxhash64)")
+    thr = F.lit(None).cast("bigint")
+    expr = None
+    for stratum, rate in rates.items():
+        cond = F.col(stratum_col) == F.lit(stratum)
+        t = F.lit(int(rate * m))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thr = (expr.otherwise(F.lit(int(default_rate * m)))
+           if expr is not None else F.lit(int(default_rate * m)))
+    return df.filter(h < thr)
+
+
+def mixing_rates(
+    df: DataFrame,
+    target_weights: dict[str, float],
+    budget_rows: int,
+    stratum_col: str = "source",
+) -> dict[str, float]:
+    """Per-stratum keep rates that hit a target mixture.
+
+    Given desired mixture weights (normalized internally) and a total row
+    budget, computes ``rate_s = min(1, budget * w_s / n_s)`` from the actual
+    per-stratum counts — one aggregation over the corpus and a
+    strata-bounded collect (a planning read, same category as
+    ``detect_hot_keys``).  Oversubscribed strata cap at 1.0 (can't sample
+    more than exists); renormalize and re-run if exact totals matter more
+    than exact proportions.
+    """
+    total_w = sum(target_weights.values())
+    counts = {r[0]: r[1] for r in
+              df.groupBy(stratum_col).agg(F.count(F.lit(1))).collect()}
+    rates = {}
+    for s, w in target_weights.items():
+        n = counts.get(s, 0)
+        rates[s] = 0.0 if n == 0 else min(1.0, budget_rows * (w / total_w) / n)
+    return rates

@@ -889,6 +889,96 @@ def dedup_cluster_docs(spark, sf_dir):
         "vec_id", "cluster_id", "is_canonical")
 
 
+_MIX_RATES = {"en": 0.5, "zh": 0.25, "fr": 1.0, "de": 0.1}
+_MIX_DEFAULT = 0.05
+_MIX_M = 999_983
+
+
+def _mix_thresholds_sql() -> str:
+    cases = " ".join(f"WHEN lang = '{s}' THEN {int(r * _MIX_M)}"
+                     for s, r in _MIX_RATES.items())
+    return f"CASE {cases} ELSE {int(_MIX_DEFAULT * _MIX_M)} END"
+
+
+@_q("mix_sample_docs", f"""
+SELECT doc_id, lang
+FROM documents
+WHERE ((doc_id * 2654435761 + 42) % 1000003 * 40503 + 17) % 999983
+      < {_mix_thresholds_sql()}
+""")
+def mix_sample_docs(spark, sf_dir):
+    """Deterministic stratified sampling — the corpus data-mixing primitive
+    (``operators/mixing.py``): keep each document with its language's
+    probability via an engine-portable integer hash of the doc id, so the
+    sample is a pure function of (id, seed) — rerun/partitioning/engine
+    independent, filter pushed to the scan, zero shuffle.  Hard oracle: the
+    DuckDB SQL computes the identical hash and integer thresholds and must
+    select exactly the same rows."""
+    from fs2_data_spark.operators.mixing import stratified_sample
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(d, _MIX_RATES, stratum_col="lang",
+                             id_col="doc_id", seed=42,
+                             default_rate=_MIX_DEFAULT, method="portable")
+
+
+@_q("pack_sequences_docs", """
+WITH RECURSIVE s AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+p AS (
+  SELECT source, rn, doc_id, n_chars,
+         n_chars AS fill, CAST(0 AS BIGINT) AS bin
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.source, s.rn, s.doc_id, s.n_chars,
+         CASE WHEN p.fill + s.n_chars <= 2000
+              THEN p.fill + s.n_chars ELSE s.n_chars END,
+         CASE WHEN p.fill + s.n_chars <= 2000 THEN p.bin ELSE p.bin + 1 END
+  FROM p JOIN s ON s.source = p.source AND s.rn = p.rn + 1)
+SELECT doc_id, source, bin AS bin_id, fill AS bin_fill,
+       source || '#' || CAST(bin AS VARCHAR) AS bin_key
+FROM p
+""")
+def pack_sequences_docs(spark, sf_dir):
+    """Sequence packing (``operators/packing.py``): greedy contiguous bins
+    of <= 2000 chars per source in doc_id order — the GPT-style document
+    packing step that fills fixed-length training contexts.  One shuffle on
+    the group key, then a numpy searchsorted scan per group (O(bins log n),
+    no per-row Python).  Hard oracle: the greedy scan is order-deterministic,
+    so a DuckDB recursive CTE replays it row-by-row and must reproduce every
+    (bin_id, bin_fill, bin_key) exactly."""
+    from fs2_data_spark.operators.packing import pack_sequences
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = pack_sequences(d, max_tokens=2000, len_col="n_chars",
+                         id_col="doc_id", group_col="source")
+    return out.select("doc_id", "source", "bin_id", "bin_fill", "bin_key")
+
+
+@_q("tok_vocab_topk", f"""
+WITH t AS (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents)
+SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS doc_freq
+FROM t GROUP BY token
+ORDER BY n DESC, token LIMIT 100
+""")
+def tok_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary heavy hitters: top-100 tokens by total count with
+    per-token document frequency — the vocab/stop-token statistics pass of
+    corpus analysis.  Plan shape: posexplode-free ``explode`` -> partial
+    (map-side) count agg -> one shuffle on token id -> TakeOrderedAndProject
+    for the top-k (no global sort).  ``doc_freq`` uses exact
+    count-distinct here (oracle-comparable); at 100 TB swap in
+    ``approx_count_distinct`` — same plan, bounded sketch state.  Ties at
+    the cut are impossible: (n DESC, token) is a total order since token is
+    the group key."""
+    d = _doc_tokens(spark, sf_dir)
+    t = d.select("doc_id", F.explode("tokens").alias("token"))
+    return (t.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("doc_id").alias("doc_freq"))
+            .orderBy(F.desc("n"), "token").limit(100))
+
+
 @_q("multimodal_decode_smoke", None)
 def multimodal_smoke(spark, sf_dir):
     """Multimodal binary-column plumbing driven end-to-end with the

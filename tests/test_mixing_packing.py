@@ -1,0 +1,116 @@
+"""Data-mixing (stratified sampling) + sequence-packing operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fs2_data_spark.operators.mixing import (
+    mixing_rates,
+    portable_unit_hash,
+    stratified_sample,
+)
+from fs2_data_spark.operators.packing import _pack_scan, pack_sequences
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 6, "web")
+         .when(F.col("id") % 10 < 9, "code")
+         .otherwise("books").alias("source"))
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(spark, corpus):
+    rates = {"web": 0.3, "code": 0.8, "books": 1.0}
+    for method in ("portable", "xxhash64"):
+        a = {r.doc_id for r in
+             stratified_sample(corpus, rates, method=method).collect()}
+        b = {r.doc_id for r in
+             stratified_sample(corpus.repartition(13), rates,
+                               method=method).collect()}
+        assert a == b and a, method
+
+
+def test_stratified_sample_hits_rates(spark, corpus):
+    rates = {"web": 0.3, "code": 0.8, "books": 1.0}
+    for method in ("portable", "xxhash64"):
+        got = (stratified_sample(corpus, rates, method=method)
+               .groupBy("source").count().collect())
+        n = {r.source: r["count"] for r in got}
+        assert n["books"] == 1000                      # rate 1.0 keeps all
+        assert abs(n["web"] / 6000 - 0.3) < 0.03, method
+        assert abs(n["code"] / 3000 - 0.8) < 0.03, method
+
+
+def test_stratified_sample_default_rate_zero_drops_unlisted(spark, corpus):
+    out = stratified_sample(corpus, {"books": 1.0}, default_rate=0.0)
+    assert {r.source for r in out.collect()} == {"books"}
+
+
+def test_portable_hash_matches_duckdb(spark):
+    import duckdb
+    df = spark.range(500).select(
+        F.col("id"), portable_unit_hash(F.col("id"), seed=42).alias("h"))
+    got = {r.id: r.h for r in df.collect()}
+    exp = dict(duckdb.sql(
+        "SELECT i, ((i * 2654435761 + 42) % 1000003 * 40503 + 17) % 999983 "
+        "FROM range(500) t(i)").fetchall())
+    assert got == exp
+
+
+def test_mixing_rates_math(spark, corpus):
+    rates = mixing_rates(corpus, {"web": 1, "code": 1, "books": 2},
+                         budget_rows=2000)
+    # web: 2000*(1/4)/6000, code: 500/3000, books: capped at 1.0 (1000 < 1000)
+    assert abs(rates["web"] - 500 / 6000) < 1e-12
+    assert abs(rates["code"] - 500 / 3000) < 1e-12
+    assert rates["books"] == 1.0
+
+
+# --- packing ---------------------------------------------------------------
+
+def test_pack_scan_greedy_semantics():
+    bins, fills = _pack_scan([3, 4, 2, 5, 1, 1], cap=7)
+    # [3,4]=7 | [2,5]=7 | [1,1]=2
+    assert list(bins) == [0, 0, 1, 1, 2, 2]
+    assert list(fills) == [3, 7, 2, 7, 1, 2]
+    # oversized sequence gets its own overflowing bin
+    bins, fills = _pack_scan([2, 9, 2], cap=5)
+    assert list(bins) == [0, 1, 2]
+    assert list(fills) == [2, 9, 2]
+    # exact fit closes the bin on the next element
+    bins, _ = _pack_scan([5, 1], cap=5)
+    assert list(bins) == [0, 1]
+    assert _pack_scan([], cap=5)[0].size == 0
+
+
+def test_pack_sequences_per_group_and_invariance(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b", 3 + (i % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tok int")
+    out = pack_sequences(df, max_tokens=10).collect()
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.bin_key, []).append(r)
+    for key, members in by_bin.items():
+        tot = sum(m.n_tok for m in members)
+        assert tot <= 10 or len(members) == 1, key
+        assert max(m.bin_fill for m in members) == tot
+        assert len({m.source for m in members}) == 1   # never crosses groups
+    out2 = pack_sequences(df.repartition(7), max_tokens=10).collect()
+    assert sorted((r.doc_id, r.bin_key) for r in out2) == \
+        sorted((r.doc_id, r.bin_key) for r in out)
+
+
+def test_pack_sequences_sharded(spark):
+    rows = [(i, 4) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tok int")
+    out = pack_sequences(df, max_tokens=16, group_col=None, shard_by=8)
+    got = out.collect()
+    assert len(got) == 1000 and "__shard" not in out.columns
+    fills = {}
+    for r in got:
+        fills.setdefault(r.bin_key, 0)
+        fills[r.bin_key] += r.n_tok
+    assert all(v <= 16 for v in fills.values())
+    # shards bound group size: more than one shard's worth of bins exists
+    assert len({k.split("#")[0] for k in fills}) == 8

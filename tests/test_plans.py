@@ -108,3 +108,30 @@ def test_xpath_fast_texts_stays_jvm_side(spark):
         assert marker not in plan, f"Python tier leaked into plan: {marker}"
     # projections/scan are codegen'd (the from_xml Generate itself is not)
     assert plan.count("* ") >= 3
+
+
+def test_mix_sample_is_scan_side_filter(spark):
+    """Stratified sampling must be a pure per-row filter — zero Exchange,
+    zero Python; the dropped rows never move (100 TB: the sample decision
+    rides the scan)."""
+    plan = plan_of(q(spark, "mix_sample_docs"))
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
+def test_tok_vocab_topk_no_global_sort(spark):
+    """Top-k vocab must plan as TakeOrderedAndProject (parallel partial
+    top-k + merge), never a global Sort of the full token distribution."""
+    plan = plan_of(q(spark, "tok_vocab_topk"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_single_group_shuffle(spark):
+    """Packing = one hash exchange on the group key feeding the pandas
+    kernel — no extra sort exchange, no join."""
+    plan = plan_of(q(spark, "pack_sequences_docs"))
+    assert plan.count("hashpartitioning(") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

@@ -243,14 +243,26 @@ def main() -> None:
         fn, _sql = REGISTRY[name]
         singles[name], timings[name] = timed_both(lambda: fn(spark, SF_DIR))
 
+    # r5 training-pipeline operators: timed and reported per-query, but NOT
+    # part of `value` (which keeps the r1 flagship+headline definition so
+    # round-over-round totals stay comparable)
+    extra = ["mix_sample_docs", "pack_sequences_docs", "tok_vocab_topk",
+             "dedup_cluster_docs", "dup_token_spans", "decontaminate_docs"]
+    extra_timings: dict[str, float] = {}
+    for name in extra:
+        fn, _sql = REGISTRY[name]
+        singles[name], extra_timings[name] = timed_both(lambda: fn(spark, SF_DIR))
+
     eng_timings, eng_stats, eng_singles = engine_batch(spark, sf)
 
     # `value` keeps the round-1/2 definition (flagship + headline batch) so
     # BENCH_r{N} totals stay comparable; the engine rows are reported
     # separately in `queries`/`engines` with their own subtotal
     total = round(sum(timings.values()), 3)
-    total_single = round(sum(singles.values()), 3)
+    # value_single_shot: same flagship+headline scope as `value`
+    total_single = round(sum(singles[k] for k in timings), 3)
     flag_s = timings["flagship_asof_features"]
+    timings.update(extra_timings)
     timings.update(eng_timings)
     singles.update(eng_singles)
     throughput = {

@@ -1656,6 +1656,39 @@ def streaming_running_features_smoke(spark, sf_dir):
         F.max_by("last_ts_us", "n").alias("last_ts_us"))
 
 
+@_q("streaming_dedup_smoke", """
+SELECT DISTINCT md5(text) AS h FROM documents
+""")
+def streaming_dedup_smoke(spark, sf_dir):
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark`` (bounded
+    state-store key retention), driven to completion with availableNow over
+    an input containing every document TWICE.  The kept-row identity is
+    arrival-order-dependent (first wins), so the query projects the dedup
+    key itself: the distinct content-hash SET is order-independent and the
+    hard oracle is the batch ``SELECT DISTINCT md5(text)``."""
+    import os  # noqa: PLC0415
+
+    from fs2_data_spark.streaming.sessions import streaming_dedup
+    d = _t(spark, sf_dir, "documents").select(
+        F.md5(F.col("text")).alias("h"),
+        # ts well above the epoch: a row AT the epoch is dropped as late
+        # once the first micro-batch clamps the watermark to 0
+        F.timestamp_seconds(F.col("doc_id") + F.lit(1_600_000_000)).alias("ts"))
+    doubled = d.union(d)
+    src = f"/tmp/fs2_stream_src_dd2_{abs(hash(sf_dir)) % 10**9}"
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        doubled.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(doubled.schema).parquet(src)
+    out = streaming_dedup(stream, ["h"], ts="ts", watermark="10000 days")
+    name = _stream_query_name(spark, "fs2ds_stream_dd_smoke")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    # no defensive distinct: if streaming dedup leaked a duplicate the
+    # row-count comparison vs the oracle's DISTINCT must catch it
+    return spark.table(name).select("h")
+
+
 @_q("cbor_transcode_roundtrip", """
 SELECT doc_id, text AS t, lang AS l, CAST(TRUE AS BOOLEAN) AS ok FROM documents
 """)

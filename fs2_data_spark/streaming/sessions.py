@@ -167,3 +167,25 @@ def windowed_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(key, F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "n")
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    dedup_cols: list[str],
+    ts: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication — the ingest-side dedup stage of a
+    continuously fed training corpus: the first row per ``dedup_cols`` value
+    passes, later duplicates are dropped, and the state store only retains
+    keys until the watermark passes them (``dropDuplicatesWithinWatermark``
+    — bounded state, unlike plain ``dropDuplicates`` whose key set grows
+    forever).
+
+    The *kept-row identity* depends on arrival order (first wins), so
+    deterministic downstream contracts should project the dedup key columns
+    themselves (the distinct key SET is arrival-order-independent); the
+    batch analogue/oracle is ``SELECT DISTINCT dedup_cols``."""
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    return (events.withWatermark(ts, watermark)
+            .dropDuplicatesWithinWatermark(dedup_cols))

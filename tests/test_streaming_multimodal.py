@@ -379,3 +379,23 @@ def test_stub_error_names_missing_library(spark):
     df = spark.createDataFrame([(1, b"xx")], "media_id bigint, payload binary")
     with pytest.raises(Exception, match="PIL"):
         decode_image(df).collect()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path, events):
+    """dropDuplicatesWithinWatermark smoke: a doubled input dedupes back to
+    the batch-distinct key set; no duplicate leaks, bounded state."""
+    from fs2_data_spark.streaming.sessions import streaming_dedup
+    sub = (events.filter(F.col("user_id") < 30)
+           .select(F.concat_ws("#", "user_id", "event_type").alias("k"), "ts"))
+    doubled = sub.union(sub)
+    src = str(tmp_path / "dd_src")
+    doubled.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(doubled.schema).parquet(src)
+    out = streaming_dedup(stream, ["k"], ts="ts", watermark="10000 days")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("dd_out").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = [r.k for r in spark.table("dd_out").collect()]
+    exp = {r.k for r in sub.select("k").distinct().collect()}
+    assert len(got) == len(set(got)), "duplicate leaked through streaming dedup"
+    assert set(got) == exp

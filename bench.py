@@ -247,7 +247,9 @@ def main() -> None:
     # part of `value` (which keeps the r1 flagship+headline definition so
     # round-over-round totals stay comparable)
     extra = ["mix_sample_docs", "pack_sequences_docs", "tok_vocab_topk",
-             "dedup_cluster_docs", "dup_token_spans", "decontaminate_docs"]
+             "dedup_cluster_docs", "dup_token_spans", "decontaminate_docs",
+             "split_assign_docs", "unigram_quality_docs",
+             "curriculum_buckets_docs"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

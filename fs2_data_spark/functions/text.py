@@ -208,3 +208,35 @@ def simhash(text: Column | str, bits: int = 16) -> Column:
         vote = F.aggregate(hashed, F.lit(0).cast("bigint"), vote_fn(b))
         out = out + F.when(vote > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
     return out
+
+
+# --- BPE-ish regex pre-tokenization ---------------------------------------
+#
+# The GPT-2 pre-tokenizer splits text into merge-candidate pieces BEFORE the
+# byte-pair merges: contraction suffixes, space-prefixed letter runs,
+# space-prefixed digit runs, space-prefixed punctuation runs, whitespace
+# runs.  The canonical pattern uses a lookahead (``\s+(?!\S)``) that RE2
+# (DuckDB) doesn't support, so this variant drops it — a multi-space run
+# becomes one whitespace token instead of splitting its last space onto the
+# next word.  Every construct used (``\p{L}``/``\p{N}`` Unicode classes,
+# ASCII ``\s``, non-capturing alternation, leftmost-first greedy matching)
+# behaves identically in Java regex (Spark, JVM-side) and RE2 (DuckDB), so
+# the oracle replays it verbatim — pinned by a randomized cross-engine sweep
+# in tests/test_text_functions.py.
+
+BPE_SPLIT_PATTERN = \
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_pretokenize(text: Column | str) -> Column:
+    """BPE-ish pre-token pieces (``array<string>``), JVM-side
+    ``regexp_extract_all`` — the match set covers the input exactly (every
+    character lands in one piece), so ``concat_ws('', ...)`` round-trips."""
+    return F.regexp_extract_all(_c(text), F.lit(BPE_SPLIT_PATTERN), 0)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Count of non-whitespace BPE pre-tokens (bigint) — the "token budget"
+    estimate a training pipeline bins documents by."""
+    return F.size(F.filter(bpe_pretokenize(text),
+                           lambda t: t.rlike(r"\S"))).cast("bigint")

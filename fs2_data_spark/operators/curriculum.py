@@ -1,0 +1,97 @@
+"""Curriculum bucketing: exact-quantile difficulty tiers with zero corpus
+shuffle.
+
+Curriculum learning orders training data easy-to-hard; the pipeline primitive
+is "assign every document to one of k difficulty buckets by the quantile of
+its score" (length, LM score, loss, ...).  ``ntile`` does this with a global
+sort — a full shuffle of the corpus plus a near-sequential window, exactly
+what dies first at 100 TB.  This operator gets the *same* assignment from a
+value histogram instead:
+
+1. ``groupBy(score).count()`` — one aggregation whose output is
+   value-cardinality-sized (map-side combined; for discrete scores like
+   token counts this is thousands of rows, not billions);
+2. a cumulative sum over the tiny histogram (single-partition window over
+   ``|distinct values|`` rows — a planning-sized dataset, not the corpus);
+3. a **broadcast** join back on the score value — the corpus side never
+   shuffles, never sorts.
+
+Bucket rule: ``bucket(v) = min(k-1, k * rows_below(v) // n)`` where
+``rows_below(v)`` counts rows with score strictly less than ``v``.  All ties
+share a bucket (deterministic, unlike ``ntile``'s arbitrary tie splitting),
+buckets are ascending in score, and every bucket holds ~n/k rows up to tie
+granularity.  Pure integer arithmetic end-to-end — any ANSI engine
+reproduces the assignment exactly.
+
+For *continuous* scores whose distinct-value count approaches the corpus
+size, quantize first (``F.round(score, p)``) or fall back to
+``approxQuantile`` cut points; the histogram path is the exact tier for
+discrete/bounded-cardinality scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def quantile_bucket_map(
+    df: DataFrame,
+    score_col: str,
+    k: int = 4,
+) -> DataFrame:
+    """The histogram with bucket assignments: ``(score_col, bucket)``.
+
+    Cumulative row counts come from a window over the histogram ordered by
+    score — the window input is ``|distinct scores|`` rows, so the
+    single-partition sort is a planning-scale operation.
+    """
+    hist = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w = (Window.orderBy(score_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    total = Window.partitionBy()
+    below = F.sum("_cnt").over(w) - F.col("_cnt")
+    n = F.sum("_cnt").over(total)
+    bucket = F.least(F.lit(k - 1),
+                     F.floor(F.lit(k) * below / n).cast("bigint"))
+    return hist.select(score_col, bucket.alias("bucket"))
+
+
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    k: int = 4,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Add ``out_col`` (0..k-1 ascending difficulty) to every row of ``df``
+    by exact value-quantile of ``score_col`` — the corpus side only sees a
+    broadcast hash join, no shuffle, no sort.
+    """
+    m = quantile_bucket_map(df, score_col, k)
+    if out_col != "bucket":
+        m = m.withColumnRenamed("bucket", out_col)
+    return df.join(F.broadcast(m), score_col)
+
+
+def quantile_buckets_sql(
+    table: str,
+    score_col: str,
+    k: int = 4,
+    select_cols: str = "*",
+) -> str:
+    """ANSI-SQL mirror of :func:`quantile_buckets` (for DuckDB oracles)."""
+    return f"""
+WITH hist AS (
+  SELECT {score_col}, COUNT(*) AS _cnt FROM {table} GROUP BY {score_col}),
+cum AS (
+  SELECT {score_col},
+         SUM(_cnt) OVER (ORDER BY {score_col}
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - _cnt AS below,
+         SUM(_cnt) OVER () AS n
+  FROM hist),
+bmap AS (
+  SELECT {score_col},
+         LEAST({k - 1}, CAST(FLOOR({k} * below / n) AS BIGINT)) AS bucket
+  FROM cum)
+SELECT {select_cols} FROM {table} t JOIN bmap USING ({score_col})
+"""

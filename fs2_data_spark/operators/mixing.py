@@ -77,6 +77,74 @@ def stratified_sample(
     return df.filter(h < thr)
 
 
+def split_thresholds(
+    weights: dict[str, float],
+    method: str = "portable",
+) -> list[tuple[str, int]]:
+    """Cumulative integer thresholds for :func:`hash_split`.
+
+    ``weights`` maps split name -> weight (normalized internally); order is
+    the dict's insertion order, so ``{"train": .9, "val": .05, "test": .05}``
+    assigns hash residues ``[0, .9M)`` to train, ``[.9M, .95M)`` to val and
+    the rest to test. Thresholds are exact integers — the assignment never
+    touches floats, so any ANSI engine reproduces it bit-for-bit.
+    """
+    m = _P2 if method == "portable" else 1 << 31
+    total = sum(weights.values())
+    out, acc = [], 0.0
+    for name, w in weights.items():
+        acc += w / total
+        out.append((name, min(m, int(acc * m))))
+    out[-1] = (out[-1][0], m)  # last split absorbs the rounding residue
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    method: str = "portable",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the leakage-free split step
+    of a training-data pipeline.
+
+    Adds ``out_col`` with the split name chosen by the row's hash residue
+    against cumulative thresholds. Like :func:`stratified_sample`, the
+    decision is a pure per-row function of ``(id, seed)``: zero shuffle
+    (a CASE expression evaluated at the scan), rerun/partition/engine
+    independent, and — critically for 100 TB pipelines — *stable under
+    corpus growth*: adding new rows never moves an existing row across
+    splits, unlike ``randomSplit`` (sample-based, partition-order-sensitive)
+    or modulo-of-row-number schemes.
+    """
+    if method == "portable":
+        h = portable_unit_hash(F.col(id_col), seed)
+    elif method == "xxhash64":
+        h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 31))
+    else:
+        raise ValueError(f"unknown method {method!r} (portable | xxhash64)")
+    expr = None
+    for name, thr in split_thresholds(weights, method):
+        cond = h < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr)
+
+
+def hash_split_sql(
+    weights: dict[str, float],
+    id_expr: str = "doc_id",
+    seed: int = 42,
+) -> str:
+    """The identical split assignment as an ANSI-SQL CASE (portable hash)."""
+    h = portable_unit_hash_sql(id_expr, seed)
+    cases = " ".join(
+        f"WHEN ({h}) < {thr} THEN '{name}'"
+        for name, thr in split_thresholds(weights, "portable"))
+    return f"CASE {cases} END"
+
+
 def mixing_rates(
     df: DataFrame,
     target_weights: dict[str, float],

@@ -1,0 +1,94 @@
+"""Corpus-statistics quality scoring: unigram language-model document scores.
+
+The CCNet-style quality filter ranks documents by how "typical" their words
+are under a unigram LM fit on the corpus itself — rare-word-soup (boilerplate,
+OCR noise, lexical garbage) scores low, fluent text scores high.  This is the
+two-pass counterpart of the pure per-row heuristics in ``functions/text.py``
+(:func:`quality_score`): pass 1 aggregates the corpus vocabulary, pass 2 joins
+it back to score each document.
+
+Scale shape (the inherent cost of any corpus-fit score):
+
+- pass 1: ``explode(words) -> groupBy(word).count()`` — one shuffle with
+  map-side partial aggregation, output is vocabulary-sized (<< corpus);
+- pass 2: ``explode(words) -> join(vocab, on=word) -> groupBy(doc_id)`` —
+  the vocab side broadcasts when it fits (typical: a few GB for web-scale
+  vocabularies after min-count pruning), else a shuffle hash join on the
+  word; one final shuffle on doc_id.
+
+Cross-engine determinism: every accumulator is exact integer arithmetic
+(counts, sums of counts); the only floats are two final per-row divisions of
+bigints, which are single IEEE operations — identical in any engine.  No
+``ln``/``log`` in oracle-checked columns (libm implementations differ in the
+last ulp across engines; a rounded log is still a coin flip at rounding
+boundaries).  The reference analogue is fs2-data's exact-expected-value spec
+style (``json/src/test/scala/fs2/data/json/jq/JqSpec.scala:40-458``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from fs2_data_spark.functions.text import words
+
+
+def unigram_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pass 1: corpus unigram counts ``(word, cnt)``.
+
+    One shuffle; partial aggregation happens map-side so the shuffle carries
+    at most ``|vocab|`` rows per task, not one row per token.
+    """
+    return (docs
+            .select(F.explode(words(text_col)).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def unigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document unigram-LM typicality score.
+
+    Returns ``(id_col, n_words, sum_cnt, total_words, lm_score)`` where
+
+    - ``n_words``   = the document's token count,
+    - ``sum_cnt``   = sum over the document's tokens of that token's corpus
+      count (exact bigint — every token is in-vocabulary by construction
+      since the vocab is fit on the same corpus),
+    - ``total_words`` = corpus token total,
+    - ``lm_score``  = mean corpus relative frequency of the document's
+      tokens, ``(sum_cnt / n_words) / total_words`` — the exact unigram-LM
+      mean token probability.  Computed as two successive bigint->double
+      divisions (each a single IEEE op, engine-identical); equals
+      ``exp(-H̃)`` up to Jensen's inequality of the doc's unigram
+      cross-entropy, and induces the same ranking direction: higher = more
+      typical.
+
+    Empty documents keep ``n_words = 0`` and a null score (a left join from
+    the doc list restores rows the explode dropped).
+    """
+    if vocab is None:
+        vocab = unigram_vocab(docs, text_col)
+    total = vocab.agg(F.sum(F.col("cnt").cast("decimal(27,0)"))
+                      .cast("bigint").alias("total_words"))
+    v = F.broadcast(vocab) if broadcast_vocab else vocab
+    tok = docs.select(F.col(id_col), F.explode(words(text_col)).alias("word"))
+    per_doc = (tok.join(v, "word")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_words"),
+                    F.sum(F.col("cnt").cast("decimal(27,0)"))
+                     .cast("bigint").alias("sum_cnt")))
+    base = docs.select(id_col).join(per_doc, id_col, "left").na.fill(
+        {"n_words": 0, "sum_cnt": 0})
+    return (base.crossJoin(F.broadcast(total))
+            .withColumn(
+                "lm_score",
+                F.when(
+                    F.col("n_words") > 0,
+                    F.col("sum_cnt").cast("double")
+                    / F.col("n_words").cast("double")
+                    / F.col("total_words").cast("double"))))

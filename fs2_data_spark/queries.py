@@ -979,6 +979,255 @@ def tok_vocab_topk(spark, sf_dir):
             .orderBy(F.desc("n"), "token").limit(100))
 
 
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _hash_split_sql() -> str:
+    from fs2_data_spark.operators.mixing import hash_split_sql
+    return hash_split_sql(_SPLIT_WEIGHTS, "doc_id", seed=7)
+
+
+@_q("split_assign_docs", f"""
+SELECT doc_id, lang, {_hash_split_sql()} AS split
+FROM documents
+""")
+def split_assign_docs(spark, sf_dir):
+    """Deterministic train/val/test assignment (``operators/mixing.py
+    hash_split``): each row's split is a pure integer-hash function of
+    (doc_id, seed) against cumulative thresholds — zero shuffle (one CASE at
+    the scan), stable under corpus growth (new rows never move existing rows
+    across splits, unlike ``randomSplit``), engine/rerun/partitioning
+    independent.  Hard oracle: DuckDB evaluates the identical hash and
+    thresholds and must assign every row the same split."""
+    from fs2_data_spark.operators.mixing import hash_split
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_split(d, _SPLIT_WEIGHTS, id_col="doc_id", seed=7,
+                      method="portable")
+
+
+_WORDS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+@_q("unigram_quality_docs", f"""
+WITH w AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+v AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_words FROM v),
+pd AS (SELECT w.doc_id, COUNT(*) AS n_words,
+              CAST(SUM(v.cnt) AS BIGINT) AS sum_cnt
+       FROM w JOIN v USING (word) GROUP BY w.doc_id)
+SELECT d.doc_id,
+       COALESCE(pd.n_words, 0) AS n_words,
+       COALESCE(pd.sum_cnt, 0) AS sum_cnt,
+       t.total_words,
+       CASE WHEN pd.n_words > 0
+            THEN CAST(pd.sum_cnt AS DOUBLE) / CAST(pd.n_words AS DOUBLE)
+                 / CAST(t.total_words AS DOUBLE)
+       END AS lm_score
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id CROSS JOIN t
+""")
+def unigram_quality_docs(spark, sf_dir):
+    """Unigram-LM document quality score (``operators/quality.py``) — the
+    CCNet-style corpus-fit filter: pass 1 aggregates the corpus vocabulary
+    (one map-side-combined shuffle, vocab-sized output), pass 2 joins it
+    back (vocab broadcast) and re-aggregates per document.  ``lm_score`` is
+    the exact mean corpus relative frequency of the document's tokens —
+    integer accumulators end-to-end, two final bigint->double divisions
+    (single IEEE ops), so the DuckDB mirror is bit-identical with no
+    ``ln``-cross-engine risk."""
+    from fs2_data_spark.operators.quality import unigram_lm_score
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_lm_score(d, text_col="text", id_col="doc_id")
+
+
+@_q("curriculum_buckets_docs", """
+WITH hist AS (
+  SELECT n_chars, COUNT(*) AS _cnt FROM documents GROUP BY n_chars),
+cum AS (
+  SELECT n_chars,
+         SUM(_cnt) OVER (ORDER BY n_chars
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - _cnt AS below,
+         SUM(_cnt) OVER () AS n
+  FROM hist),
+bmap AS (
+  SELECT n_chars,
+         LEAST(3, CAST(FLOOR(4 * below / n) AS BIGINT)) AS bucket
+  FROM cum)
+SELECT doc_id, n_chars, bucket
+FROM documents t JOIN bmap USING (n_chars)
+""")
+def curriculum_buckets_docs(spark, sf_dir):
+    """Curriculum difficulty tiers (``operators/curriculum.py``): exact
+    k=4 value-quantile buckets of document length with ZERO corpus shuffle —
+    a value histogram (cardinality-sized), a planning-scale cumulative
+    window over the histogram, and a broadcast join back; ties share a
+    bucket deterministically (unlike ``ntile``'s arbitrary tie split, which
+    would also need a full global sort of the corpus).  Pure integer
+    arithmetic; the DuckDB CTE replays it exactly."""
+    from fs2_data_spark.operators.curriculum import quantile_buckets
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return quantile_buckets(d, "n_chars", k=4).select(
+        "doc_id", "n_chars", "bucket")
+
+
+def _bpe_sql() -> str:
+    from fs2_data_spark.functions.text import BPE_SPLIT_PATTERN
+    return BPE_SPLIT_PATTERN.replace("'", "''")
+
+
+@_q("bpe_pretok_docs", f"""
+WITH p AS (SELECT doc_id, text,
+                  regexp_extract_all(text, '{_bpe_sql()}', 0) AS pieces
+           FROM documents)
+SELECT doc_id, pieces,
+       CAST(len(pieces) AS BIGINT) AS n_pieces,
+       CAST(len(list_filter(pieces, x -> regexp_matches(x, '\\S')))
+            AS BIGINT) AS n_tok,
+       (array_to_string(pieces, '') = text) AS roundtrip
+FROM p
+""")
+def bpe_pretok_docs(spark, sf_dir):
+    """BPE-ish regex pre-tokenization (``functions/text.py
+    bpe_pretokenize``): the GPT-2 pre-tokenizer split (contraction
+    suffixes, space-prefixed letter/digit/punctuation runs, whitespace
+    runs) minus its RE2-unsupported lookahead, entirely JVM-side
+    ``regexp_extract_all`` — zero shuffle, zero Python.  The ``roundtrip``
+    column pins the exact-cover property (concatenating the pieces
+    reconstructs the text); the oracle replays the identical pattern in
+    DuckDB/RE2 (leftmost-first greedy alternation matches Java regex on
+    every construct used — cross-engine sweep in
+    tests/test_text_functions.py)."""
+    from fs2_data_spark.functions.text import bpe_pretokenize
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pieces = bpe_pretokenize(F.col("text"))
+    return d.select(
+        "doc_id", pieces.alias("pieces"),
+        F.size(pieces).cast("bigint").alias("n_pieces"),
+        F.size(F.filter(pieces, lambda t: t.rlike(r"\S")))
+         .cast("bigint").alias("n_tok"),
+        (F.concat_ws("", pieces) == F.col("text")).alias("roundtrip"))
+
+
+def _pii_payload_sql() -> str:
+    return ("text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex-' || "
+            "CAST(doc_id AS VARCHAR) || '.org via https://h' || "
+            "CAST(doc_id AS VARCHAR) || '.example/p?q=' || "
+            "CAST(doc_id AS VARCHAR) || ' from 10.1.' || "
+            "CAST(doc_id % 256 AS VARCHAR) || '.7 card 4111222233334' || "
+            "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')")
+
+
+def _redact_oracle_sql() -> str:
+    from fs2_data_spark.functions.redact import pii_counts_sql, redact_sql
+    p = _pii_payload_sql()
+    counts = ",\n       ".join(pii_counts_sql("payload"))
+    return f"""
+WITH p AS (SELECT doc_id, {p} AS payload FROM documents)
+SELECT doc_id,
+       {redact_sql("payload")} AS clean_text,
+       {counts}
+FROM p
+"""
+
+
+@_q("redact_pii_docs", _redact_oracle_sql())
+def redact_pii_docs(spark, sf_dir):
+    """PII redaction + per-kind counts (``functions/redact.py``): emails,
+    URLs, IPv4s and card-length digit runs replaced by typed placeholders
+    in a defined order, counts measured on the original text — a pure
+    per-row projection riding the scan (zero Exchange, zero Python; the
+    ideal 100 TB shape).  The corpus text carries no PII, so the query
+    injects deterministic doc_id-derived spans (one of each kind per row)
+    before scrubbing; the oracle replays payload construction, the
+    redaction chain and the counts with the identical RE2-compatible
+    patterns."""
+    from fs2_data_spark.functions.redact import redact_pii
+    i = F.col("doc_id").cast("string")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact u"), i, F.lit("@ex-"), i,
+            F.lit(".org via https://h"), i, F.lit(".example/p?q="), i,
+            F.lit(" from 10.1."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 card 4111222233334"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        ).alias("payload"))
+    return (redact_pii(d, text_col="payload", out_col="clean_text")
+            .drop("payload"))
+
+
+@_q("streaming_locf_smoke", """
+WITH e AS (SELECT event_id, user_id, ts, value,
+                  (event_type = 'purchase') AS is_obs
+           FROM events WHERE user_id < 50),
+r AS (SELECT *,
+        CASE WHEN is_obs THEN value END AS ov,
+        CASE WHEN is_obs THEN epoch_us(ts) END AS ots
+      FROM e),
+s AS (SELECT user_id, event_id, is_obs,
+        last_value(ov IGNORE NULLS) OVER w AS locf_v,
+        last_value(ots IGNORE NULLS) OVER w AS locf_ts_us
+      FROM r
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, (NOT is_obs), value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id,
+       COALESCE(locf_v, 0.0) AS locf_v,
+       COALESCE(locf_ts_us, -1) AS locf_ts_us
+FROM s WHERE NOT is_obs
+""")
+def streaming_locf_smoke(spark, sf_dir):
+    """Streaming point-in-time LOCF join (``streaming/locf.py``): purchase
+    events publish a per-user value, every other event queries it as of its
+    own timestamp — strict ``t' <= t``, the streaming leg of the north-rule
+    feature stack.  Driven with availableNow over a time-range-partitioned
+    file feed (one range file per trigger, mtimes force ascending admission
+    order), so micro-batches arrive time-ordered; within a batch the group's
+    chunks are resolved as a set, making the output batching-invariant.
+    Hard oracle: the batch as-of window SQL with the identical
+    lexicographic-(ts, value) tie-break."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from fs2_data_spark.streaming.locf import streaming_pit_locf
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50).select(
+        "event_id", "user_id", "ts", "value",
+        (F.col("event_type") == "purchase").alias("is_obs"))
+    src = f"/tmp/fs2_stream_src_locf_{abs(hash(sf_dir)) % 10**9}"
+    if not os.path.exists(f"{src}/_DONE"):
+        # 4 event-time range files, admission-ordered by forced mtimes:
+        # a time-partitioned ingest log (equal ts never straddles a range
+        # boundary, so every obs <= a query's ts lands in an earlier-or-same
+        # trigger)
+        stage = f"{src}_stage"
+        (ev.repartitionByRange(4, "ts").sortWithinPartitions("ts")
+           .write.mode("overwrite").parquet(stage))
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src)
+        parts = sorted(p for p in os.listdir(stage)
+                       if p.startswith("part-") and p.endswith(".parquet"))
+        for i, p in enumerate(parts):
+            dst = f"{src}/batch_{i:03d}.parquet"
+            shutil.copyfile(f"{stage}/{p}", dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(stage, ignore_errors=True)
+        open(f"{src}/_DONE", "w").close()
+        os.utime(f"{src}/_DONE", (1, 1))  # never admitted as newest file
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    # timeout_s=None: a processing-time timeout would keep the availableNow
+    # drain scheduling cleanup batches until every key's timer fires —
+    # 300 s of dead wait and a zombie query (see streaming/locf.py)
+    out = streaming_pit_locf(stream, key="user_id", ts="ts", value="value",
+                             is_obs="is_obs", id_col="event_id",
+                             watermark="10000 days", timeout_s=None)
+    name = _stream_query_name(spark, "fs2ds_stream_locf_smoke")
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select("user_id", "event_id",
+                                    "locf_v", "locf_ts_us")
+
+
 @_q("multimodal_decode_smoke", None)
 def multimodal_smoke(spark, sf_dir):
     """Multimodal binary-column plumbing driven end-to-end with the
@@ -1644,7 +1893,11 @@ def streaming_running_features_smoke(spark, sf_dir):
     if not os.path.exists(f"{src}/_SUCCESS"):
         ev.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
-    out = streaming_running_features(stream, watermark="10000 days")
+    # timeout_s=None so the availableNow drain terminates (ProcessingTime
+    # timeouts force cleanup batches until every timer fires — see
+    # streaming/sessions.py)
+    out = streaming_running_features(stream, watermark="10000 days",
+                                     timeout_s=None)
     name = _stream_query_name(spark, "fs2ds_stream_rf_smoke")
     q = (out.writeStream.outputMode("update").format("memory")
          .queryName(name).trigger(availableNow=True).start())

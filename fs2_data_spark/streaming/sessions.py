@@ -94,7 +94,7 @@ def streaming_running_features(
     ts: str = "ts",
     value: str = "value",
     watermark: str = "1 hour",
-    timeout_s: int = 3600,
+    timeout_s: int | None = 3600,
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState`` —
     the UDx tier for per-key incremental logic the built-in aggregations
@@ -115,7 +115,18 @@ def streaming_running_features(
     replaced only when a chunk's own max beats it, so chunks arriving in
     shuffle order (not event-time order) converge to the same final state
     (round-4 driver hash-fail root cause: the previous kernel overwrote
-    ``last_*`` from the final row of each chunk in arrival order)."""
+    ``last_*`` from the final row of each chunk in arrival order).
+
+    ``timeout_s=None`` disables state expiry (``NoTimeout``).  Use it for
+    bounded drains (``trigger(availableNow=True)``): with a processing-time
+    timeout Spark must keep scheduling no-data cleanup batches until every
+    key's timer fires (``FlatMapGroupsWithStateExec.shouldRunAnotherBatch``
+    is unconditionally true under ``ProcessingTimeTimeout``), so an
+    availableNow drain spins "cleaning up state" batches for up to
+    ``timeout_s`` instead of terminating — measured 300 s+ of dead wait per
+    smoke before this knob existed.  Continuous pipelines keep the default:
+    there the periodic cleanup batches are exactly what bounds the state
+    store to live keys."""
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.streaming.state import (  # noqa: PLC0415
         GroupState,
@@ -138,16 +149,18 @@ def streaming_running_features(
             carry = _fold_running_state(carry, pdf, ts, value)
         n, sv, svus, lv, lt = carry
         state.update((n, sv, svus, lv, lt))
-        state.setTimeoutDuration(timeout_s * 1000)
+        if timeout_s is not None:
+            state.setTimeoutDuration(timeout_s * 1000)
         yield pd.DataFrame([{key: k[0], "n": n, "sum_v": sv, "sum_v_us": svus,
                              "last_v": lv, "last_ts_us": lt}])
 
     events = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    timeout_conf = (GroupStateTimeout.NoTimeout if timeout_s is None
+                    else GroupStateTimeout.ProcessingTimeTimeout)
     return (events.withWatermark(ts, watermark)
             .groupBy(key)
             .applyInPandasWithState(
-                fn, out_schema, state_schema, "update",
-                GroupStateTimeout.ProcessingTimeTimeout))
+                fn, out_schema, state_schema, "update", timeout_conf))
 
 
 def windowed_counts(

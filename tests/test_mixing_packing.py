@@ -114,3 +114,64 @@ def test_pack_sequences_sharded(spark):
     assert all(v <= 16 for v in fills.values())
     # shards bound group size: more than one shard's worth of bins exists
     assert len({k.split("#")[0] for k in fills}) == 8
+
+
+# --- hash split ------------------------------------------------------------
+
+def test_split_thresholds_exact_integers():
+    from fs2_data_spark.operators.mixing import _P2, split_thresholds
+    thr = split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    assert [n for n, _ in thr] == ["train", "val", "test"]
+    assert thr[-1][1] == _P2                     # last absorbs residue
+    assert all(isinstance(t, int) for _, t in thr)
+    assert [t for _, t in thr] == sorted(t for _, t in thr)
+    # unnormalized weights normalize
+    assert split_thresholds({"a": 9, "b": 1})[0][1] == int(0.9 * _P2)
+
+
+def test_hash_split_deterministic_partition_invariant(spark, corpus):
+    from fs2_data_spark.operators.mixing import hash_split
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    for method in ("portable", "xxhash64"):
+        a = {(r.doc_id, r.split) for r in
+             hash_split(corpus, w, method=method).collect()}
+        b = {(r.doc_id, r.split) for r in
+             hash_split(corpus.repartition(11), w, method=method).collect()}
+        assert a == b and len(a) == 10_000, method
+
+
+def test_hash_split_proportions_and_coverage(spark, corpus):
+    from fs2_data_spark.operators.mixing import hash_split
+    got = (hash_split(corpus, {"train": 0.9, "val": 0.05, "test": 0.05})
+           .groupBy("split").count().collect())
+    n = {r.split: r["count"] for r in got}
+    assert set(n) == {"train", "val", "test"}    # no null split rows
+    assert sum(n.values()) == 10_000
+    assert abs(n["train"] / 10_000 - 0.9) < 0.02
+    assert abs(n["val"] / 10_000 - 0.05) < 0.01
+    assert abs(n["test"] / 10_000 - 0.05) < 0.01
+
+
+def test_hash_split_stable_under_corpus_growth(spark, corpus):
+    """Adding rows never moves an existing row across splits (the property
+    randomSplit lacks)."""
+    from fs2_data_spark.operators.mixing import hash_split
+    w = {"train": 0.9, "val": 0.1}
+    small = hash_split(corpus.filter(F.col("doc_id") < 2000), w)
+    full = hash_split(corpus, w)
+    a = {r.doc_id: r.split for r in small.collect()}
+    b = {r.doc_id: r.split for r in full.collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_hash_split_sql_matches_duckdb(spark, corpus):
+    import duckdb
+
+    from fs2_data_spark.operators.mixing import hash_split, hash_split_sql
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    got = {r.doc_id: r.split
+           for r in hash_split(corpus, w, seed=7).collect()}
+    case = hash_split_sql(w, "i", seed=7)
+    exp = dict(duckdb.sql(
+        f"SELECT i, {case} FROM range(10000) t(i)").fetchall())
+    assert got == exp

@@ -135,3 +135,45 @@ def test_pack_sequences_single_group_shuffle(spark):
     assert plan.count("hashpartitioning(") == 1
     assert "FlatMapGroupsInPandas" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_hash_split_is_scan_side_case(spark):
+    """Train/val/test assignment must be a pure per-row CASE expression —
+    zero Exchange, zero Python (100 TB: the split rides the scan, like the
+    stratified-sample filter)."""
+    plan = plan_of(q(spark, "split_assign_docs"))
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
+def test_curriculum_corpus_side_never_shuffles(spark):
+    """Quantile bucketing: the corpus joins the (cardinality-sized) bucket
+    map via broadcast — a full global sort (ntile) would be the scale
+    killer; only the histogram aggregation may shuffle."""
+    plan = plan_of(q(spark, "curriculum_buckets_docs"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
+@pytest.mark.parametrize("name", ["bpe_pretok_docs", "redact_pii_docs"])
+def test_per_row_text_ops_ride_the_scan(spark, name):
+    """BPE pre-tokenization and PII redaction are pure per-row projections:
+    zero Exchange, zero Python — the whole query is one codegen'd scan."""
+    plan = plan_of(q(spark, name))
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
+def test_unigram_quality_vocab_broadcasts(spark):
+    """Corpus-fit LM scoring: the vocabulary side broadcasts back onto the
+    exploded corpus (pass 2) — the corpus token stream must never shuffle
+    for the join, and the whole pipeline stays JVM-side."""
+    plan = plan_of(q(spark, "unigram_quality_docs"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker

@@ -1,0 +1,65 @@
+"""Unigram-LM corpus-quality scoring (operators/quality.py).
+
+Hand-computed exact expectations — every accumulator is integer arithmetic,
+so equality is exact (no tolerance) except the two final IEEE divisions,
+which are also exact for these small integers.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fs2_data_spark.operators.quality import unigram_lm_score, unigram_vocab
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b a"),     # n=3, sum_cnt = 4+2+4 = 10
+        (2, "b c"),       # n=2, sum_cnt = 2+1 = 3
+        (3, ""),          # empty: n=0, null score
+        (4, "a  a"),      # double space filtered: n=2, sum_cnt = 8
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_unigram_vocab_counts(spark, docs):
+    got = {r.word: r.cnt for r in unigram_vocab(docs).collect()}
+    assert got == {"a": 4, "b": 2, "c": 1}
+
+
+def test_unigram_lm_score_exact(spark, docs):
+    got = {r.doc_id: r for r in unigram_lm_score(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for r in got.values():
+        assert r.total_words == 7
+    assert (got[1].n_words, got[1].sum_cnt) == (3, 10)
+    assert got[1].lm_score == (10 / 3) / 7
+    assert (got[2].n_words, got[2].sum_cnt) == (2, 3)
+    assert got[2].lm_score == (3 / 2) / 7
+    # empty doc survives the explode (left join) with a null score
+    assert (got[3].n_words, got[3].sum_cnt, got[3].lm_score) == (0, 0, None)
+    assert got[4].lm_score == 4 / 7
+    # ranking direction: rare-word soup (doc 2) scores below common text
+    assert got[2].lm_score < got[1].lm_score < got[4].lm_score
+
+
+def test_unigram_lm_score_broadcast_parity(spark, docs):
+    a = sorted(map(tuple, unigram_lm_score(docs).collect()))
+    b = sorted(map(tuple,
+                   unigram_lm_score(docs, broadcast_vocab=False).collect()))
+    assert a == b
+
+
+def test_unigram_lm_score_partition_invariant(spark, docs):
+    a = sorted(map(tuple, unigram_lm_score(docs).collect()))
+    b = sorted(map(tuple, unigram_lm_score(docs.repartition(5)).collect()))
+    assert a == b
+
+
+def test_unigram_lm_score_precomputed_vocab(spark, docs):
+    """Passing a frozen vocab (the production shape: fit once, score many
+    shards) gives the same result as the self-fit path."""
+    v = unigram_vocab(docs)
+    a = sorted(map(tuple, unigram_lm_score(docs, vocab=v).collect()))
+    b = sorted(map(tuple, unigram_lm_score(docs).collect()))
+    assert a == b

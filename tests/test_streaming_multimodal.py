@@ -70,11 +70,14 @@ def test_streaming_running_features_matches_batch(spark, events, tmp_path):
     sub = events.filter(F.col("user_id") < 40).select("user_id", "ts", "value")
     sub.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(sub.schema).parquet(src)
-    out = streaming_running_features(stream, watermark="10000 days")
+    out = streaming_running_features(stream, watermark="10000 days",
+                                     timeout_s=None)
     name = "fs2ds_running_features"
     q = (out.writeStream.outputMode("update").format("memory")
          .queryName(name).trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    # NoTimeout => the availableNow drain must actually terminate (with a
+    # processing-time timeout this would spin cleanup batches for 300 s)
+    assert q.awaitTermination(300), "availableNow drain did not terminate"
     # update mode: keep the last emitted row per key
     got = {r.user_id: r for r in spark.table(name).collect()}
     exp = {r.user_id: r for r in

@@ -100,3 +100,64 @@ def test_lang_id_ascii_codepoints_including_non_bmp(spark):
     cp, lang = got["emoji"]
     assert lang in ("en", "other") or cp >= 0x4E00
     assert lang == "en"  # stopword vote wins for the emoji doc
+
+
+# --- BPE-ish pre-tokenization ---------------------------------------------
+
+def test_bpe_pretokenize_hand_cases(spark):
+    from pyspark.sql import functions as F
+    from fs2_data_spark.functions.text import bpe_pretokenize, bpe_token_count
+
+    rows = [
+        (1, "Don't say 12 hi-there  x"),
+        (2, "I'll we've it's 3.14"),
+        (3, "  leading"),
+        (4, ""),
+        (5, "naïve café 中文 № 42"),
+    ]
+    df = spark.createDataFrame(rows, "i bigint, t string")
+    got = {r.i: (r.p, r.n) for r in df.select(
+        "i", bpe_pretokenize("t").alias("p"),
+        bpe_token_count("t").alias("n")).collect()}
+    assert got[1][0] == ["Don", "'t", " say", " 12", " hi", "-", "there",
+                         "  ", "x"]
+    assert got[1][1] == 8                     # whitespace run not counted
+    assert got[2][0] == ["I", "'ll", " we", "'ve", " it", "'s", " 3", ".",
+                         "14"]
+    # no-lookahead deviation: \s+ greedily takes the whole leading run
+    # (canonical GPT-2 would split the last space onto the word)
+    assert got[3][0] == ["  ", "leading"]
+    assert got[4] == ([], 0)
+    # unicode letters fold into \p{L} runs; № (U+2116) is not a letter/digit
+    assert got[5][0] == ["naïve", " café", " 中文", " №", " 42"]
+
+
+def test_bpe_roundtrip_and_duckdb_parity_sweep(spark):
+    """Adversarial cross-engine sweep: 300 generated strings mixing unicode
+    letters, digits, punctuation, contractions and whitespace runs must (a)
+    concat back to the input exactly and (b) tokenize identically in DuckDB
+    RE2 — the property the bpe_pretok_docs oracle relies on."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+    from fs2_data_spark.functions.text import BPE_SPLIT_PATTERN, bpe_pretokenize
+
+    rng = random.Random(7)
+    atoms = ["the", "Don", "x", "λόγος", "naïve", "中文", "42", "3.14",
+             "'s", "'ll", "'x", "a-b", "...", "!?", "№", " ", "  ", "\t",
+             "\n", "_snake", "CamelCase", "e.g.", "O'Brien", "1,000"]
+    texts = ["".join(rng.choice(atoms) for _ in range(rng.randint(0, 12)))
+             for _ in range(300)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i bigint, t string")
+    got = {r.i: r.p for r in
+           df.select("i", bpe_pretokenize("t").alias("p")).collect()}
+    assert all("".join(got[i]) == t for i, t in enumerate(texts))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    exp = dict(con.execute(
+        f"SELECT i, regexp_extract_all(s, '{pat}', 0) FROM t").fetchall())
+    assert got == exp

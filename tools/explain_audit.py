@@ -46,6 +46,15 @@ AUDITED = [
     # no_cartesian does not apply; assert the broadcast + no Python instead
     ("ann_ivf_topk", ["no_python", "broadcast"]),
     ("multimodal_decode_docs", ["pruned_scan"]),
+    ("split_assign_docs", ["no_python", "no_exchange", "pruned_scan"]),
+    ("curriculum_buckets_docs", ["no_python", "broadcast", "no_cartesian",
+                                 "pruned_scan"]),
+    # the 1-row total_words side is a broadcast-NL cross join by design
+    # (bounded), so no_cartesian does not apply; the vocab join must
+    # broadcast and the whole pipeline stays JVM-side
+    ("unigram_quality_docs", ["no_python", "broadcast", "pruned_scan"]),
+    ("bpe_pretok_docs", ["no_python", "no_exchange", "pruned_scan"]),
+    ("redact_pii_docs", ["no_python", "no_exchange", "pruned_scan"]),
 ]
 
 

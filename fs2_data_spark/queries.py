@@ -979,6 +979,52 @@ def tok_vocab_topk(spark, sf_dir):
             .orderBy(F.desc("n"), "token").limit(100))
 
 
+def _chunk_oracle_sql() -> str:
+    from fs2_data_spark.operators.chunking import chunk_tokens_sql
+    return chunk_tokens_sql("documents", TOKENS_SQL, window=32, stride=24,
+                            bos=50256, eos=50257, keep="doc_id")
+
+
+@_q("chunk_tokens_docs", _chunk_oracle_sql())
+def chunk_tokens_docs(spark, sf_dir):
+    """Context-window chunking (``operators/chunking.py``): every document
+    split into 32-token windows every 24 tokens (8-token overlap so each
+    token gets left context in some window), final partial window kept,
+    BOS/EOS framed on.  A pure per-row ``transform(sequence) -> posexplode``
+    projection riding the scan — zero Exchange, zero Python, the inverse of
+    sequence packing.  The oracle replays the identical start arithmetic
+    and slice semantics with DuckDB ``range`` + 1-based list slicing."""
+    from fs2_data_spark.operators.chunking import chunk_tokens
+    d = _doc_tokens(spark, sf_dir).select("doc_id", "tokens")
+    out = chunk_tokens(d, window=32, stride=24, bos=50256, eos=50257)
+    return out.select("doc_id", "chunk_no",
+                      _arr_str(F.col("chunk")).alias("chunk_str"), "n_chunk")
+
+
+def _bpe_learn_oracle() -> str:
+    from fs2_data_spark.operators.bpe import bpe_learn_sql
+    return bpe_learn_sql("documents", TOKENS_SQL, n_merges=6)
+
+
+@_q("bpe_learn_docs", _bpe_learn_oracle())
+def bpe_learn_docs(spark, sf_dir):
+    """Distributed BPE merge learning (``operators/bpe.py``): 6 rounds of
+    count-all-adjacent-pairs -> deterministic argmax (cnt desc, pair
+    lexicographic) -> greedy leftmost rewrite via the Arrow kernel tier
+    (numpy over flat ListArray buffers, no per-row Python), corpus
+    localCheckpoint-ed per round.  Returns the learned merge table — 6
+    rows pinning the *entire* iterative computation: a wrong count, tie
+    break, overlap rule, or rewrite in any round changes every later row.
+    Hard oracle: the full loop unrolled as DuckDB round-CTEs (pair-count
+    agg, 1-row argmax, window-function parity filter for the greedy rule,
+    list rebuild)."""
+    from fs2_data_spark.operators.bpe import bpe_learn
+    d = _doc_tokens(spark, sf_dir).select("doc_id", "tokens")
+    table, _ = bpe_learn(d, n_merges=6, tier="arrow")
+    return spark.createDataFrame(
+        table, "round int, a int, b int, new_id int, cnt bigint")
+
+
 _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 

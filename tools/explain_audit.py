@@ -55,6 +55,7 @@ AUDITED = [
     ("unigram_quality_docs", ["no_python", "broadcast", "pruned_scan"]),
     ("bpe_pretok_docs", ["no_python", "no_exchange", "pruned_scan"]),
     ("redact_pii_docs", ["no_python", "no_exchange", "pruned_scan"]),
+    ("chunk_tokens_docs", ["no_python", "no_exchange", "pruned_scan"]),
 ]
 
 

@@ -92,3 +92,50 @@ def unigram_lm_score(
                     F.col("sum_cnt").cast("double")
                     / F.col("n_words").cast("double")
                     / F.col("total_words").cast("double"))))
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    broadcast_df: bool = True,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the keyword/topic-signature
+    extraction pass (clustering features, domain tagging, near-dup
+    explanations).
+
+    Returns ``(id_col, word, tf, df, score)`` with
+    ``score = tf * n_docs / df``: the classic ``tf * idf`` ranking with the
+    monotone ``N/df`` in place of ``ln(N/df)`` — same per-document order
+    (``ln`` is monotone; ``tf ln(N/df)`` vs ``tf N/df`` CAN rank
+    differently when both tf and df vary, but the engine exposes the raw
+    ``(tf, df, n_docs)`` triple so any idf flavor is one expression away),
+    and, unlike ``ln``, exactly reproducible across engines: the score is
+    one bigint product and one IEEE division — no libm in oracle-checked
+    columns.  Ties rank deterministically by word.
+
+    Scale shape: ONE corpus explode feeding both statistics — ``tf`` is
+    the ``(doc, word)`` aggregation (one map-side-combined shuffle), ``df``
+    re-aggregates the tf table itself (vocabulary-sized input, not the
+    corpus).  The ``df`` table broadcasts when it fits
+    (``broadcast_df``), else a shuffle join on word; top-k is one
+    ``row_number`` window over the per-doc term lists."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = docs.select(F.col(id_col), F.explode(words(text_col)).alias("word"))
+    tf = w.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    # tf rows are unique per (doc, word): counting them per word IS the
+    # document frequency — no second corpus pass
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    d = F.broadcast(dfreq) if broadcast_df else dfreq
+    s = (tf.join(d, "word")
+         .crossJoin(F.broadcast(n))
+         .withColumn("score",
+                     (F.col("tf") * F.col("n_docs")).cast("double")
+                     / F.col("df").cast("double")))
+    rk = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.desc("score"), "word"))
+    return (s.withColumn("rk", rk).filter(F.col("rk") <= k)
+            .select(id_col, "word", "tf", "df", "score"))

@@ -1085,6 +1085,99 @@ def unigram_quality_docs(spark, sf_dir):
     return unigram_lm_score(d, text_col="text", id_col="doc_id")
 
 
+@_q("tfidf_topk_docs", f"""
+WITH w AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.word, tf.tf, dfq.df,
+             CAST(tf.tf * nd.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE)
+               AS score
+      FROM tf JOIN dfq USING (word) CROSS JOIN nd),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, word) AS rk
+      FROM s)
+SELECT doc_id, word, tf, df, score FROM r WHERE rk <= 5
+""")
+def tfidf_topk_docs(spark, sf_dir):
+    """Per-document top-5 TF-IDF terms (``operators/quality.py
+    tfidf_topk``): one corpus explode feeds tf; df re-aggregates the tf
+    table (vocabulary-sized) and broadcasts back; top-k via one row_number
+    window.  The score ``tf * n_docs / df`` is one bigint product + one
+    IEEE division — engine-identical with no libm; ties rank by word."""
+    from fs2_data_spark.operators.quality import tfidf_topk
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_topk(d, text_col="text", id_col="doc_id", k=5)
+
+
+def _preprocess_oracle_sql() -> str:
+    from fs2_data_spark.functions.redact import redact_sql
+    from fs2_data_spark.functions.text import BPE_SPLIT_PATTERN
+    _bpe_pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    return f"""
+WITH c AS (SELECT doc_id, {redact_sql("text")} AS text FROM documents),
+s AS (
+  SELECT doc_id, text, len({_WS_SQL}) AS n,
+         len(list_filter({_WS_SQL}, w -> w IN {_STOP_SQL})) AS nstop,
+         list_sum(list_transform({_WS_SQL}, w -> CAST(length(w) AS BIGINT))) AS totlen,
+         len(list_distinct({_WS_SQL})) AS ndist,
+         CAST(len(list_filter(regexp_extract_all(text, '{_bpe_pat}', 0),
+                              x -> regexp_matches(x, '\\S'))) AS BIGINT) AS n_tok,
+         CASE WHEN ascii(text) >= 19968 AND ascii(text) <= 40959 THEN 'zh'
+              WHEN ascii(text) >= 1024 AND ascii(text) < 1280 THEN 'ru'
+              WHEN len(list_filter({_WS_SQL}, w -> w IN {_STOP_SQL})) >= 1 THEN 'en'
+              ELSE 'other' END AS lang_pred,
+         {_hash_split_sql()} AS split
+  FROM c),
+q AS (
+  SELECT *, ROUND(((CASE WHEN n BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN (CASE WHEN n > 0 THEN CAST(nstop AS DOUBLE)/n ELSE 0.0 END) >= 0.01
+               THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN (CASE WHEN n > 0 THEN CAST(totlen AS DOUBLE)/n ELSE 0.0 END)
+                    BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN n > 0 THEN CAST(ndist AS DOUBLE)/n ELSE 0.0 END)) / 4.0, 6) AS quality
+  FROM s),
+d AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM q)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words, n_tok, quality
+FROM d
+WHERE split = 'train' AND quality >= 0.5 AND lang_pred = 'en'
+  AND doc_id = keeper
+"""
+
+
+@_q("preprocess_pipeline_docs", _preprocess_oracle_sql())
+def preprocess_pipeline_docs(spark, sf_dir):
+    """The fused end-to-end preprocessing recipe a training pipeline runs —
+    five already-oracled operators COMPOSED in one plan: PII redaction ->
+    quality heuristics + language ID + BPE token budget (all per-row,
+    riding the scan) -> deterministic train/val/test hash split (a CASE,
+    still per-row) -> exact first-seen dedup (one window shuffle on the
+    content hash, the recipe's only Exchange) -> the train-split quality
+    gate.  Returns the surviving training rows with their stats.  The
+    oracle replays the entire chain as one SQL pipeline — composition
+    bugs (stage ordering, column capture, redacted-vs-raw text feeding a
+    stage) cannot hide behind per-operator green rows."""
+    from fs2_data_spark.functions.redact import redact
+    from fs2_data_spark.operators.mixing import hash_split
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    c = d.select("doc_id", redact("text").alias("text"))
+    c = c.select(
+        "doc_id", "text",
+        TXT.token_count("text").alias("n_words"),
+        TXT.bpe_token_count("text").alias("n_tok"),
+        TXT.quality_score("text").alias("quality"),
+        TXT.lang_id("text").alias("lang_pred"))
+    c = hash_split(c, _SPLIT_WEIGHTS, id_col="doc_id", seed=7,
+                   method="portable")
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
+    return (c.withColumn("keeper", keeper)
+            .filter((F.col("split") == "train")
+                    & (F.col("quality") >= 0.5)
+                    & (F.col("lang_pred") == "en")
+                    & (F.col("doc_id") == F.col("keeper")))
+            .select("doc_id", "n_words", "n_tok", "quality"))
+
+
 @_q("curriculum_buckets_docs", """
 WITH hist AS (
   SELECT n_chars, COUNT(*) AS _cnt FROM documents GROUP BY n_chars),

@@ -63,3 +63,55 @@ def test_unigram_lm_score_precomputed_vocab(spark, docs):
     a = sorted(map(tuple, unigram_lm_score(docs, vocab=v).collect()))
     b = sorted(map(tuple, unigram_lm_score(docs).collect()))
     assert a == b
+
+
+# --- TF-IDF top-k ----------------------------------------------------------
+
+
+def test_tfidf_topk_matches_reference(spark):
+    """Randomized parity with a pure-Python tf*N/df reference, including
+    the deterministic (score desc, word) tie ranking."""
+    import random
+    from collections import Counter
+
+    from fs2_data_spark.operators.quality import tfidf_topk
+
+    rng = random.Random(13)
+    vocab = ["w%d" % i for i in range(12)]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(0, 25))))
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    k = 4
+    got = {(r.doc_id, r.word): (r.tf, r.df, r.score)
+           for r in tfidf_topk(docs, k=k).collect()}
+
+    n_docs = len(rows)
+    df = Counter()
+    tfs = {}
+    for i, t in rows:
+        c = Counter(t.split())
+        c.pop("", None)
+        tfs[i] = c
+        for w in c:
+            df[w] += 1
+    exp = {}
+    for i, c in tfs.items():
+        ranked = sorted(
+            ((tf * n_docs / df[w], w, tf) for w, tf in c.items()),
+            key=lambda x: (-x[0], x[1]))
+        for score, w, tf in ranked[:k]:
+            exp[(i, w)] = (tf, df[w], score)
+    assert got == exp
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from fs2_data_spark.operators.quality import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "common rare common"), (2, "common x"), (3, "common y")],
+        "doc_id int, text string")
+    top = {r.doc_id: r.word
+           for r in tfidf_topk(docs, k=1).collect()}
+    # 'common' appears everywhere (df=3); doc 1's top term must be 'rare'
+    assert top[1] == "rare"

@@ -56,6 +56,13 @@ AUDITED = [
     ("bpe_pretok_docs", ["no_python", "no_exchange", "pruned_scan"]),
     ("redact_pii_docs", ["no_python", "no_exchange", "pruned_scan"]),
     ("chunk_tokens_docs", ["no_python", "no_exchange", "pruned_scan"]),
+    # tf joins the vocabulary-sized df table broadcast; the 1-row n_docs
+    # side is a bounded broadcast-NL cross by design
+    ("tfidf_topk_docs", ["no_python", "broadcast", "pruned_scan"]),
+    # per-row stages fused onto the scan; the first-seen dedup window is
+    # the recipe's single exchange
+    ("preprocess_pipeline_docs", ["no_python", "single_window_exchange",
+                                  "pruned_scan"]),
 ]
 
 

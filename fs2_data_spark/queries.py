@@ -1367,6 +1367,91 @@ def streaming_locf_smoke(spark, sf_dir):
                                     "locf_v", "locf_ts_us")
 
 
+@_q("streaming_locf_unordered_smoke", """
+WITH e AS (SELECT event_id, user_id, ts, value,
+                  (event_type = 'purchase') AS is_obs
+           FROM events WHERE user_id < 50),
+r AS (SELECT *,
+        CASE WHEN is_obs THEN value END AS ov,
+        CASE WHEN is_obs THEN epoch_us(ts) END AS ots
+      FROM e),
+s AS (SELECT user_id, event_id, is_obs,
+        last_value(ov IGNORE NULLS) OVER w AS locf_v,
+        last_value(ots IGNORE NULLS) OVER w AS locf_ts_us
+      FROM r
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, (NOT is_obs), value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id,
+       COALESCE(locf_v, 0.0) AS locf_v,
+       COALESCE(locf_ts_us, -1) AS locf_ts_us
+FROM s WHERE NOT is_obs
+""")
+def streaming_locf_unordered_smoke(spark, sf_dir):
+    """Out-of-order streaming point-in-time LOCF (``streaming/locf.py
+    streaming_pit_locf_unordered``): the SAME events as the ordered smoke
+    delivered in SCRAMBLED time-range order (mtimes force admission order
+    2,0,3,1), with the watermark delay above the data span so nothing is
+    late-dropped and per-key heartbeat rows past ``max_ts + delay`` that
+    push the watermark over every query.  Queries buffer in per-key state
+    and emit only when the watermark passes them (EventTimeTimeout wakes
+    keys without new data), so the answers equal the batch as-of join
+    regardless of delivery order — the identical hard oracle as the
+    ordered smoke, with NO ordering caveat."""
+    import datetime  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from fs2_data_spark.streaming.locf import streaming_pit_locf_unordered
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50).select(
+        "event_id", "user_id", "ts", "value",
+        (F.col("event_type") == "purchase").alias("is_obs"))
+    src = f"/tmp/fs2_stream_src_locf_u_{abs(hash(sf_dir)) % 10**9}"
+    if not os.path.exists(f"{src}/_DONE"):
+        bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")
+                        ).collect()[0]
+        delay_days = (bounds.hi - bounds.lo).days + 2
+        hb_ts = bounds.hi + datetime.timedelta(days=delay_days + 1)
+        users = [r.user_id for r in ev.select("user_id").distinct().collect()]
+        stage = f"{src}_stage"
+        (ev.repartitionByRange(4, "ts").sortWithinPartitions("ts")
+           .write.mode("overwrite").parquet(stage))
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src)
+        parts = sorted(p for p in os.listdir(stage)
+                       if p.startswith("part-") and p.endswith(".parquet"))
+        for mtime_rank, i in enumerate([2, 0, 3, 1]):
+            dst = f"{src}/batch_{i:03d}.parquet"
+            shutil.copyfile(f"{stage}/{parts[i]}", dst)
+            os.utime(dst, (1_700_000_000 + mtime_rank,) * 2)
+        hb = spark.createDataFrame(
+            [(10_000_000 + int(u), int(u), hb_ts, 0.0, True)
+             for u in sorted(users)], ev.schema)
+        hb.coalesce(1).write.mode("overwrite").parquet(f"{stage}_hb")
+        hbp = [p for p in os.listdir(f"{stage}_hb")
+               if p.endswith(".parquet")][0]
+        shutil.copyfile(f"{stage}_hb/{hbp}", f"{src}/zz_heartbeat.parquet")
+        os.utime(f"{src}/zz_heartbeat.parquet", (1_700_000_010,) * 2)
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(f"{stage}_hb", ignore_errors=True)
+        with open(f"{src}/_DELAY", "w") as fh:
+            fh.write(str(delay_days))
+        open(f"{src}/_DONE", "w").close()
+        os.utime(f"{src}/_DONE", (1, 1))
+    with open(f"{src}/_DELAY") as fh:
+        delay_days = int(fh.read())
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_pit_locf_unordered(
+        stream, key="user_id", ts="ts", value="value", is_obs="is_obs",
+        id_col="event_id", watermark=f"{delay_days} days")
+    name = _stream_query_name(spark, "fs2ds_stream_locf_u_smoke")
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select("user_id", "event_id",
+                                    "locf_v", "locf_ts_us")
+
+
 @_q("multimodal_decode_smoke", None)
 def multimodal_smoke(spark, sf_dir):
     """Multimodal binary-column plumbing driven end-to-end with the

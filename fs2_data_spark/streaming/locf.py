@@ -184,3 +184,147 @@ def streaming_pit_locf(
             .groupBy(key)
             .applyInPandasWithState(
                 fn, out_schema, _STATE_SCHEMA, "update", timeout_conf))
+
+
+_UNORDERED_STATE_SCHEMA = (
+    "lt bigint, lv double, obs_ts array<bigint>, obs_v array<double>, "
+    "q_ts array<bigint>, q_id array<long>")
+
+
+def streaming_pit_locf_unordered(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    is_obs: str = "is_obs",
+    id_col: str = "event_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Out-of-order-tolerant streaming as-of resolution — the
+    watermark-buffered variant the ordered operator's docstring promises.
+
+    :func:`streaming_pit_locf` is exact under time-ordered batch delivery;
+    this variant is exact under ARBITRARY delivery order of events no
+    later than the watermark delay: every event is buffered in per-key
+    state, and a query is resolved only once the event-time watermark has
+    passed its timestamp (strictly) — at that point every observation with
+    ``obs.ts <= query.ts`` has either arrived or was dropped as late by
+    the watermark itself, so the emitted answer equals the batch as-of
+    join over the full stream *regardless of delivery order* (the batch
+    operator is therefore the oracle with no ordering caveat at all).
+
+    The price is the inherent one: per-key state holds the events inside
+    the disorder horizon (watermark delay), so memory is O(keys x delay x
+    rate) instead of O(keys).  Buffered observations below the watermark
+    compact into the single carried ``(ts, value)`` lexicographic max —
+    future queries all have ``ts > watermark``, for which that max is the
+    only below-watermark observation that can ever matter.
+
+    Flush semantics are watermark semantics: a query emits only once the
+    watermark passes it.  The operator arms an ``EventTimeTimeout`` at the
+    earliest pending query's timestamp, so a key IS invoked (with no data)
+    as soon as the global watermark crosses its oldest pending query —
+    buffered queries never need new per-key data to be released, only
+    watermark progress.  Queries inside the final watermark delay of the
+    stream's end stay buffered — the standard
+    last-window-never-closes behavior of event-time streaming; drains
+    that need them push the watermark past the end with late heartbeat
+    rows (the smoke does).
+
+    Output rows carry ``emitted_wm_us`` (the watermark that released
+    them) for lineage; resolution itself reuses the ordered operator's
+    set-resolution kernel, so tie-breaks (lexicographic ``(ts, value)``
+    max, inclusive ``t' <= t``) are identical across all three legs:
+    batch as-of, ordered streaming, unordered streaming.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    types = {f.name: f.dataType.simpleString() for f in events.schema.fields}
+    out_schema = (f"{key} {types[key]}, {id_col} {types[id_col]}, "
+                  "locf_v double, locf_ts_us bigint, emitted_wm_us bigint")
+
+    def fn(k: tuple, pdfs, state: GroupState):
+        # hasTimedOut here means "the watermark crossed this key's oldest
+        # pending query" — a flush signal, not expiry: fall through with an
+        # empty batch and resolve what the watermark now allows
+        lt, lv, obs_ts, obs_v, q_ts, q_id = (
+            state.get if state.exists else (None, None, [], [], [], []))
+        obs_ts = np.asarray(obs_ts, dtype="int64")
+        obs_v = np.asarray(obs_v, dtype="float64")
+        q_ts = np.asarray(q_ts, dtype="int64")
+        q_id = np.asarray(q_id, dtype="int64")
+
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = (chunks[0] if len(chunks) == 1
+                   else pd.concat(chunks, ignore_index=True))
+            s = pd.to_datetime(pdf[ts])
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            t_us = s.to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+            ob = pdf[is_obs].to_numpy(dtype="bool")
+            obs_ts = np.concatenate((obs_ts, t_us[ob]))
+            obs_v = np.concatenate(
+                (obs_v, pdf[value].to_numpy(dtype="float64")[ob]))
+            q_ts = np.concatenate((q_ts, t_us[~ob]))
+            q_id = np.concatenate(
+                (q_id, pdf[id_col].to_numpy(dtype="int64")[~ob]))
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        ready = q_ts < wm_us
+        if ready.any():
+            # resolve the released queries against carry + ALL buffered
+            # observations with the ordered kernel (identical tie-breaks);
+            # observations above a query's ts sort after it and are ignored
+            # by the ffill, so including them is harmless
+            frame = pd.DataFrame({
+                ts: np.concatenate((obs_ts, q_ts[ready])).astype(
+                    "datetime64[us]"),
+                value: np.concatenate(
+                    (obs_v, np.zeros(int(ready.sum())))),
+                is_obs: np.concatenate(
+                    (np.ones(len(obs_ts), dtype=bool),
+                     np.zeros(int(ready.sum()), dtype=bool))),
+            })
+            res, _ = _resolve_chunk((lt, lv), frame, ts, value, is_obs)
+            # _pos indexes the synthetic frame: query i sits at len(obs)+i
+            qpos = res["_pos"].to_numpy() - len(obs_ts)
+            yield pd.DataFrame({
+                key: k[0],
+                id_col: q_id[ready][qpos],
+                "locf_v": res["locf_v"].to_numpy(),
+                "locf_ts_us": res["locf_ts_us"].to_numpy(),
+                "emitted_wm_us": np.int64(wm_us),
+            })
+            q_ts, q_id = q_ts[~ready], q_id[~ready]
+
+        # compact below-watermark observations into the carry: any future
+        # query has ts >= wm, so only the lexicographic max below wm matters
+        old = obs_ts < wm_us
+        if old.any():
+            m_ts = obs_ts[old].max()
+            m_v = obs_v[old][obs_ts[old] == m_ts].max()
+            if lt is None or (int(m_ts), float(m_v)) > (lt, lv):
+                lt, lv = int(m_ts), float(m_v)
+            obs_ts, obs_v = obs_ts[~old], obs_v[~old]
+
+        state.update((lt, lv, [int(x) for x in obs_ts],
+                      [float(x) for x in obs_v],
+                      [int(x) for x in q_ts], [int(x) for x in q_id]))
+        if len(q_ts):
+            # wake this key when the watermark passes its oldest pending
+            # query (ms, strictly above the current watermark by the
+            # resolve rule: pending q_ts >= wm_us)
+            state.setTimeoutTimestamp(int(q_ts.min()) // 1000 + 1)
+
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    return (events.withWatermark(ts, watermark)
+            .groupBy(key)
+            .applyInPandasWithState(
+                fn, out_schema, _UNORDERED_STATE_SCHEMA, "update",
+                GroupStateTimeout.EventTimeTimeout))

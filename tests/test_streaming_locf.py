@@ -169,3 +169,81 @@ def test_streaming_pit_locf_matches_batch(spark, events, tmp_path):
             else:
                 exp[r.event_id] = (0.0, -1)
     assert got == exp and len(got) > 50
+
+
+def test_streaming_pit_locf_unordered_scrambled_delivery(
+        spark, events, tmp_path):
+    """The watermark-buffered variant: files delivered in SCRAMBLED
+    time-range order must still reproduce the batch as-of join exactly —
+    the watermark delay exceeds the data span (nothing is late), and
+    per-key heartbeat rows beyond max_ts + delay push the watermark past
+    every query so the drain flushes all of them."""
+    import datetime
+    import os
+    import shutil
+
+    from fs2_data_spark.streaming.locf import streaming_pit_locf_unordered
+
+    ev = (events.filter(F.col("user_id") < 20)
+          .select("event_id", "user_id", "ts", "value",
+                  (F.col("event_type") == "purchase").alias("is_obs")))
+    rows = ev.collect()
+    tmin = min(r.ts for r in rows)
+    tmax = max(r.ts for r in rows)
+    delay_days = (tmax - tmin).days + 2
+    hb_ts = tmax + datetime.timedelta(days=delay_days + 1)
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    stage = str(tmp_path / "stage")
+    (ev.repartitionByRange(4, "ts").sortWithinPartitions("ts")
+       .write.mode("overwrite").parquet(stage))
+    parts = sorted(p for p in os.listdir(stage)
+                   if p.startswith("part-") and p.endswith(".parquet"))
+    assert len(parts) == 4
+    # admission order 2, 0, 3, 1 — maximally out of time order
+    for mtime_rank, i in enumerate([2, 0, 3, 1]):
+        dst = str(src / f"b{i:02d}.parquet")
+        shutil.copyfile(f"{stage}/{parts[i]}", dst)
+        os.utime(dst, (1_700_000_000 + mtime_rank,) * 2)
+    # heartbeat file last: one obs per user beyond max_ts + delay
+    users = sorted({r.user_id for r in rows})
+    hb = spark.createDataFrame(
+        [(10_000_000 + u, u, hb_ts, 0.0, True) for u in users],
+        ev.schema)
+    hb.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "hb"))
+    hbp = [p for p in os.listdir(str(tmp_path / "hb"))
+           if p.endswith(".parquet")][0]
+    shutil.copyfile(str(tmp_path / "hb" / hbp), str(src / "zz_hb.parquet"))
+    os.utime(str(src / "zz_hb.parquet"), (1_700_000_010,) * 2)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    out = streaming_pit_locf_unordered(
+        stream, key="user_id", ts="ts", value="value",
+        is_obs="is_obs", id_col="event_id",
+        watermark=f"{delay_days} days")
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("locf_unord").trigger(availableNow=True).start())
+    assert q.awaitTermination(180), "drain did not terminate"
+    got = {r.event_id: (r.locf_v, r.locf_ts_us)
+           for r in spark.table("locf_unord").collect()}
+
+    exp = {}
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for urows in by_user.values():
+        obs = [(r.ts, r.value) for r in urows if r.is_obs]
+        for r in urows:
+            if r.is_obs:
+                continue
+            c = [(t, v) for t, v in obs if t <= r.ts]
+            if c:
+                t, v = max(c)
+                us = (int(calendar.timegm(t.timetuple())) * 1_000_000
+                      + t.microsecond)
+                exp[r.event_id] = (v, us)
+            else:
+                exp[r.event_id] = (0.0, -1)
+    assert got == exp and len(got) > 50

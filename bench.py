@@ -249,7 +249,9 @@ def main() -> None:
     extra = ["mix_sample_docs", "pack_sequences_docs", "tok_vocab_topk",
              "dedup_cluster_docs", "dup_token_spans", "decontaminate_docs",
              "split_assign_docs", "unigram_quality_docs",
-             "curriculum_buckets_docs"]
+             "curriculum_buckets_docs", "chunk_tokens_docs",
+             "bpe_pretok_docs", "redact_pii_docs", "tfidf_topk_docs",
+             "preprocess_pipeline_docs", "bpe_learn_docs"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

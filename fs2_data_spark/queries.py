@@ -2676,9 +2676,11 @@ def xml_pretty_docs(spark, sf_dir):
 # never regain a driver row), the registry is reordered every round from the
 # recorded driver-check history: the flagship first, then queries that have
 # never had a driver row, then queries whose implementation or oracle changed
-# after their last row, then everything else stalest-first.  With ~77 queries
-# and a 50-entry window this guarantees no query's last driver row ages past
-# two rounds (pinned by tests/test_registry_order.py).
+# after their last row, then everything else stalest-first.  Stalest-first
+# bounds every query's driver-row age at the tightest achievable revisit
+# cycle, ceil(len(REGISTRY) / 50) rounds — 2 rounds up to 100 queries,
+# 3 rounds at the current 101+ (pinned by tests/test_registry_order.py,
+# which derives the bound from the registry size).
 
 CURRENT_ROUND = 5
 

@@ -6,8 +6,17 @@ The driver's correctness harness checks only the first 50 entries of
 every round the registry is reordered from the recorded driver-check history
 so that (a) never-checked queries and queries changed after their last row
 sit inside the window, and (b) no query's most recent driver row ages past
-two rounds.
+the revisit cycle.
+
+The cycle length is ``ceil(len(REGISTRY) / DRIVER_WINDOW)``: a 50-slot
+window over N queries can revisit every query at best every ``ceil(N/50)``
+rounds, so a 2-round staleness bound was only achievable while N <= 100.
+With N > 100 the bound derives from the registry size (currently 3
+rounds) — asserting 2 would demand checking more than 50 queries per
+round, which the driver cannot do.
 """
+
+import math
 
 from fs2_data_spark.queries import (
     CURRENT_ROUND,
@@ -17,6 +26,9 @@ from fs2_data_spark.queries import (
     REGISTRY,
     driver_last_row,
 )
+
+# tightest achievable revisit cycle for this registry size (rounds)
+CYCLE = max(2, math.ceil(len(REGISTRY) / DRIVER_WINDOW))
 
 
 def test_flagship_is_first():
@@ -37,23 +49,45 @@ def test_changed_queries_inside_window():
     assert missing == [], f"changed-after-last-row queries past the window: {missing}"
 
 
-def test_no_row_older_than_two_rounds_after_this_check():
+def test_no_row_older_than_cycle_after_this_check():
     """Staleness bound: once this round's driver check runs (covering the
-    first 50 entries), every query's most recent row is from round
-    CURRENT_ROUND-2 or later."""
+    first 50 entries), every query's most recent row is at most CYCLE
+    rounds old."""
     names = list(REGISTRY)
     last = driver_last_row()
-    stale = [n for n in names[DRIVER_WINDOW:] if last[n] < CURRENT_ROUND - 2]
-    assert stale == [], f"queries whose last driver row would be >2 rounds old: {stale}"
+    stale = [n for n in names[DRIVER_WINDOW:] if last[n] < CURRENT_ROUND - CYCLE]
+    assert stale == [], \
+        f"queries whose last driver row would be >{CYCLE} rounds old: {stale}"
 
 
 def test_window_capacity_not_exceeded():
-    """The set that MUST be in the window (never-checked + forced + stale)
-    fits in 50 — if this fails, the window needs a second rotation round."""
+    """The set that MUST be in the window this round (never-checked +
+    forced + queries that would otherwise age past the cycle) fits in 50 —
+    if this fails, the registry has outgrown the achievable cycle and the
+    bound above needs to lengthen (it derives from len(REGISTRY), so
+    adding queries updates both sides together)."""
     last = driver_last_row()
     must = {n for n in REGISTRY
-            if last[n] == 0 or n in FORCE_FRONT or last[n] < CURRENT_ROUND - 1}
+            if last[n] == 0 or n in FORCE_FRONT
+            or last[n] < CURRENT_ROUND - (CYCLE - 1)}
     assert len(must) <= DRIVER_WINDOW
+
+
+def test_stalest_fill_the_window():
+    """Among queries with history, the window's non-forced slots go to the
+    stalest first — no fresher query sits inside while a staler one sits
+    outside (the property that makes the cycle bound hold round over
+    round)."""
+    names = list(REGISTRY)
+    last = driver_last_row()
+    inside = [last[n] for n in names[:DRIVER_WINDOW]
+              if last[n] > 0 and n not in FORCE_FRONT
+              and n != "pit_fused_events"]  # flagship is pinned first
+    outside = [last[n] for n in names[DRIVER_WINDOW:]
+               if last[n] > 0 and n not in FORCE_FRONT]
+    if inside and outside:
+        assert max(inside) <= min(outside), \
+            "a fresher query occupies a window slot while a staler one waits"
 
 
 def test_history_names_are_registry_names():

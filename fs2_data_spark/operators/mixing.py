@@ -77,6 +77,102 @@ def stratified_sample(
     return df.filter(h < thr)
 
 
+def temperature_rates(
+    counts: dict[str, int],
+    alpha: float = 0.5,
+    target_total: int | None = None,
+) -> dict[str, float]:
+    """Temperature-sampling rates per stratum (multilingual/multi-source
+    rebalancing, public recipe from the multilingual-LM literature): sample
+    stratum ``s`` proportional to ``n_s ** alpha`` — ``alpha=1`` keeps the
+    natural distribution, ``alpha=0`` gives uniform across strata, values
+    in between flatten the head and boost the tail.
+
+    Returns ``{stratum: rate}`` where ``rate = p_s * T / n_s`` with
+    ``p_s = n_s**alpha / sum n**alpha`` and ``T = target_total`` (default:
+    the current total).  Rates may exceed 1 — feed them to
+    :func:`stratified_resample`, which upsamples deterministically.
+    Driver-side planning math over the per-stratum count table (a
+    vocabulary-sized aggregate, same class as the hot-key planning reads).
+    """
+    if not counts:
+        return {}
+    total = sum(counts.values())
+    t = target_total if target_total is not None else total
+    z = sum(n ** alpha for n in counts.values())
+    return {s: (n ** alpha / z) * t / n for s, n in counts.items()}
+
+
+def stratified_resample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_rate: float = 1.0,
+    method: str = "portable",
+    copy_col: str = "copy_no",
+) -> DataFrame:
+    """:func:`stratified_sample` generalized to rates ABOVE 1 — the
+    "epochs per source" step of corpus mixing (e.g. books x2.5, web x0.4):
+    every row is emitted ``floor(rate)`` times plus one more with
+    probability ``frac(rate)``, decided by the same deterministic hash, and
+    tagged with ``copy_col`` (0-based) so downstream stages can tell copies
+    apart.  Still a pure per-row decision: a ``CASE`` for the copy count, a
+    ``sequence`` + ``posexplode`` for the copies — zero shuffle, and
+    dropped rows never materialize.
+    """
+    if method == "portable":
+        h = portable_unit_hash(F.col(id_col), seed)
+        m = _P2
+    elif method == "xxhash64":
+        h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 31))
+        m = 1 << 31
+    else:
+        raise ValueError(f"unknown method {method!r} (portable | xxhash64)")
+
+    def case_of(value_of) -> F.Column:
+        expr = None
+        for stratum, rate in rates.items():
+            cond = F.col(stratum_col) == F.lit(stratum)
+            v = F.lit(value_of(rate))
+            expr = F.when(cond, v) if expr is None else expr.when(cond, v)
+        dflt = F.lit(value_of(default_rate))
+        return dflt if expr is None else expr.otherwise(dflt)
+
+    base = case_of(lambda r: int(r))                      # full copies
+    extra_thr = case_of(lambda r: int((r - int(r)) * m))  # fractional copy
+    n_copies = (base + (h < extra_thr).cast("int")).alias("__n")
+    copies = F.when(
+        n_copies > 0,
+        F.sequence(F.lit(0), n_copies - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select("*", F.explode(copies).alias(copy_col))
+
+
+def resample_sql(
+    rates: dict[str, float],
+    stratum_expr: str = "source",
+    id_expr: str = "doc_id",
+    seed: int = 42,
+    default_rate: float = 1.0,
+) -> tuple[str, str]:
+    """DuckDB mirror of :func:`stratified_resample` (portable hash):
+    returns ``(n_copies_expr, lateral_unnest_sql)`` fragments."""
+    h = portable_unit_hash_sql(id_expr, seed)
+
+    def case_of(value_of) -> str:
+        whens = " ".join(
+            f"WHEN ({stratum_expr}) = '{s}' THEN {value_of(r)}"
+            for s, r in rates.items())
+        return f"CASE {whens} ELSE {value_of(default_rate)} END"
+
+    base = case_of(lambda r: int(r))
+    extra = case_of(lambda r: int((r - int(r)) * _P2))
+    n = f"({base}) + (CASE WHEN ({h}) < ({extra}) THEN 1 ELSE 0 END)"
+    return n, "unnest(range(0, n_copies)) AS u(c)"
+
+
 def split_thresholds(
     weights: dict[str, float],
     method: str = "portable",

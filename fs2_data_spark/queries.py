@@ -1051,6 +1051,38 @@ def split_assign_docs(spark, sf_dir):
                       method="portable")
 
 
+_RESAMPLE_RATES = {"src0": 2.5, "src1": 1.0, "src2": 0.4}
+
+
+def _resample_oracle_sql() -> str:
+    from fs2_data_spark.operators.mixing import resample_sql
+    n_expr, lateral = resample_sql(_RESAMPLE_RATES, "source", "doc_id",
+                                   seed=11, default_rate=0.75)
+    return f"""
+WITH r AS (SELECT doc_id, source, {n_expr} AS n_copies FROM documents)
+SELECT doc_id, source, CAST(u.c AS INTEGER) AS copy_no
+FROM r, {lateral}
+"""
+
+
+@_q("resample_docs", _resample_oracle_sql())
+def resample_docs(spark, sf_dir):
+    """Deterministic stratified RESAMPLING (``operators/mixing.py
+    stratified_resample``) — mixing rates above 1: src0 x2.5 (two full
+    copies + a hash-decided third), src1 x1.0, src2 x0.4 (downsample),
+    everything else x0.75.  The "epochs per source" step of corpus
+    composition, still a pure per-row decision (CASE copy count +
+    sequence/posexplode — zero shuffle, rerun/partitioning independent);
+    copies carry ``copy_no``.  Rates for real runs come from
+    ``temperature_rates`` (n_s^alpha rebalancing) over the per-source
+    count table; the oracle replays the hash, thresholds and copy fan-out
+    with DuckDB ``range``+``unnest``."""
+    from fs2_data_spark.operators.mixing import stratified_resample
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_resample(d, _RESAMPLE_RATES, seed=11,
+                               default_rate=0.75, method="portable")
+
+
 _WORDS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 

@@ -175,3 +175,59 @@ def test_hash_split_sql_matches_duckdb(spark, corpus):
     exp = dict(duckdb.sql(
         f"SELECT i, {case} FROM range(10000) t(i)").fetchall())
     assert got == exp
+
+
+# --- temperature rates + resampling ---------------------------------------
+
+def test_temperature_rates_math():
+    from fs2_data_spark.operators.mixing import temperature_rates
+    counts = {"a": 900, "b": 100}
+    # alpha=1: natural distribution -> every rate 1.0
+    nat = temperature_rates(counts, alpha=1.0)
+    assert nat == {"a": 1.0, "b": 1.0}
+    # alpha=0: uniform across strata -> expected rows equal per stratum
+    uni = temperature_rates(counts, alpha=0.0)
+    assert abs(uni["a"] * 900 - uni["b"] * 100) < 1e-9
+    # alpha=0.5 boosts the tail, trims the head, preserves the total
+    t = temperature_rates(counts, alpha=0.5)
+    assert t["b"] > 1.0 > t["a"]
+    assert abs(t["a"] * 900 + t["b"] * 100 - 1000) < 1e-9
+    # explicit target_total rescales
+    t2 = temperature_rates(counts, alpha=0.5, target_total=500)
+    assert abs(t2["a"] * 900 + t2["b"] * 100 - 500) < 1e-9
+    assert temperature_rates({}) == {}
+
+
+def _portable_hash(i, seed):
+    return ((i * 2_654_435_761 + seed) % 1_000_003 * 40_503 + 17) % 999_983
+
+
+def test_stratified_resample_matches_reference(spark):
+    from fs2_data_spark.operators.mixing import _P2, stratified_resample
+    rates = {"a": 2.5, "b": 1.0, "c": 0.4, "d": 0.0}
+    rows = [(i, "abcde"[i % 5]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_resample(df, rates, seed=11, default_rate=0.75,
+                              method="portable")
+    got = sorted((r.doc_id, r.copy_no) for r in out.collect())
+    exp = []
+    for i, s in rows:
+        r = rates.get(s, 0.75)
+        n = int(r) + (1 if _portable_hash(i, 11) < int((r - int(r)) * _P2)
+                      else 0)
+        exp += [(i, c) for c in range(n)]
+    assert got == sorted(exp)
+    # the integer-rate stratum keeps exactly one copy of every row
+    b_rows = [(i, c) for (i, c) in got if rows[i][1] == "b"]
+    assert b_rows == [(i, 0) for i, s in rows if s == "b"]
+    # the zero-rate stratum is gone
+    assert all(rows[i][1] != "d" for i, _ in got)
+
+
+def test_stratified_resample_bad_method(spark):
+    import pytest as _pytest
+
+    from fs2_data_spark.operators.mixing import stratified_resample
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with _pytest.raises(ValueError):
+        stratified_resample(df, {"a": 1.0}, method="md5")

@@ -63,6 +63,7 @@ AUDITED = [
     # the recipe's single exchange
     ("preprocess_pipeline_docs", ["no_python", "single_window_exchange",
                                   "pruned_scan"]),
+    ("resample_docs", ["no_python", "no_exchange", "pruned_scan"]),
 ]
 
 

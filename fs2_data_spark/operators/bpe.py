@@ -215,14 +215,18 @@ def bpe_learn_sql(
     tokens_expr: str,
     n_merges: int,
     id_col: str = "doc_id",
+    select: str = "merges",
 ) -> str:
     """Hard DuckDB oracle for the FULL iterative learning loop: one CTE
     block per unrolled round — pair counts, 1-row argmax, match positions,
     the greedy parity filter as window functions, and a list-rebuild —
     emitting the same ``(round, a, b, new_id, cnt)`` merge table
-    :func:`bpe_learn` returns.  The parity filter is applied
-    unconditionally: for ``a != b`` consecutive match positions cannot
-    occur, so every run is a singleton and the filter keeps everything."""
+    :func:`bpe_learn` returns (``select="merges"``), or the final
+    retokenized corpus after all rounds (``select="corpus"``: one row per
+    document with the comma-joined token string and its length).  The
+    parity filter is applied unconditionally: for ``a != b`` consecutive
+    match positions cannot occur, so every run is a singleton and the
+    filter keeps everything."""
     ctes = [
         f"t0 AS (SELECT {id_col}, {tokens_expr} AS t FROM {table_expr})",
         "mx AS (SELECT MAX(list_max(t)) + 1 AS base FROM t0)",
@@ -263,4 +267,8 @@ def bpe_learn_sql(
         outs.append(
             f"SELECT {r} AS round, x.a, x.b, mx.base + {r} AS new_id, x.cnt\n"
             f"FROM best{r} x CROSS JOIN mx")
+    if select == "corpus":
+        final = (f"SELECT {id_col}, array_to_string(t, ',') AS tokens_str,\n"
+                 f"       CAST(len(t) AS INTEGER) AS n_tok FROM t{n_merges}")
+        return "WITH " + ",\n".join(ctes) + "\n" + final
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)

@@ -1025,6 +1025,28 @@ def bpe_learn_docs(spark, sf_dir):
         table, "round int, a int, b int, new_id int, cnt bigint")
 
 
+def _bpe_apply_oracle() -> str:
+    from fs2_data_spark.operators.bpe import bpe_learn_sql
+    return bpe_learn_sql("documents", TOKENS_SQL, n_merges=6,
+                         select="corpus")
+
+
+@_q("bpe_apply_docs", _bpe_apply_oracle())
+def bpe_apply_docs(spark, sf_dir):
+    """The retokenized corpus after the 6 learned BPE merges — closes the
+    learn->encode loop end-to-end: ``bpe_learn_docs`` pins the merge table,
+    this row pins every document's final token sequence (Arrow kernel
+    rewrites, token-array equality via the comma-joined string).  Same
+    unrolled round-CTE oracle, selecting the final round's corpus instead
+    of the merge table."""
+    from fs2_data_spark.operators.bpe import bpe_learn
+    d = _doc_tokens(spark, sf_dir).select("doc_id", "tokens")
+    _, final = bpe_learn(d, n_merges=6, tier="arrow")
+    return final.select(
+        "doc_id", _arr_str(F.col("tokens")).alias("tokens_str"),
+        F.size("tokens").alias("n_tok"))
+
+
 _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 

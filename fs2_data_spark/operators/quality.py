@@ -94,6 +94,26 @@ def unigram_lm_score(
                     / F.col("total_words").cast("double"))))
 
 
+def merge_vocabs(*vocabs: DataFrame) -> DataFrame:
+    """Merge per-partition/per-snapshot vocabularies: union + re-sum.
+
+    ``(word, cnt)`` tables form a commutative monoid under this merge, which
+    is what makes corpus statistics maintainable INCREMENTALLY at scale:
+    fit the vocab once per ingest snapshot (each a bounded job over new
+    data only), keep the merged table, and never recompute over the full
+    100 TB corpus.  The merge itself shuffles only vocabulary-sized inputs.
+    The law ``merge(vocab(A), vocab(B)) == vocab(A ∪ B)`` for disjoint
+    A, B is pinned by the ``vocab_merge_docs`` oracle (Spark computes the
+    left side from corpus halves, DuckDB the right side directly)."""
+    if not vocabs:
+        raise ValueError("merge_vocabs needs at least one vocabulary")
+    out = vocabs[0]
+    for v in vocabs[1:]:
+        out = out.unionByName(v)
+    return out.groupBy("word").agg(
+        F.sum(F.col("cnt").cast("bigint")).alias("cnt"))
+
+
 def tfidf_topk(
     docs: DataFrame,
     text_col: str = "text",

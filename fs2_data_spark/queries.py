@@ -1232,6 +1232,26 @@ def preprocess_pipeline_docs(spark, sf_dir):
             .select("doc_id", "n_words", "n_tok", "quality"))
 
 
+@_q("vocab_merge_docs", f"""
+WITH w AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY word
+""")
+def vocab_merge_docs(spark, sf_dir):
+    """Incremental corpus-statistics maintenance: the vocabulary monoid law
+    (``operators/quality.py merge_vocabs``).  Spark fits two vocabularies
+    on DISJOINT corpus halves (doc_id parity — two independent snapshot
+    jobs) and merges them (union + re-sum, vocabulary-sized shuffle only);
+    the oracle computes the whole-corpus vocabulary directly.  Equality is
+    the property that lets a 100 TB pipeline maintain corpus stats by
+    folding in each ingest snapshot instead of recomputing: counts are
+    exact bigints, so the law holds bit-for-bit, not approximately."""
+    from fs2_data_spark.operators.quality import merge_vocabs, unigram_vocab
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = unigram_vocab(d.filter(F.col("doc_id") % 2 == 0))
+    b = unigram_vocab(d.filter(F.col("doc_id") % 2 == 1))
+    return merge_vocabs(a, b)
+
+
 @_q("curriculum_buckets_docs", """
 WITH hist AS (
   SELECT n_chars, COUNT(*) AS _cnt FROM documents GROUP BY n_chars),

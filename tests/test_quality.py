@@ -115,3 +115,23 @@ def test_tfidf_rare_term_outranks_common(spark):
            for r in tfidf_topk(docs, k=1).collect()}
     # 'common' appears everywhere (df=3); doc 1's top term must be 'rare'
     assert top[1] == "rare"
+
+
+def test_merge_vocabs_monoid_law(spark, docs):
+    from fs2_data_spark.operators.quality import merge_vocabs, unigram_vocab
+    a = unigram_vocab(docs.filter(F.col("doc_id") % 2 == 0))
+    b = unigram_vocab(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = {r.word: r.cnt for r in merge_vocabs(a, b).collect()}
+    full = {r.word: r.cnt for r in unigram_vocab(docs).collect()}
+    assert merged == full
+    # single-argument merge is the identity re-aggregation
+    one = {r.word: r.cnt for r in merge_vocabs(unigram_vocab(docs)).collect()}
+    assert one == full
+
+
+def test_merge_vocabs_empty_args():
+    import pytest as _pytest
+
+    from fs2_data_spark.operators.quality import merge_vocabs
+    with _pytest.raises(ValueError):
+        merge_vocabs()

@@ -64,6 +64,7 @@ AUDITED = [
     ("preprocess_pipeline_docs", ["no_python", "single_window_exchange",
                                   "pruned_scan"]),
     ("resample_docs", ["no_python", "no_exchange", "pruned_scan"]),
+    ("vocab_merge_docs", ["no_python", "no_cartesian", "pruned_scan"]),
 ]
 
 

@@ -210,6 +210,48 @@ def simhash(text: Column | str, bits: int = 16) -> Column:
     return out
 
 
+def winnow_fingerprints_from(wh: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    MOSS algorithm — public): slide a ``w``-window over the POSITIONAL
+    ``k``-gram shingle-hash sequence and keep each window's minimum; the
+    distinct sorted minima are the fingerprint set.  Guarantee inherited
+    from the paper: any shared run of ``w + k - 1`` words between two
+    documents contributes at least one common fingerprint — unlike MinHash
+    (a similarity *estimate*), winnowing is a *detection* primitive with a
+    coverage guarantee, at ~|shingles|/w fingerprints per document.
+
+    Simplification vs the paper, stated: fingerprints are the minima
+    VALUES (deduplicated), not (value, position) pairs with the
+    rightmost-tie rule — the set is what equi-join candidate generation
+    consumes, and dropping positions cannot lose a detection (the shared
+    window still contributes its minimum value to both documents).
+
+    Positional shingles (``shingle_hashes_from`` without its distinct) via
+    the same zip-shifted-slices construction; exact int64 arithmetic, so
+    the DuckDB mirror reproduces every fingerprint bit-for-bit.  Stage
+    ``wh`` as a projected column (see ``shingle_hashes_from``)."""
+    B = F.lit(1_000_003).cast("bigint")
+    m = F.size(wh) - (k - 1)
+    acc = F.slice(wh, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(wh, 1 + j, m), lambda a, x: a * B + x)
+    hs = F.when(F.size(wh) >= k, acc).otherwise(
+        F.array().cast("array<bigint>"))
+    nwin = F.size(hs) - (w - 1)
+    mins = F.transform(F.sequence(F.lit(0), nwin - 1),
+                       lambda i: F.array_min(F.slice(hs, i + 1, w)))
+    short = F.when(F.size(hs) > 0, F.array(F.array_min(hs))).otherwise(
+        F.array().cast("array<bigint>"))
+    return F.array_sort(F.array_distinct(
+        F.when(F.size(hs) >= w, mins).otherwise(short)))
+
+
+def winnow_fingerprints(text: Column | str, k: int = 3, w: int = 4) -> Column:
+    """Convenience composition over :func:`word_hashes` (hot paths: stage
+    the word-hash array first)."""
+    return winnow_fingerprints_from(word_hashes(text), k, w)
+
+
 # --- BPE-ish regex pre-tokenization ---------------------------------------
 #
 # The GPT-2 pre-tokenizer splits text into merge-candidate pieces BEFORE the

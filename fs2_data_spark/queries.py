@@ -1232,6 +1232,47 @@ def preprocess_pipeline_docs(spark, sf_dir):
             .select("doc_id", "n_words", "n_tok", "quality"))
 
 
+@_q("winnow_fp_docs", f"""
+WITH wh AS (SELECT doc_id, {_WH_SQL} AS w FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(w) >= 3 THEN list_transform(
+               generate_series(1, len(w) - 2),
+               i -> (w[CAST(i AS INTEGER)] * 1000003
+                     + w[CAST(i AS INTEGER) + 1]) * 1000003
+                     + w[CAST(i AS INTEGER) + 2])
+             ELSE [] END AS sh
+      FROM wh),
+f AS (SELECT doc_id,
+        CASE WHEN len(sh) >= 4 THEN list_sort(list_distinct(list_transform(
+               generate_series(1, len(sh) - 3),
+               i -> list_min(sh[CAST(i AS INTEGER)
+                               : CAST(i AS INTEGER) + 3]))))
+             WHEN len(sh) > 0 THEN [list_min(sh)]
+             ELSE CAST([] AS BIGINT[]) END AS fp
+      FROM s)
+SELECT doc_id, array_to_string(fp, ',') AS fp_str,
+       CAST(len(fp) AS INTEGER) AS n_fp
+FROM f
+""")
+def winnow_fp_docs(spark, sf_dir):
+    """Winnowing document fingerprints (``functions/text.py
+    winnow_fingerprints`` — the MOSS algorithm): minima of a 4-window over
+    the positional word-trigram shingle-hash sequence, distinct and
+    sorted.  The detection-guarantee primitive of the dedup family (any
+    shared 6-word run forces a shared fingerprint — MinHash only makes it
+    likely); pure per-row HOFs riding the scan, exact int64 arithmetic, so
+    the oracle replays every fingerprint bit-for-bit."""
+    from fs2_data_spark.functions.text import (
+        winnow_fingerprints_from,
+        word_hashes,
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", word_hashes("text").alias("wh"))
+    fp = winnow_fingerprints_from(F.col("wh"), k=3, w=4)
+    return d.select("doc_id", _arr_str(fp).alias("fp_str"),
+                    F.size(fp).alias("n_fp"))
+
+
 @_q("vocab_merge_docs", f"""
 WITH w AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents)
 SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY word

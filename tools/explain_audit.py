@@ -65,6 +65,7 @@ AUDITED = [
                                   "pruned_scan"]),
     ("resample_docs", ["no_python", "no_exchange", "pruned_scan"]),
     ("vocab_merge_docs", ["no_python", "no_cartesian", "pruned_scan"]),
+    ("winnow_fp_docs", ["no_python", "no_exchange", "pruned_scan"]),
 ]
 
 

@@ -94,6 +94,108 @@ def unigram_lm_score(
                     / F.col("total_words").cast("double"))))
 
 
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document bigram-LM typicality — the conditional-probability
+    counterpart of :func:`unigram_lm_score`: for each adjacent word pair
+    ``(u, v)`` the corpus conditional frequency is ``c(u,v) / c(u·)``
+    (bigram count over left-unigram continuation count), and the document
+    score is the mean over its bigrams.  Fluent word-ORDER scores high
+    even when :func:`unigram_lm_score` (a bag-of-words score) cannot tell
+    a document from its shuffle.
+
+    Cross-engine determinism: counts are exact bigints; the per-bigram
+    conditional is ONE IEEE division, and the document mean is the exact
+    bigint-pair ``(sum of scaled conditionals, n_bigrams)`` — to keep the
+    mean oracle-exact the per-bigram conditional is scaled to
+    ``floor(c_uv * 10^9 / c_u)`` (integer arithmetic, no float
+    accumulation order), summed as int64, then divided once.  Returns
+    ``(id_col, n_bigrams, sum_cond_e9, bigram_score)`` where
+    ``bigram_score = sum_cond_e9 / n_bigrams / 1e9`` (null for documents
+    with fewer than two words).
+
+    Scale shape: one corpus explode into bigrams -> the ``(u, v)`` count
+    aggregation; left counts re-aggregate the bigram table
+    (vocabulary^2-sized input, not the corpus); both broadcast back."""
+    w = docs.select(F.col(id_col), words(text_col).alias("ws"))
+    big = w.select(
+        F.col(id_col),
+        F.explode(F.when(
+            F.size("ws") >= 2,
+            F.zip_with(F.slice("ws", 1, F.size("ws") - 1),
+                       F.slice("ws", 2, F.size("ws") - 1),
+                       lambda a, b: F.struct(a.alias("u"), b.alias("v"))),
+        ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
+        ).alias("p"))
+    big = big.select(id_col, F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+    cuv = big.groupBy("u", "v").agg(F.count(F.lit(1)).alias("c_uv"))
+    cu = cuv.groupBy("u").agg(F.sum("c_uv").alias("c_u"))
+    vocab = cuv.join(cu, "u")
+    v = F.broadcast(vocab) if broadcast_vocab else vocab
+    # integer `div`, not `/`: long / long in Spark is DOUBLE division, and
+    # floor(double) loses exactness past 2^53 — `div` keeps the scaled
+    # conditional exact int64 (valid while c_uv * 1e9 fits int64, i.e. any
+    # single bigram count < 9.2e9; shard the count table beyond that)
+    cond_e9 = F.expr("(c_uv * 1000000000L) div c_u")
+    per_doc = (big.join(v, ["u", "v"])
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.sum(cond_e9).alias("sum_cond_e9")))
+    base = docs.select(id_col).join(per_doc, id_col, "left").na.fill(
+        {"n_bigrams": 0, "sum_cond_e9": 0})
+    return base.withColumn(
+        "bigram_score",
+        F.when(F.col("n_bigrams") > 0,
+               F.col("sum_cond_e9").cast("double")
+               / F.col("n_bigrams").cast("double") / 1e9))
+
+
+def shingle_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    broadcast_freq: bool = False,
+) -> DataFrame:
+    """Per-document shingle novelty: the fraction of the document's
+    DISTINCT word-``n``-gram shingles that occur in no other document —
+    high novelty = fresh content, low novelty = boilerplate/template text
+    already covered elsewhere (the cheap corpus-level signal for
+    duplication risk, complementing pairwise dedup).
+
+    Returns ``(id_col, n_shingles, n_unique, novelty)`` with
+    ``novelty = n_unique / n_shingles`` (null when the document has no
+    shingles); counts exact bigints, one final IEEE division.
+
+    Scale shape: one corpus explode of the per-doc distinct shingle sets;
+    document frequency re-aggregates that table; the join back is a
+    shuffle hash join on the shingle (``broadcast_freq=True`` only when
+    the shingle table fits — unlike a word vocab it grows with the
+    corpus)."""
+    from fs2_data_spark.functions.text import shingle_hashes  # noqa: PLC0415
+
+    sh = docs.select(F.col(id_col),
+                     F.explode(shingle_hashes(text_col, n)).alias("s"))
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("s_docs"))
+    f = F.broadcast(freq) if broadcast_freq else freq
+    per_doc = (sh.join(f, "s")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_shingles"),
+                    F.sum((F.col("s_docs") == 1).cast("bigint"))
+                    .alias("n_unique")))
+    base = docs.select(id_col).join(per_doc, id_col, "left").na.fill(
+        {"n_shingles": 0, "n_unique": 0})
+    return base.withColumn(
+        "novelty",
+        F.when(F.col("n_shingles") > 0,
+               F.col("n_unique").cast("double")
+               / F.col("n_shingles").cast("double")))
+
+
 def merge_vocabs(*vocabs: DataFrame) -> DataFrame:
     """Merge per-partition/per-snapshot vocabularies: union + re-sum.
 

@@ -1139,6 +1139,42 @@ def unigram_quality_docs(spark, sf_dir):
     return unigram_lm_score(d, text_col="text", id_col="doc_id")
 
 
+@_q("bigram_quality_docs", f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+b AS (SELECT doc_id, ws[CAST(i AS INTEGER)] AS u,
+             ws[CAST(i AS INTEGER) + 1] AS v
+      FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 2),
+cuv AS (SELECT u, v, COUNT(*) AS c_uv FROM b GROUP BY u, v),
+cu AS (SELECT u, CAST(SUM(c_uv) AS BIGINT) AS c_u FROM cuv GROUP BY u),
+pd AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+              CAST(SUM((cuv.c_uv * 1000000000) // cu.c_u) AS BIGINT)
+                AS sum_cond_e9
+       FROM b JOIN cuv USING (u, v) JOIN cu USING (u)
+       GROUP BY b.doc_id)
+SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+       COALESCE(pd.sum_cond_e9, 0) AS sum_cond_e9,
+       CASE WHEN pd.n_bigrams > 0
+            THEN CAST(pd.sum_cond_e9 AS DOUBLE)
+                 / CAST(pd.n_bigrams AS DOUBLE) / 1e9
+       END AS bigram_score
+FROM documents d LEFT JOIN pd USING (doc_id)
+""")
+def bigram_quality_docs(spark, sf_dir):
+    """Bigram-LM document typicality (``operators/quality.py
+    bigram_lm_score``) — the conditional-probability (word-ORDER)
+    counterpart of the unigram score: mean corpus conditional frequency
+    ``c(u,v)/c(u·)`` over the document's adjacent word pairs.  Exactness
+    across engines via integer scaling: each conditional becomes
+    ``(c_uv * 1e9) div c_u`` (int64 `div`, no float accumulation), summed
+    exactly, one final double division.  Left counts re-aggregate the
+    bigram table (vocab^2-sized), both sides broadcast back — one corpus
+    explode total."""
+    from fs2_data_spark.operators.quality import bigram_lm_score
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_score(d, text_col="text", id_col="doc_id")
+
+
 @_q("tfidf_topk_docs", f"""
 WITH w AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
 tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
@@ -1271,6 +1307,43 @@ def winnow_fp_docs(spark, sf_dir):
     fp = winnow_fingerprints_from(F.col("wh"), k=3, w=4)
     return d.select("doc_id", _arr_str(fp).alias("fp_str"),
                     F.size(fp).alias("n_fp"))
+
+
+@_q("novelty_docs", f"""
+WITH wh AS (SELECT doc_id, {_WH_SQL} AS w FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+               generate_series(1, len(w) - 2),
+               i -> (w[CAST(i AS INTEGER)] * 1000003
+                     + w[CAST(i AS INTEGER) + 1]) * 1000003
+                     + w[CAST(i AS INTEGER) + 2]))
+             ELSE [] END AS sh
+      FROM wh),
+e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+fq AS (SELECT s, COUNT(*) AS s_docs FROM e GROUP BY s),
+pd AS (SELECT e.doc_id, COUNT(*) AS n_shingles,
+              CAST(SUM(CASE WHEN fq.s_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_unique
+       FROM e JOIN fq USING (s) GROUP BY e.doc_id)
+SELECT d.doc_id, COALESCE(pd.n_shingles, 0) AS n_shingles,
+       COALESCE(pd.n_unique, 0) AS n_unique,
+       CASE WHEN pd.n_shingles > 0
+            THEN CAST(pd.n_unique AS DOUBLE)
+                 / CAST(pd.n_shingles AS DOUBLE)
+       END AS novelty
+FROM documents d LEFT JOIN pd USING (doc_id)
+""")
+def novelty_docs(spark, sf_dir):
+    """Per-document shingle novelty (``operators/quality.py
+    shingle_novelty``): fraction of the document's distinct word-trigram
+    shingles occurring in NO other document — the corpus-level
+    boilerplate/duplication-risk signal complementing pairwise dedup.
+    One corpus explode, document frequency re-aggregated from it, one
+    shuffle hash join back (the shingle table grows with the corpus, so
+    no broadcast by default); exact bigint counts, one IEEE division."""
+    from fs2_data_spark.operators.quality import shingle_novelty
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return shingle_novelty(d, text_col="text", id_col="doc_id")
 
 
 @_q("vocab_merge_docs", f"""
@@ -1565,6 +1638,50 @@ def streaming_locf_unordered_smoke(spark, sf_dir):
     q.awaitTermination(300)
     return spark.table(name).select("user_id", "event_id",
                                     "locf_v", "locf_ts_us")
+
+
+@_q("streaming_interval_join_smoke", """
+SELECT a.user_id, a.event_id AS p_id, b.event_id AS v_id,
+       epoch_us(a.ts) - epoch_us(b.ts) AS gap_us
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'purchase' AND b.event_type = 'view'
+  AND b.ts >= a.ts - INTERVAL 24 HOURS AND b.ts <= a.ts
+  AND a.user_id < 100
+""")
+def streaming_interval_join_smoke(spark, sf_dir):
+    """Stream-stream interval join (``streaming/joins.py``): every view in
+    the 24 h window ending at each purchase, per user — Spark's native
+    StreamingSymmetricHashJoin driven with two file streams over the same
+    log.  Inner joins emit on match (no watermark wait), so a plain
+    availableNow drain is complete; the batch join with the identical
+    time-range predicate is the hard oracle."""
+    import os  # noqa: PLC0415
+
+    from fs2_data_spark.streaming.joins import streaming_interval_join
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100).select(
+        "event_id", "user_id", "ts", "event_type")
+    src = f"/tmp/fs2_stream_src_ij_{abs(hash(sf_dir)) % 10**9}"
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        ev.write.mode("overwrite").parquet(src)
+    p = (spark.readStream.schema(ev.schema).parquet(src)
+         .filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("event_id").alias("p_id"),
+                 F.col("ts").alias("p_ts")))
+    v = (spark.readStream.schema(ev.schema).parquet(src)
+         .filter(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("user_id"),
+                 F.col("event_id").alias("v_id"),
+                 F.col("ts").alias("v_ts")))
+    out = streaming_interval_join(p, v, key="user_id", left_ts="p_ts",
+                                  right_ts="v_ts", lookback_s=86_400,
+                                  watermark="10000 days")
+    name = _stream_query_name(spark, "fs2ds_stream_ij_smoke")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", "p_id", "v_id",
+        (epoch_us(F.col("p_ts")) - epoch_us(F.col("v_ts"))).alias("gap_us"))
 
 
 @_q("multimodal_decode_smoke", None)

@@ -135,3 +135,46 @@ def test_merge_vocabs_empty_args():
     from fs2_data_spark.operators.quality import merge_vocabs
     with _pytest.raises(ValueError):
         merge_vocabs()
+
+
+# --- bigram LM + novelty ---------------------------------------------------
+
+
+def test_bigram_lm_score_exact(spark):
+    from fs2_data_spark.operators.quality import bigram_lm_score
+    rows = [(1, "a b a b"), (2, "a b"), (3, "x"), (4, "")]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: (r.n_bigrams, r.sum_cond_e9, r.bigram_score)
+           for r in bigram_lm_score(d).collect()}
+    # corpus bigrams: (a,b) x3, (b,a) x1 -> c(a,b)=3 c_a=3; c(b,a)=1 c_b=1
+    # conds: (a,b) -> 1e9 exactly; (b,a) -> 1e9
+    assert got[1] == (3, 3_000_000_000, 1.0)
+    assert got[2] == (1, 1_000_000_000, 1.0)
+    assert got[3] == (0, 0, None)
+    assert got[4] == (0, 0, None)
+
+
+def test_bigram_lm_order_sensitivity(spark):
+    """The property unigram scoring cannot have: a document and its
+    reversal get different bigram scores when the corpus has a dominant
+    word order."""
+    from fs2_data_spark.operators.quality import bigram_lm_score
+    rows = [(i, "a b c") for i in range(9)] + [(9, "c b a")]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.bigram_score for r in bigram_lm_score(d).collect()}
+    assert got[0] > got[9]
+
+
+def test_shingle_novelty_exact(spark):
+    from fs2_data_spark.operators.quality import shingle_novelty
+    rows = [(1, "a b c d"),    # shingles: abc, bcd
+            (2, "a b c"),      # abc (shared with doc 1)
+            (3, "x y z"),      # xyz unique
+            (4, "p q")]        # no trigram
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: (r.n_shingles, r.n_unique, r.novelty)
+           for r in shingle_novelty(d).collect()}
+    assert got[1] == (2, 1, 0.5)     # bcd unique, abc shared
+    assert got[2] == (1, 0, 0.0)
+    assert got[3] == (1, 1, 1.0)
+    assert got[4] == (0, 0, None)

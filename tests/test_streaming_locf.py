@@ -247,3 +247,42 @@ def test_streaming_pit_locf_unordered_scrambled_delivery(
             else:
                 exp[r.event_id] = (0.0, -1)
     assert got == exp and len(got) > 50
+
+
+def test_streaming_interval_join_matches_batch(spark, events, tmp_path):
+    """Stream-stream interval join == the batch join with the identical
+    time-range predicate; inner joins emit on match so the availableNow
+    drain needs no heartbeat and must terminate."""
+    from fs2_data_spark.streaming.joins import streaming_interval_join
+
+    ev = (events.filter(F.col("user_id") < 40)
+          .select("event_id", "user_id", "ts", "event_type"))
+    src = str(tmp_path / "ij_src")
+    ev.write.mode("overwrite").parquet(src)
+    p = (spark.readStream.schema(ev.schema).parquet(src)
+         .filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("event_id").alias("p_id"),
+                 F.col("ts").alias("p_ts")))
+    v = (spark.readStream.schema(ev.schema).parquet(src)
+         .filter(F.col("event_type") == "view")
+         .select("user_id", F.col("event_id").alias("v_id"),
+                 F.col("ts").alias("v_ts")))
+    out = streaming_interval_join(p, v, key="user_id", left_ts="p_ts",
+                                  right_ts="v_ts", lookback_s=7 * 86_400,
+                                  watermark="10000 days")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("ij_out").trigger(availableNow=True).start())
+    assert q.awaitTermination(180), "drain did not terminate"
+    got = {(r.p_id, r.v_id) for r in spark.table("ij_out").collect()}
+
+    import datetime
+    rows = ev.collect()
+    exp = set()
+    for a in rows:
+        if a.event_type != "purchase":
+            continue
+        for b in rows:
+            if (b.event_type == "view" and b.user_id == a.user_id
+                    and a.ts - datetime.timedelta(days=7) <= b.ts <= a.ts):
+                exp.add((a.event_id, b.event_id))
+    assert got == exp and len(got) > 20

@@ -66,6 +66,10 @@ AUDITED = [
     ("resample_docs", ["no_python", "no_exchange", "pruned_scan"]),
     ("vocab_merge_docs", ["no_python", "no_cartesian", "pruned_scan"]),
     ("winnow_fp_docs", ["no_python", "no_exchange", "pruned_scan"]),
+    ("bigram_quality_docs", ["no_python", "broadcast", "pruned_scan"]),
+    # the shingle-frequency join side grows with the corpus: shuffle hash
+    # join by design, no broadcast assert
+    ("novelty_docs", ["no_python", "no_cartesian", "pruned_scan"]),
 ]
 
 

@@ -128,3 +128,43 @@ def with_ewma(
             **{out_col: pdf[value].ewm(alpha=alpha, adjust=True).mean()})
 
     return df.groupBy(*key).applyInPandas(kernel, schema)
+
+
+def grouped_median(
+    df: DataFrame,
+    value: str = "value",
+    key: str | Sequence[str] = "user_id",
+    out_col: str = "median_v",
+) -> DataFrame:
+    """Exact per-group median via a GROUPED_AGG pandas UDF — the Python
+    UDAF tier of the UDx matrix (Spark has no row-at-a-time Python UDAF;
+    ``pandas_udf`` with a scalar return IS the vectorized aggregator
+    surface: Arrow ships each group's column once, the kernel reduces it
+    in C).  Median is the canonical aggregate the built-in expression set
+    lacks exactly (``percentile_approx`` is a sketch; ``median``/
+    ``percentile`` are exact but whole-stage built-ins — this demonstrates
+    the extension point for aggregates Spark does NOT have).
+
+    Interpolating median (mean of the middle two on even counts) —
+    matching numpy, pandas and DuckDB's ``median`` for doubles, so the
+    oracle is a plain ``median(value)``.
+
+    Scale shape: ONE hash shuffle on the group key with Arrow-batched
+    transfer; no partial aggregation (exact medians are not decomposable
+    — the inherent cost; at 100 TB prefer the t-digest/approx tier unless
+    exactness is contractual)."""
+    from pyspark.sql.functions import (  # noqa: PLC0415
+        PandasUDFType,
+        pandas_udf,
+    )
+
+    key = [key] if isinstance(key, str) else list(key)
+
+    # explicit GROUPED_AGG: this module's `from __future__ import
+    # annotations` stringifies type hints, so signature inference can't
+    # classify the UDF
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _median(v):
+        return float(v.median())
+
+    return df.groupBy(*key).agg(_median(F.col(value)).alias(out_col))

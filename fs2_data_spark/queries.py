@@ -2820,6 +2820,24 @@ def decontaminate_docs(spark, sf_dir):
 # Time-decayed features (W-stack extension for the PIT pipeline)
 # ---------------------------------------------------------------------------
 
+@_q("w_median_events", """
+SELECT user_id, ROUND(median(value), 6) AS median_v
+FROM events WHERE user_id < 200 GROUP BY user_id
+""")
+def w_median_events(spark, sf_dir):
+    """Exact per-user median via a GROUPED_AGG pandas UDF
+    (``operators/windows.py grouped_median``) — the Python-UDAF tier of
+    the UDx matrix (Arrow ships each group's column once, the kernel
+    reduces in C; one hash shuffle, no partial agg — the inherent cost of
+    exact medians).  Interpolating median matches numpy/pandas/DuckDB
+    for doubles; rounded 6dp on both sides."""
+    from fs2_data_spark.operators.windows import grouped_median
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200).select(
+        "user_id", "value")
+    out = grouped_median(ev, value="value", key="user_id")
+    return out.select("user_id", F.round("median_v", 6).alias("median_v"))
+
+
 @_q("w_ewma_events", """
 WITH o AS (
   SELECT event_id, user_id,

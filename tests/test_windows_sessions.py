@@ -108,3 +108,15 @@ def test_ewma_partitioning_invariant_and_tiebreak(spark, events):
                    ts=["ts", "event_id"]).collect()}
     assert a == b
     assert len(a) == sub.count()
+
+
+def test_grouped_median_exact(spark):
+    """GROUPED_AGG pandas-UDF median (the Python-UDAF tier):
+    interpolating on even counts, matching numpy/DuckDB exactly."""
+    from fs2_data_spark.operators.windows import grouped_median
+    rows = [(1, 1.0), (1, 3.0), (1, 100.0),            # odd: middle value
+            (2, 1.0), (2, 2.0), (2, 3.0), (2, 10.0),   # even: mean of mid 2
+            (3, 7.5)]
+    df = spark.createDataFrame(rows, "user_id int, value double")
+    got = {r.user_id: r.median_v for r in grouped_median(df).collect()}
+    assert got == {1: 3.0, 2: 2.5, 3: 7.5}

@@ -251,7 +251,9 @@ def main() -> None:
              "split_assign_docs", "unigram_quality_docs",
              "curriculum_buckets_docs", "chunk_tokens_docs",
              "bpe_pretok_docs", "redact_pii_docs", "tfidf_topk_docs",
-             "preprocess_pipeline_docs", "bpe_learn_docs"]
+             "preprocess_pipeline_docs", "bpe_learn_docs",
+             "winnow_fp_docs", "bigram_quality_docs", "novelty_docs",
+             "w_median_events"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

@@ -261,3 +261,89 @@ def tfidf_topk(
         Window.partitionBy(id_col).orderBy(F.desc("score"), "word"))
     return (s.withColumn("rk", rk).filter(F.col("rk") <= k)
             .select(id_col, "word", "tf", "df", "score"))
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_distinct: int = 2,
+) -> DataFrame:
+    """Gopher-style heuristic document filter (Rae et al. 2021, table A1),
+    as one pure per-row Catalyst projection — the rule suite a web-scale
+    pipeline runs FIRST, before any corpus-level statistic, because it
+    needs no shuffle at all: every rule is arithmetic over the row's own
+    words, so the filter rides the scan and drops rows before they ever
+    reach an exchange.
+
+    Implemented rules (each exposed as its own boolean so downstream
+    ablations can re-weight without recomputing):
+
+    - ``word_count_ok``: ``min_words <= n_words <= max_words``;
+    - ``mean_wlen_ok``: mean word length within
+      ``[min_mean_wlen, max_mean_wlen]``;
+    - ``symbol_ok``: hash/ellipsis symbols per word ``<= max_symbol_ratio``;
+    - ``alpha_ok``: fraction of words containing an alphabetic character
+      ``>= min_alpha_frac``;
+    - ``stop_ok``: at least ``min_stop_distinct`` DISTINCT stopwords
+      (``functions/text.py STOPWORDS``) appear — Gopher's "2 of a small
+      stop set" rule;
+    - ``gopher_pass``: the conjunction.
+
+    The two line-shape rules of the original (bullet-point and
+    ellipsis-ending line fractions) are inapplicable to this corpus's
+    single-line documents and are intentionally omitted (documented, not
+    silently skipped).
+
+    Cross-engine determinism: counts are exact bigints; each ratio is ONE
+    IEEE division of bigints (identical in any engine); rule thresholds
+    compare those exact values, so the booleans replay bit-for-bit in the
+    DuckDB oracle.
+    """
+    from fs2_data_spark.functions.text import STOPWORDS, words as _words
+
+    ws = _words(text_col)
+    n = F.size(ws).cast("bigint")
+    sum_len = F.aggregate(ws, F.lit(0).cast("bigint"),
+                          lambda a, w: a + F.length(w).cast("bigint"))
+    mean_wlen = F.when(n > 0, sum_len.cast("double") / n).otherwise(F.lit(0.0))
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_hash = (F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+              ).cast("bigint")
+    n_ellipsis = ((F.length(text)
+                   - F.length(F.replace(text, F.lit("..."), F.lit(""))))
+                  / F.lit(3)).cast("bigint")
+    symbol_ratio = F.when(n > 0, (n_hash + n_ellipsis).cast("double") / n) \
+                    .otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) \
+               .cast("bigint")
+    alpha_frac = F.when(n > 0, n_alpha.cast("double") / n).otherwise(F.lit(0.0))
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(ws),
+        F.array(*[F.lit(s) for s in STOPWORDS]))).cast("integer")
+
+    word_count_ok = (n >= min_words) & (n <= max_words)
+    mean_wlen_ok = (mean_wlen >= min_mean_wlen) & (mean_wlen <= max_mean_wlen)
+    symbol_ok = symbol_ratio <= max_symbol_ratio
+    alpha_ok = alpha_frac >= min_alpha_frac
+    stop_ok = n_stop >= min_stop_distinct
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_wlen"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.alias("n_stop_distinct"),
+        word_count_ok.alias("word_count_ok"),
+        mean_wlen_ok.alias("mean_wlen_ok"),
+        symbol_ok.alias("symbol_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (word_count_ok & mean_wlen_ok & symbol_ok & alpha_ok & stop_ok)
+        .alias("gopher_pass"))

@@ -2919,6 +2919,215 @@ def xml_pretty_docs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Mergeable sketches + heuristic filtering + corpus rewrite (round 5 late
+# additions to the training-pipeline tier: operators/sketches.py,
+# operators/quality.py gopher_rules, operators/dedup.py segment_dedup)
+# ---------------------------------------------------------------------------
+
+from fs2_data_spark.operators.sketches import (  # noqa: E402
+    KMV_P,
+    cms_bucket_sql,
+    kmv_hash_sql,
+)
+
+# functions/text.py word_hash applied to a single word, as DuckDB SQL
+_WORD_HASH_1_SQL = ("list_reduce(list_transform(string_split({w}, ''), "
+                    "c -> CAST(ascii(c) AS BIGINT)), "
+                    "(a, x) -> (a * 31 + x) % 1000003)")
+
+# word-trigram shingle list from a word-hash list column `w` (novelty_docs'
+# expression, factored for reuse)
+_SHINGLES_SQL = """CASE WHEN len(w) >= 3 THEN list_transform(
+               generate_series(1, len(w) - 2),
+               i -> (w[CAST(i AS INTEGER)] * 1000003
+                     + w[CAST(i AS INTEGER) + 1]) * 1000003
+                     + w[CAST(i AS INTEGER) + 2])
+             ELSE [] END"""
+
+_KMV_K = 64
+_KMV_NUM = (_KMV_K - 1) * KMV_P  # exact int; < 2^53 so its double is exact
+
+
+@_q("gopher_rules_docs", f"""
+WITH s AS (SELECT doc_id, text, {_WS_SQL} AS ws FROM documents),
+m AS (SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS n_words,
+        CAST(COALESCE(list_sum(list_transform(ws,
+               x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT) AS sum_len,
+        CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+          AS n_hash,
+        CAST((length(text) - length(replace(text, '...', ''))) // 3
+          AS BIGINT) AS n_ell,
+        CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+          AS BIGINT) AS n_alpha,
+        CAST(len(list_intersect(list_distinct(ws),
+               ['the','a','of','to','and','in','is','it'])) AS INTEGER)
+          AS n_stop
+      FROM s),
+r AS (SELECT doc_id, n_words, n_stop,
+        CASE WHEN n_words > 0
+             THEN CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS mwl,
+        CASE WHEN n_words > 0
+             THEN CAST(n_hash + n_ell AS DOUBLE) / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS sym,
+        CASE WHEN n_words > 0
+             THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS alf
+      FROM m)
+SELECT doc_id, n_words,
+       ROUND(mwl, 6) AS mean_wlen,
+       ROUND(sym, 6) AS symbol_ratio,
+       ROUND(alf, 6) AS alpha_frac,
+       n_stop AS n_stop_distinct,
+       (n_words >= 30 AND n_words <= 100000) AS word_count_ok,
+       (mwl >= 3.0 AND mwl <= 10.0) AS mean_wlen_ok,
+       (sym <= 0.1) AS symbol_ok,
+       (alf >= 0.8) AS alpha_ok,
+       (n_stop >= 2) AS stop_ok,
+       ((n_words >= 30 AND n_words <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+        AND (sym <= 0.1) AND (alf >= 0.8) AND (n_stop >= 2)) AS gopher_pass
+FROM r
+""")
+def gopher_rules_docs(spark, sf_dir):
+    """Gopher-style heuristic quality filter (``operators/quality.py
+    gopher_rules`` — Rae et al. 2021 table A1): word-count band, mean word
+    length band, symbol ratio, alphabetic-word fraction, distinct-stopword
+    minimum, each as its own boolean plus the conjunction.  Pure per-row
+    Catalyst riding the scan — zero shuffle (the filter a 100 TB pipeline
+    runs FIRST); every ratio is one IEEE division of exact bigints so the
+    booleans replay bit-for-bit."""
+    from fs2_data_spark.operators.quality import gopher_rules
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_rules(d)
+
+
+@_q("segment_dedup_docs", f"""
+WITH s AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+base AS (SELECT doc_id, ws,
+                CAST((len(ws) + 7) // 8 AS INTEGER) AS n_seg FROM s),
+segs AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_no,
+                array_to_string(
+                  ws[(CAST(i AS BIGINT) * 8 + 1):(CAST(i AS BIGINT) * 8 + 8)],
+                  ' ') AS seg
+         FROM base, unnest(CASE WHEN n_seg > 0
+                THEN range(0, CAST(n_seg AS BIGINT)) ELSE [] END) AS t(i)),
+fs AS (SELECT doc_id, seg_no, seg,
+              ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_no)
+                AS rn
+       FROM segs),
+rb AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_kept,
+              string_agg(seg, ' ' ORDER BY seg_no) AS clean_text
+       FROM fs WHERE rn = 1 GROUP BY doc_id)
+SELECT b.doc_id, b.n_seg,
+       COALESCE(rb.n_kept, 0) AS n_kept,
+       COALESCE(rb.clean_text, '') AS clean_text
+FROM base b LEFT JOIN rb USING (doc_id)
+""")
+def segment_dedup_docs(spark, sf_dir):
+    """C4-style corpus REWRITE (``operators/dedup.py segment_dedup``): drop
+    every repeated 8-word segment except its globally-first occurrence
+    (first = smallest ``(doc_id, seg_no)``) and reassemble each document.
+    One hash shuffle on the segment text for the first-seen decision, one
+    shuffle back on ``doc_id`` for reassembly; the oracle replays the
+    split/first-seen/rebuild pipeline verbatim."""
+    from fs2_data_spark.operators.dedup import segment_dedup
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return segment_dedup(d, seg_words=8)
+
+
+@_q("kmv_distinct_docs", f"""
+WITH wh AS (SELECT source, {_WH_SQL} AS w FROM documents),
+sh AS (SELECT source, unnest({_SHINGLES_SQL}) AS s FROM wh),
+hh AS (SELECT DISTINCT source, {kmv_hash_sql('s')} AS h FROM sh),
+rk AS (SELECT source, h,
+              ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn,
+              COUNT(*) OVER (PARTITION BY source) AS nd
+       FROM hh),
+sk AS (SELECT source,
+              CAST(COUNT(CASE WHEN rn <= {_KMV_K} THEN 1 END) AS INTEGER)
+                AS n_kept,
+              MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS kth_hash,
+              CAST(MIN(nd) AS BIGINT) AS exact_distinct
+       FROM rk GROUP BY source)
+SELECT source, n_kept, kth_hash,
+       CASE WHEN n_kept < {_KMV_K} THEN CAST(n_kept AS DOUBLE)
+            ELSE ROUND(CAST({_KMV_NUM} AS DOUBLE) / CAST(kth_hash AS DOUBLE),
+                       4) END AS est_distinct,
+       exact_distinct
+FROM sk
+""")
+def kmv_distinct_docs(spark, sf_dir):
+    """KMV distinct-count sketch (``operators/sketches.py``): per-source
+    estimate of the number of distinct word-trigram shingles from the
+    64 smallest re-mixed hash values, next to the exact distinct
+    count for calibration.  The oracle replays the sketch itself — distinct
+    re-mixed hashes, the k-th order statistic, the single-division estimate
+    — not just a property of it.  Constant-size mergeable state per group
+    (the monoid law is pinned by tests/test_sketches.py)."""
+    from fs2_data_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_hash,
+        kmv_sketch,
+    )
+    d = _t(spark, sf_dir, "documents")
+    el = (d.select("source", F.explode(TXT.shingle_hashes("text")).alias("s"))
+           .select("source", kmv_hash(F.col("s")).alias("h")))
+    sk = kmv_estimate(kmv_sketch(el, "source", "h", k=_KMV_K), k=_KMV_K)
+    exact = (el.distinct().groupBy("source")
+               .agg(F.count(F.lit(1)).alias("exact_distinct")))
+    return sk.join(exact, "source").select(
+        "source", "n_kept", "kth_hash", "est_distinct", "exact_distinct")
+
+
+_CMS_D, _CMS_W = 3, 32
+_CMS_OCC_SQL = "\n         UNION ALL ".join(
+    f"SELECT {r} AS r, {cms_bucket_sql('h', r, _CMS_W)} AS b FROM occ"
+    for r in range(_CMS_D))
+_CMS_PROBE_SQL = "\n       UNION ALL ".join(
+    f"SELECT word, exact_cnt, {r} AS r, {cms_bucket_sql('h', r, _CMS_W)} AS b"
+    " FROM tq" for r in range(_CMS_D))
+
+
+@_q("cms_counts_docs", f"""
+WITH w AS (SELECT unnest({_WORDS_SQL}) AS word FROM documents),
+cnts AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+         FROM w GROUP BY word),
+top AS (SELECT word, exact_cnt FROM cnts
+        ORDER BY exact_cnt DESC, word LIMIT 20),
+occ AS (SELECT {_WORD_HASH_1_SQL.format(w='word')} AS h FROM w),
+sk AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM ({_CMS_OCC_SQL})
+       GROUP BY r, b),
+tq AS (SELECT word, exact_cnt, {_WORD_HASH_1_SQL.format(w='word')} AS h
+       FROM top),
+pr AS ({_CMS_PROBE_SQL})
+SELECT pr.word, pr.exact_cnt, MIN(sk.cnt) AS cms_est
+FROM pr JOIN sk USING (r, b)
+GROUP BY pr.word, pr.exact_cnt
+""")
+def cms_counts_docs(spark, sf_dir):
+    """Count-min sketch point queries (``operators/sketches.py``): a
+    3x32 CMS over all word occurrences, probed for the corpus's
+    top-20 words next to their exact counts — ``cms_est >= exact_cnt``
+    always (the one-sided CMS guarantee; pinned by tests together with the
+    elementwise-sum merge law).  Sketch build is one map-side-combined
+    shuffle bounded at d*w rows per task; the probe join broadcasts the
+    96-row sketch, so the query side never shuffles.  The
+    oracle rebuilds the identical sketch from the same affine-mod buckets."""
+    from fs2_data_spark.operators.sketches import cms_point_query, cms_sketch
+    d = _t(spark, sf_dir, "documents")
+    wtab = d.select(F.explode(TXT.words("text")).alias("word"))
+    cnts = wtab.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = cnts.orderBy(F.desc("exact_cnt"), "word").limit(20)
+    occ = wtab.select(TXT.word_hash(F.col("word")).alias("h"))
+    sketch = cms_sketch(occ, "h", depth=_CMS_D, width=_CMS_W)
+    q = top.withColumn("h", TXT.word_hash(F.col("word")))
+    return (cms_point_query(sketch, q, "h", depth=_CMS_D, width=_CMS_W)
+            .select("word", "exact_cnt", "cms_est"))
+
+
+# ---------------------------------------------------------------------------
 # Driver-window rotation (VERDICT r02 item #1; rotation policy r03 item #3)
 # ---------------------------------------------------------------------------
 # The driver's correctness harness checks only the FIRST 50 entries of

@@ -1,0 +1,223 @@
+"""Mergeable sketches (operators/sketches.py): KMV distinct-count and
+count-min, plus the Gopher rule filter and the C4-style segment rewrite.
+
+The load-bearing properties, each pinned exactly:
+
+- KMV: exact when a group holds fewer than k distinct values; the monoid
+  law ``take_k(kmv(A) ∪ kmv(B)) == kmv(A ∪ B)``; partitioning invariance;
+  estimate accuracy within a 2x band on the real corpus.
+- CMS: never underestimates; exact when the width eliminates collisions;
+  elementwise-sum merge law over disjoint shards; partitioning invariance.
+- gopher_rules: hand-computed rule booleans, empty-document safety.
+- segment_dedup: globally-first occurrence kept, reassembly order, partial
+  final segments, fully-duplicated documents, partitioning invariance.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fs2_data_spark.functions.text import shingle_hashes, word_hash, words
+from fs2_data_spark.operators.dedup import segment_dedup
+from fs2_data_spark.operators.quality import gopher_rules
+from fs2_data_spark.operators.sketches import (
+    KMV_P,
+    cms_merge,
+    cms_point_query,
+    cms_sketch,
+    kmv_estimate,
+    kmv_hash,
+    kmv_merge,
+    kmv_sketch,
+)
+
+
+def _elems(spark, rows):
+    return spark.createDataFrame(rows, "source string, h bigint")
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+
+def test_kmv_exact_below_k(spark):
+    el = _elems(spark, [("s", 10), ("s", 20), ("s", 20), ("s", 30)])
+    out = kmv_estimate(kmv_sketch(el, k=16), k=16).collect()[0]
+    assert out.n_kept == 3
+    assert out.kth_hash is None
+    assert out.est_distinct == 3.0
+
+
+def test_kmv_kth_statistic(spark):
+    el = _elems(spark, [("s", h) for h in range(1, 100)])
+    out = kmv_estimate(kmv_sketch(el, k=4), k=4).collect()[0]
+    assert out.n_kept == 4
+    assert out.kth_hash == 4
+    assert out.est_distinct == round(3.0 * KMV_P / 4.0, 4)
+
+
+def test_kmv_merge_law(spark):
+    # take_k(kmv(A) ∪ kmv(B)) == kmv(A ∪ B), including overlapping values
+    a = _elems(spark, [("s", h) for h in (5, 1, 9, 13, 7)]
+               + [("t", h) for h in (2, 4)])
+    b = _elems(spark, [("s", h) for h in (3, 9, 11, 2)])
+    k = 4
+    merged = kmv_merge(kmv_sketch(a, k=k), kmv_sketch(b, k=k), k=k)
+    whole = kmv_sketch(a.unionByName(b), k=k)
+    got = {r.source: r.kmv for r in merged.collect()}
+    want = {r.source: r.kmv for r in whole.collect()}
+    assert got == want == {"s": [1, 2, 3, 5], "t": [2, 4]}
+
+
+def test_kmv_partitioning_invariance(spark):
+    el = _elems(spark, [("s", (h * 37) % 101) for h in range(1, 101)])
+    base = kmv_sketch(el.coalesce(1), k=8).collect()[0].kmv
+    for n in (3, 7):
+        assert kmv_sketch(el.repartition(n), k=8).collect()[0].kmv == base
+
+
+def test_kmv_estimate_band_on_corpus(spark, documents):
+    # the re-mixed hash must keep the estimator within a 2x band of truth
+    # (raw mixed-radix shingle hashes were measured 100x off — the bug this
+    # test would have caught)
+    el = (documents
+          .select("source", F.explode(shingle_hashes("text")).alias("s"))
+          .select("source", kmv_hash(F.col("s")).alias("h")))
+    est = kmv_estimate(kmv_sketch(el, k=64), k=64)
+    exact = (el.distinct().groupBy("source")
+               .agg(F.count(F.lit(1)).alias("exact")))
+    for r in est.join(exact, "source").collect():
+        assert r.exact / 2 <= r.est_distinct <= r.exact * 2, r
+
+
+# ---------------------------------------------------------------------------
+# CMS
+# ---------------------------------------------------------------------------
+
+def _occ(spark, pairs):
+    rows = [(w,) for w, n in pairs for _ in range(n)]
+    df = spark.createDataFrame(rows, "word string")
+    return df.select("word", word_hash(F.col("word")).alias("h"))
+
+
+def test_cms_never_underestimates(spark):
+    occ = _occ(spark, [("w%d" % i, i + 1) for i in range(40)])
+    sk = cms_sketch(occ.select("h"), depth=3, width=8)  # heavy collisions
+    q = occ.groupBy("word", "h").agg(F.count(F.lit(1)).alias("exact"))
+    got = cms_point_query(sk, q, depth=3, width=8).collect()
+    assert len(got) == 40
+    assert all(r.cms_est >= r.exact for r in got)
+
+
+def test_cms_exact_when_wide(spark):
+    occ = _occ(spark, [("alpha", 5), ("beta", 3), ("gamma", 1)])
+    sk = cms_sketch(occ.select("h"), depth=3, width=4096)
+    q = occ.groupBy("word", "h").agg(F.count(F.lit(1)).alias("exact"))
+    got = cms_point_query(sk, q, depth=3, width=4096).collect()
+    assert {r.word: r.cms_est for r in got} == {"alpha": 5, "beta": 3,
+                                               "gamma": 1}
+
+
+def test_cms_merge_law(spark):
+    occ = _occ(spark, [("w%d" % i, 2 * i + 1) for i in range(30)])
+    half_a = occ.filter(F.col("h") % 2 == 0).select("h")
+    half_b = occ.filter(F.col("h") % 2 == 1).select("h")
+    merged = cms_merge(cms_sketch(half_a, depth=3, width=16),
+                       cms_sketch(half_b, depth=3, width=16))
+    whole = cms_sketch(occ.select("h"), depth=3, width=16)
+    as_map = lambda df: {(r.row, r.bucket): r.cnt for r in df.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(whole)
+
+
+def test_cms_partitioning_invariance(spark):
+    occ = _occ(spark, [("w%d" % i, i + 1) for i in range(20)]).select("h")
+    base = {(r.row, r.bucket): r.cnt
+            for r in cms_sketch(occ.coalesce(1), depth=3, width=16).collect()}
+    got = {(r.row, r.bucket): r.cnt
+           for r in cms_sketch(occ.repartition(5), depth=3,
+                               width=16).collect()}
+    assert got == base
+
+
+# ---------------------------------------------------------------------------
+# gopher_rules
+# ---------------------------------------------------------------------------
+
+def test_gopher_rules_hand_computed(spark):
+    rows = [
+        # 32 words incl. 'the' and 'a': everything passes
+        (1, "the quick brown fox jumps over a lazy dog " + "word " * 23),
+        # too short
+        (2, "the a short doc"),
+        # symbol-heavy: 30 words but ### on many
+        (3, " ".join("tok#" for _ in range(15))
+            + " the a " + "x " * 13),
+        # only one distinct stopword
+        (4, "the " * 15 + "word " * 20),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in gopher_rules(d, min_words=30).collect()}
+    assert got[1].gopher_pass
+    assert not got[2].word_count_ok and not got[2].gopher_pass
+    assert got[3].n_words == 30 and got[3].symbol_ratio == 0.5
+    assert not got[3].symbol_ok and not got[3].gopher_pass
+    assert got[4].n_stop_distinct == 1 and not got[4].stop_ok
+
+
+def test_gopher_rules_empty_doc(spark):
+    d = spark.createDataFrame([(1, "")], "doc_id bigint, text string")
+    r = gopher_rules(d).collect()[0]
+    assert r.n_words == 0 and r.mean_wlen == 0.0 and not r.gopher_pass
+
+
+def test_gopher_ellipsis_counts_per_word(spark):
+    d = spark.createDataFrame([(1, "a... b... " + "c " * 18)],
+                              "doc_id bigint, text string")
+    r = gopher_rules(d, min_words=5).collect()[0]
+    assert r.n_words == 20
+    assert r.symbol_ratio == 0.1  # 2 ellipses / 20 words
+    assert r.symbol_ok
+
+
+# ---------------------------------------------------------------------------
+# segment_dedup
+# ---------------------------------------------------------------------------
+
+def _seg_docs(spark):
+    rows = [
+        (1, "a b c d e f"),          # segs (w=4): "a b c d", "e f"
+        (2, "a b c d x y z w"),      # first seg duplicates doc 1's
+        (3, "e f"),                  # duplicates doc 1's tail segment
+        (4, ""),                     # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_segment_dedup_first_seen(spark):
+    got = {r.doc_id: r for r in
+           segment_dedup(_seg_docs(spark), seg_words=4).collect()}
+    assert got[1].n_seg == 2 and got[1].n_kept == 2
+    assert got[1].clean_text == "a b c d e f"
+    assert got[2].n_seg == 2 and got[2].n_kept == 1
+    assert got[2].clean_text == "x y z w"
+    assert got[3].n_seg == 1 and got[3].n_kept == 0
+    assert got[3].clean_text == ""
+    assert got[4].n_seg == 0 and got[4].n_kept == 0
+    assert got[4].clean_text == ""
+
+
+def test_segment_dedup_partitioning_invariance(spark, documents):
+    d = documents.select("doc_id", "text").limit(120)
+    base = {r.doc_id: (r.n_kept, r.clean_text)
+            for r in segment_dedup(d.coalesce(1)).collect()}
+    got = {r.doc_id: (r.n_kept, r.clean_text)
+           for r in segment_dedup(d.repartition(7)).collect()}
+    assert got == base
+
+
+def test_segment_dedup_identity_without_duplicates(spark):
+    d = spark.createDataFrame(
+        [(i, " ".join(f"u{i}w{j}" for j in range(11))) for i in range(5)],
+        "doc_id bigint, text string")
+    for r in segment_dedup(d, seg_words=4).collect():
+        assert r.n_seg == 3 and r.n_kept == 3
+        assert r.clean_text == " ".join(f"u{r.doc_id}w{j}" for j in range(11))

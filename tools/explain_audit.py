@@ -70,6 +70,15 @@ AUDITED = [
     # the shingle-frequency join side grows with the corpus: shuffle hash
     # join by design, no broadcast assert
     ("novelty_docs", ["no_python", "no_cartesian", "pruned_scan"]),
+    # r5 late additions: sketches + heuristic filter + corpus rewrite
+    ("gopher_rules_docs", ["no_python", "no_exchange", "pruned_scan"]),
+    ("segment_dedup_docs", ["no_python", "no_cartesian", "pruned_scan"]),
+    # per-group top-k over distinct hashes; the exact-count side joins the
+    # 20-row sketch output, so the join must not plan as cartesian
+    ("kmv_distinct_docs", ["no_python", "no_cartesian", "pruned_scan"]),
+    # the 96-row finished sketch broadcasts into the probe join
+    ("cms_counts_docs", ["no_python", "broadcast", "no_cartesian",
+                         "pruned_scan"]),
 ]
 
 

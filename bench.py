@@ -253,7 +253,8 @@ def main() -> None:
              "bpe_pretok_docs", "redact_pii_docs", "tfidf_topk_docs",
              "preprocess_pipeline_docs", "bpe_learn_docs",
              "winnow_fp_docs", "bigram_quality_docs", "novelty_docs",
-             "w_median_events"]
+             "w_median_events", "gopher_rules_docs", "segment_dedup_docs",
+             "kmv_distinct_docs", "cms_counts_docs"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

@@ -254,7 +254,7 @@ def main() -> None:
              "preprocess_pipeline_docs", "bpe_learn_docs",
              "winnow_fp_docs", "bigram_quality_docs", "novelty_docs",
              "w_median_events", "gopher_rules_docs", "segment_dedup_docs",
-             "kmv_distinct_docs", "cms_counts_docs"]
+             "kmv_distinct_docs", "cms_counts_docs", "nb_classifier_docs"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

@@ -216,6 +216,73 @@ def merge_vocabs(*vocabs: DataFrame) -> DataFrame:
         F.sum(F.col("cnt").cast("bigint")).alias("cnt"))
 
 
+def nb_posterior_score(
+    docs: DataFrame,
+    positive,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Supervised classifier-based quality scoring: the "train a classifier
+    on a clean reference set, keep documents it likes" stage of GPT-3/CCNet
+    style pipelines (Brown et al. 2020 App. A; Wenzek et al. 2020),
+    expressed as a train-and-score naive-Bayes plan over the corpus itself.
+
+    ``positive`` is a boolean column marking the clean reference class.
+    Each word's Laplace-smoothed posterior ``P(positive | word) =
+    (c_pos + 1) / (c_all + 2)`` is fit from the corpus (one word-keyed
+    aggregation); a document's score is the mean posterior over its token
+    occurrences, and ``nb_pass`` is the exact decision ``mean > 1/2``.
+
+    Cross-engine determinism (the module's no-``ln`` rule): the textbook
+    log-odds sum is libm-dependent, so the per-word posterior is kept as
+    the exact integer ``(c_pos + 1) * 10^9 div (c_all + 2)`` (int64 `div`,
+    valid while any single word count < 9.2e9 — shard the vocab beyond
+    that), summed as int64; ``nb_pass`` compares ``2 * sum > n * 10^9`` in
+    exact integers, and the only float is the display score's two chained
+    IEEE divisions.  Posterior averaging rather than log-likelihood keeps
+    every oracle-checked column engine-exact; both rank identically on
+    single-word evidence and diverge only in how multi-word evidence is
+    pooled (mean vs product) — the honest trade, as in
+    :func:`bigram_lm_score`.
+
+    Scale shape: one token explode rides the scan; the vocabulary fit is
+    one word shuffle with map-side combine (vocabulary-sized output); the
+    fitted table broadcasts back when it fits (``broadcast_vocab``, typical
+    after min-count pruning) else shuffle-joins on the word; one final
+    doc-id shuffle.  Inference against an externally-trained weights table
+    is the same plan minus the fit aggregation.
+
+    Returns ``(id_col, n_words, sum_post_e9, nb_score, nb_pass,
+    is_positive)``; ``nb_score`` is null for wordless documents.
+    """
+    pos = positive if not isinstance(positive, str) else F.col(positive)
+    tok = docs.select(F.col(id_col), pos.alias("_pos"),
+                      F.explode(words(text_col)).alias("word"))
+    vocab = (tok.groupBy("word")
+             .agg(F.sum(F.when(F.col("_pos"), F.lit(1)).otherwise(F.lit(0)))
+                   .cast("bigint").alias("c_pos"),
+                  F.count(F.lit(1)).cast("bigint").alias("c_all")))
+    v = F.broadcast(vocab) if broadcast_vocab else vocab
+    w_e9 = F.expr("((c_pos + 1) * 1000000000L) div (c_all + 2)")
+    per_doc = (tok.join(v, "word")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                    F.sum(w_e9).alias("sum_post_e9")))
+    base = (docs.select(F.col(id_col), pos.alias("is_positive"))
+            .join(per_doc, id_col, "left")
+            .na.fill({"n_words": 0, "sum_post_e9": 0}))
+    return base.select(
+        F.col(id_col), "n_words", "sum_post_e9",
+        F.when(F.col("n_words") > 0,
+               F.col("sum_post_e9").cast("double")
+               / F.col("n_words").cast("double") / 1e9).alias("nb_score"),
+        (F.col("sum_post_e9") * 2
+         > F.col("n_words") * F.lit(1_000_000_000).cast("bigint"))
+        .alias("nb_pass"),
+        "is_positive")
+
+
 def tfidf_topk(
     docs: DataFrame,
     text_col: str = "text",

@@ -3127,6 +3127,43 @@ def cms_counts_docs(spark, sf_dir):
             .select("word", "exact_cnt", "cms_est"))
 
 
+@_q("nb_classifier_docs", f"""
+WITH s AS (SELECT doc_id, lang = 'en' AS pos, {_WS_SQL} AS ws
+           FROM documents),
+tok AS (SELECT doc_id, pos, unnest(ws) AS word FROM s),
+v AS (SELECT word,
+        CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+        CAST(COUNT(*) AS BIGINT) AS c_all
+      FROM tok GROUP BY word),
+pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+              CAST(SUM((c_pos + 1) * 1000000000 // (c_all + 2)) AS BIGINT)
+                AS sum_post_e9
+       FROM tok JOIN v USING (word) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(pd.n_words, 0) AS n_words,
+       COALESCE(pd.sum_post_e9, 0) AS sum_post_e9,
+       CASE WHEN COALESCE(pd.n_words, 0) > 0
+            THEN CAST(pd.sum_post_e9 AS DOUBLE)
+                 / CAST(pd.n_words AS DOUBLE) / 1e9
+       END AS nb_score,
+       (COALESCE(pd.sum_post_e9, 0) * 2
+        > COALESCE(pd.n_words, 0) * 1000000000) AS nb_pass,
+       (d.lang = 'en') AS is_positive
+FROM (SELECT doc_id, lang FROM documents) d LEFT JOIN pd USING (doc_id)
+""")
+def nb_classifier_docs(spark, sf_dir):
+    """Classifier-based quality filtering (``operators/quality.py
+    nb_posterior_score``): fit Laplace-smoothed naive-Bayes word posteriors
+    against the ``lang = 'en'`` reference class and score every document by
+    its exact integer mean posterior (no ``ln`` — the module's libm rule);
+    ``nb_pass`` is the exact-integer ``mean > 1/2`` decision.  One vocab
+    shuffle + broadcast join back + one doc-id shuffle — the GPT-3-style
+    quality-classifier stage with the fit fused into the same plan."""
+    from fs2_data_spark.operators.quality import nb_posterior_score
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return nb_posterior_score(d, F.col("lang") == "en")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (VERDICT r02 item #1; rotation policy r03 item #3)
 # ---------------------------------------------------------------------------

@@ -178,3 +178,37 @@ def test_shingle_novelty_exact(spark):
     assert got[2] == (1, 0, 0.0)
     assert got[3] == (1, 1, 1.0)
     assert got[4] == (0, 0, None)
+
+
+def test_nb_posterior_score_exact(spark):
+    from pyspark.sql import functions as F
+
+    from fs2_data_spark.operators.quality import nb_posterior_score
+    rows = [(1, "good good fine", True), (2, "bad bad fine", False),
+            (3, "good bad", True), (4, "", False)]
+    d = spark.createDataFrame(rows, "doc_id int, text string, pos boolean")
+    got = {r.doc_id: (r.n_words, r.sum_post_e9, r.nb_score, r.nb_pass)
+           for r in nb_posterior_score(d, F.col("pos")).collect()}
+    # posteriors (Laplace): good (3+1)/(3+2) -> 800M; bad (1+1)/(3+2)
+    # -> 400M; fine (1+1)/(2+2) -> 500M (all exact in e9 integers)
+    assert got[1] == (3, 2_100_000_000, 0.7, True)
+    assert got[2] == (3, 1_300_000_000, 1_300_000_000 / 3 / 1e9, False)
+    assert got[3] == (2, 1_200_000_000, 0.6, True)
+    assert got[4] == (0, 0, None, False)
+
+
+def test_nb_posterior_separates_disjoint_vocab(spark):
+    """Disjoint positive/negative vocabularies must separate perfectly:
+    every positive document passes, every negative fails, and the score
+    gap is the full smoothed band."""
+    from pyspark.sql import functions as F
+
+    from fs2_data_spark.operators.quality import nb_posterior_score
+    rows = ([(i, "alpha beta gamma", True) for i in range(20)]
+            + [(100 + i, "zip zap zop", False) for i in range(20)])
+    d = spark.createDataFrame(rows, "doc_id int, text string, pos boolean")
+    out = nb_posterior_score(d, F.col("pos")).collect()
+    for r in out:
+        assert r.nb_pass == r.is_positive
+        assert (r.nb_score > 0.9) == r.is_positive
+        assert (r.nb_score < 0.1) == (not r.is_positive)

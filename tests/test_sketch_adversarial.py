@@ -37,10 +37,10 @@ ATOMS = [
 ]
 
 
-def _mk_corpus() -> list[tuple[int, str, str]]:
+def _mk_corpus() -> list[tuple[int, str, str, str]]:
     rng = random.Random(77)
     shared = [" ".join(rng.choice(ATOMS) for _ in range(8)) for _ in range(6)]
-    docs: list[tuple[int, str, str]] = []
+    docs: list[tuple[int, str, str, str]] = []
     for i in range(300):
         n = rng.choice([0, 1, 2, 3, 7, 8, 9, 16, 20, 40])
         ws = [rng.choice(ATOMS) for _ in range(n)]
@@ -50,8 +50,8 @@ def _mk_corpus() -> list[tuple[int, str, str]]:
         text = " ".join(ws)
         if rng.random() < 0.15:  # empty-token parity: doubled/edge spaces
             text = "  " + text.replace(" ", "  ", 1) + " "
-        docs.append((i, text, f"s{i % 3}"))
-    docs += [(300 + j, docs[j][1], docs[j][2]) for j in range(10)]  # dups
+        docs.append((i, text, f"s{i % 3}", rng.choice(["en", "zh", "es"])))
+    docs += [(300 + j, *docs[j][1:]) for j in range(10)]  # exact duplicates
     return docs
 
 
@@ -70,8 +70,9 @@ def _multiset(cols, rows):
 
 @pytest.fixture(scope="module")
 def adv_dir(spark, tmp_path_factory):
-    d = spark.createDataFrame(_mk_corpus(),
-                              "doc_id bigint, text string, source string")
+    d = spark.createDataFrame(
+        _mk_corpus(),
+        "doc_id bigint, text string, source string, lang string")
     out = tmp_path_factory.mktemp("adv_docs")
     d.coalesce(2).write.parquet(str(out / "documents.parquet"))
     return str(out)
@@ -82,6 +83,7 @@ def adv_dir(spark, tmp_path_factory):
     "segment_dedup_docs",
     "kmv_distinct_docs",
     "cms_counts_docs",
+    "nb_classifier_docs",
 ])
 def test_adversarial_duckdb_parity(spark, adv_dir, name):
     fn, sql = REGISTRY[name]

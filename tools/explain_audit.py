@@ -79,6 +79,9 @@ AUDITED = [
     # the 96-row finished sketch broadcasts into the probe join
     ("cms_counts_docs", ["no_python", "broadcast", "no_cartesian",
                          "pruned_scan"]),
+    # the fitted NB vocab broadcasts back for scoring
+    ("nb_classifier_docs", ["no_python", "broadcast", "no_cartesian",
+                            "pruned_scan"]),
 ]
 
 

@@ -84,7 +84,9 @@ def token_features_arrow(df: DataFrame, tokens_col: str = "tokens",
             cols = [batch.column(i) for i, n in enumerate(batch.schema.names)
                     if n in out_names]
             cols += [pa.array(fp, pa.int64()), pa.array(tsum, pa.int64()),
-                     pa.array(mean, pa.float64()),
+                     # null (not NaN) for empty docs — matches the SQL
+                     # CASE WHEN len > 0 mean and the tok_stats tier
+                     pa.array(np.where(nonempty, mean, None), pa.float64()),
                      pa.array(np.where(nonempty, tmin, None), pa.int32()),
                      pa.array(np.where(nonempty, tmax, None), pa.int32())]
             yield pa.RecordBatch.from_arrays(

@@ -268,7 +268,10 @@ def bpe_learn_sql(
             f"SELECT {r} AS round, x.a, x.b, mx.base + {r} AS new_id, x.cnt\n"
             f"FROM best{r} x CROSS JOIN mx")
     if select == "corpus":
-        final = (f"SELECT {id_col}, array_to_string(t, ',') AS tokens_str,\n"
+        # COALESCE: DuckDB array_to_string([]) is NULL (string_agg of zero
+        # rows), Spark array_join([]) is '' — empty documents must agree
+        final = (f"SELECT {id_col}, "
+                 f"COALESCE(array_to_string(t, ','), '') AS tokens_str,\n"
                  f"       CAST(len(t) AS INTEGER) AS n_tok FROM t{n_merges}")
         return "WITH " + ",\n".join(ctes) + "\n" + final
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)

@@ -418,7 +418,8 @@ def _arr_str(col: F.Column) -> F.Column:
 
 
 @_q("tokenize_docs", f"""
-SELECT doc_id, array_to_string({TOKENS_SQL}, ',') AS tokens_str,
+SELECT doc_id,
+       COALESCE(array_to_string({TOKENS_SQL}, ','), '') AS tokens_str,
        CAST(len({TOKENS_SQL}) AS INTEGER) AS n_tok, source
 FROM documents
 """)
@@ -429,8 +430,9 @@ def tokenize_docs(spark, sf_dir):
 
 
 @_q("tok_slice_docs", f"""
-SELECT doc_id, array_to_string(({TOKENS_SQL})[3:10], ',') AS mid,
-       array_to_string(({TOKENS_SQL})[1:3], ',') AS head3
+SELECT doc_id,
+       COALESCE(array_to_string(({TOKENS_SQL})[3:10], ','), '') AS mid,
+       COALESCE(array_to_string(({TOKENS_SQL})[1:3], ','), '') AS head3
 FROM documents
 """)
 def tok_slice_docs(spark, sf_dir):
@@ -460,7 +462,7 @@ WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents)
 SELECT doc_id,
        CAST(len(tokens) AS INTEGER) AS n_tok,
        list_min(tokens) AS tok_min, list_max(tokens) AS tok_max,
-       CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+       CAST(COALESCE(list_sum(tokens), 0) AS BIGINT) AS tok_sum,
        CAST(len(list_distinct(tokens)) AS INTEGER) AS tok_distinct,
        ROUND(CAST(list_sum(tokens) AS DOUBLE) / len(tokens), 6) AS tok_mean
 FROM t
@@ -477,7 +479,8 @@ def tok_stats_docs(spark, sf_dir):
 @_q("tok_fingerprint_docs", f"""
 WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents)
 SELECT doc_id,
-       CAST(list_sum(list_transform(tokens, (x, i) -> i * CAST(x AS BIGINT)))
+       CAST(COALESCE(list_sum(list_transform(tokens,
+                (x, i) -> i * CAST(x AS BIGINT))), 0)
             % 1000000007 AS BIGINT) AS fp
 FROM t
 """)
@@ -489,9 +492,10 @@ def tok_fp_docs(spark, sf_dir):
 @_q("tok_features_arrow_docs", f"""
 WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents)
 SELECT doc_id,
-       CAST(list_sum(list_transform(tokens, (x, i) -> i * CAST(x AS BIGINT)))
+       CAST(COALESCE(list_sum(list_transform(tokens,
+                (x, i) -> i * CAST(x AS BIGINT))), 0)
             % 1000000007 AS BIGINT) AS tok_fp,
-       CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+       CAST(COALESCE(list_sum(tokens), 0) AS BIGINT) AS tok_sum,
        CASE WHEN len(tokens) > 0
             THEN ROUND(CAST(list_sum(tokens) AS DOUBLE) / len(tokens), 6) END AS tok_mean,
        list_min(tokens) AS tok_min, list_max(tokens) AS tok_max
@@ -579,7 +583,9 @@ def lang_guess(spark, sf_dir):
 
 @_q("doc_fingerprint", f"""
 SELECT doc_id,
-       list_reduce({_WC_SQL}, (a, x) -> (a * 31 + x) % 1000000007) AS fp
+       CASE WHEN len({_WS_SQL}) > 0
+            THEN list_reduce({_WC_SQL}, (a, x) -> (a * 31 + x) % 1000000007)
+            ELSE 0 END AS fp
 FROM documents
 """)
 def doc_fp(spark, sf_dir):
@@ -1286,7 +1292,7 @@ f AS (SELECT doc_id,
              WHEN len(sh) > 0 THEN [list_min(sh)]
              ELSE CAST([] AS BIGINT[]) END AS fp
       FROM s)
-SELECT doc_id, array_to_string(fp, ',') AS fp_str,
+SELECT doc_id, COALESCE(array_to_string(fp, ','), '') AS fp_str,
        CAST(len(fp) AS INTEGER) AS n_fp
 FROM f
 """)
@@ -1410,7 +1416,7 @@ SELECT doc_id, pieces,
        CAST(len(pieces) AS BIGINT) AS n_pieces,
        CAST(len(list_filter(pieces, x -> regexp_matches(x, '\\S')))
             AS BIGINT) AS n_tok,
-       (array_to_string(pieces, '') = text) AS roundtrip
+       (COALESCE(array_to_string(pieces, ''), '') = text) AS roundtrip
 FROM p
 """)
 def bpe_pretok_docs(spark, sf_dir):
@@ -2067,10 +2073,10 @@ def session_window_native(spark, sf_dir):
 @_q("tok_bigram_shingles", f"""
 WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents)
 SELECT doc_id,
-       array_to_string(CASE WHEN len(tokens) >= 2 THEN
+       COALESCE(array_to_string(CASE WHEN len(tokens) >= 2 THEN
          list_transform(tokens[1:len(tokens)-1],
                         (x, i) -> (CAST(x AS BIGINT) * 50261 + tokens[i + 1]) % 1000000007)
-       ELSE [] END, ',') AS shingles
+       ELSE [] END, ','), '') AS shingles
 FROM t
 """)
 def tok_bigrams(spark, sf_dir):
@@ -2260,8 +2266,10 @@ def xml_render_docs(spark, sf_dir):
 
 
 @_q("xml_roundtrip", """
+-- whitespace-only text wraps to <t>   </t>, which the event model emits
+-- as no text node at all (parser trims), so those documents yield no row
 SELECT CAST(doc_id AS VARCHAR) AS doc_key, trim(text) AS value
-FROM documents
+FROM documents WHERE trim(text) <> ''
 """)
 def xml_roundtrip(spark, sf_dir):
     from fs2_data_spark.sources.xmlsrc import xml_texts_at

@@ -1,4 +1,4 @@
-"""Adversarial cross-engine sweep for the round-5 sketch/filter/rewrite tier.
+"""Adversarial cross-engine sweep over every documents-only registry query.
 
 The oracle harness checks these queries on the driver's fixed sf0.01 corpus;
 this sweep re-runs the EXACT registry pipelines (Spark query fn + its DuckDB
@@ -9,9 +9,18 @@ segments planted across documents, and exact duplicate documents — and
 requires the same order-insensitive value multiset from both engines, the
 same compare the driver applies.
 
-Covers: gopher_rules_docs, segment_dedup_docs, kmv_distinct_docs,
-cms_counts_docs (operators/sketches.py, quality.py gopher_rules,
-dedup.py segment_dedup).
+Its first run found eight latent empty-document oracle divergences the
+fixed corpus could never expose (DuckDB ``array_to_string([])`` /
+``list_sum([])`` are NULL — string_agg-of-zero-rows semantics — where Spark
+``array_join``/``aggregate`` give ``''``/``0``; ``list_reduce([])`` raises;
+the Arrow token kernel emitted NaN means where every SQL tier emits null;
+``xml_roundtrip``'s oracle expected rows for whitespace-only documents the
+XML event model correctly emits no text node for).  All fixed; this module
+keeps the whole documents-only surface pinned against that class.
+
+Excluded, with reasons: ``multimodal_decode_smoke`` (rows-only, no oracle),
+``streaming_dedup_smoke`` (streaming drain, covered by its own tests),
+``dedup_cluster_docs`` (also reads the embeddings table).
 """
 
 from __future__ import annotations
@@ -70,21 +79,49 @@ def _multiset(cols, rows):
 
 @pytest.fixture(scope="module")
 def adv_dir(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
     d = spark.createDataFrame(
         _mk_corpus(),
         "doc_id bigint, text string, source string, lang string")
+    d = d.withColumn("n_chars", F.length("text").cast("bigint"))
     out = tmp_path_factory.mktemp("adv_docs")
     d.coalesce(2).write.parquet(str(out / "documents.parquet"))
     return str(out)
 
 
-@pytest.mark.parametrize("name", [
-    "gopher_rules_docs",
-    "segment_dedup_docs",
-    "kmv_distinct_docs",
-    "cms_counts_docs",
-    "nb_classifier_docs",
-])
+DOC_ONLY_QUERIES = [
+    # text analysis / quality / dedup
+    "text_quality", "lang_guess", "doc_fingerprint", "dedup_exact",
+    "minhash_signatures", "minhash_band_buckets", "simhash_docs",
+    "jaccard_pairs", "winnow_fp_docs", "novelty_docs", "dup_token_spans",
+    "decontaminate_docs", "tok_repetition_docs",
+    # mixing / packing / chunking / splits
+    "mix_sample_docs", "pack_sequences_docs", "split_assign_docs",
+    "resample_docs", "curriculum_buckets_docs", "chunk_tokens_docs",
+    # corpus-fit scoring
+    "unigram_quality_docs", "bigram_quality_docs", "tfidf_topk_docs",
+    "preprocess_pipeline_docs", "vocab_merge_docs",
+    # tokenization tiers
+    "tokenize_docs", "tok_slice_docs", "tok_index_docs", "tok_stats_docs",
+    "tok_fingerprint_docs", "tok_positions", "tok_bigram_shingles",
+    "tok_features_arrow_docs", "tok_vocab_topk",
+    "bpe_pretok_docs", "bpe_learn_docs", "bpe_apply_docs",
+    # sketches / heuristic filter / rewrite / classifier (round-5 tier)
+    "gopher_rules_docs", "segment_dedup_docs", "kmv_distinct_docs",
+    "cms_counts_docs", "nb_classifier_docs", "redact_pii_docs",
+    "multimodal_decode_docs",
+    # format engines (payloads synthesized from the doc text)
+    "jsonpath_descendant_docs", "jq_construct_docs", "xpath_attr_filter",
+    "xpath_fast_texts", "json_merge_patch_docs", "selector_mandatory_docs",
+    "json_transform_docs", "wrap_object_docs", "json_tokenize_raw_docs",
+    "json_pretty_docs", "xml_dom_docs", "xml_render_docs", "xml_roundtrip",
+    "xml_events_full_docs", "xml_raw_events_docs", "xml_pretty_docs",
+    "cbor_transcode_roundtrip", "msgpack_typed_decode",
+    "charset_roundtrip_docs", "csv_roundtrip_docs", "csv_decode_cells",
+]
+
+
+@pytest.mark.parametrize("name", DOC_ONLY_QUERIES)
 def test_adversarial_duckdb_parity(spark, adv_dir, name):
     fn, sql = REGISTRY[name]
     sdf = fn(spark, adv_dir)

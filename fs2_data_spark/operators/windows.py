@@ -113,7 +113,13 @@ def with_ewma(
     honest tier is a per-key vectorized pandas kernel (``Series.ewm`` —
     C-implemented, one Arrow exchange, no per-row Python).  ``ts`` may be a
     list whose tail is a tie-break key — EWMA is order-sensitive, so ties
-    must be broken deterministically."""
+    must be broken deterministically.
+
+    Null semantics (pandas ``ignore_na=False``, pinned by the oracle): a
+    null value contributes no observation but time still advances — its
+    position's weight is dropped from the normalizer, so the output at a
+    null row repeats the prior mean.  Rows before the first observation
+    come back null (the kernel's NaN is mapped to SQL null)."""
     import pandas as pd  # noqa: PLC0415
 
     key = [key] if isinstance(key, str) else list(key)
@@ -127,7 +133,11 @@ def with_ewma(
         return pdf.assign(
             **{out_col: pdf[value].ewm(alpha=alpha, adjust=True).mean()})
 
-    return df.groupBy(*key).applyInPandas(kernel, schema)
+    out = df.groupBy(*key).applyInPandas(kernel, schema)
+    # all-null prefixes produce NaN in the float64 kernel output; map to
+    # SQL null so the column is engine-comparable
+    return out.withColumn(
+        out_col, F.when(~F.isnan(out_col), F.col(out_col)))
 
 
 def grouped_median(

@@ -253,10 +253,12 @@ def w_lag_lead(spark, sf_dir):
 
 
 @_q("w_rolling", """
+-- count(value), not count(*): the Spark side counts contributing
+-- (non-null) values, and the mean divides by that
 SELECT event_id,
        CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS roll5_sum,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / count(*) OVER w AS roll5_avg,
-       count(*) OVER w AS roll5_n
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / count(value) OVER w AS roll5_avg,
+       count(value) OVER w AS roll5_n
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """)
@@ -1986,22 +1988,30 @@ def string_features(spark, sf_dir):
 
 
 @_q("math_features", """
+WITH e AS (SELECT event_id, value,
+                  CASE WHEN value < 0 THEN 0.0 ELSE value END AS vnn
+           FROM events)
 SELECT event_id,
-       round(ln(1 + value), 6) AS log1p_v,
-       round(sqrt(value), 6) AS sqrt_v,
+       round(ln(1 + vnn), 6) AS log1p_v,
+       round(sqrt(vnn), 6) AS sqrt_v,
        round(exp(-value / 100), 6) AS decay_v,
-       round(abs(pow(value, 0.5) - sqrt(value)), 6) AS zero_v,
+       round(abs(pow(vnn, 0.5) - sqrt(vnn)), 6) AS zero_v,
        CAST(FLOOR(value / 10) AS BIGINT) AS bucket10
-FROM events
+FROM e
 """)
 def math_features(spark, sf_dir):
+    """Per-row math features.  The magnitude features (sqrt/log1p) clamp
+    negatives to 0 via a null-preserving CASE — keeps the expression total
+    in every engine (DuckDB raises on sqrt(-x) where Spark yields NaN;
+    garbage values must not abort a 100 TB scan)."""
     ev = _t(spark, sf_dir, "events")
+    vnn = F.when(F.col("value") < 0, F.lit(0.0)).otherwise(F.col("value"))
     return ev.select(
         "event_id",
-        F.round(F.log1p("value"), 6).alias("log1p_v"),
-        F.round(F.sqrt("value"), 6).alias("sqrt_v"),
+        F.round(F.log1p(vnn), 6).alias("log1p_v"),
+        F.round(F.sqrt(vnn), 6).alias("sqrt_v"),
         F.round(F.exp(-F.col("value") / 100), 6).alias("decay_v"),
-        F.round(F.abs(F.pow("value", F.lit(0.5)) - F.sqrt("value")), 6).alias("zero_v"),
+        F.round(F.abs(F.pow(vnn, F.lit(0.5)) - F.sqrt(vnn)), 6).alias("zero_v"),
         F.floor(F.col("value") / 10).cast("bigint").alias("bucket10"))
 
 
@@ -2855,7 +2865,9 @@ WITH o AS (
 SELECT event_id, user_id,
        ROUND(
          list_sum(list_transform(l, (x, i) -> x * pow(0.5, len(l) - i))) /
-         list_sum(list_transform(l, (x, i) -> pow(0.5, len(l) - i))), 4) AS ewma4
+         list_sum(list_transform(l, (x, i) ->
+           CASE WHEN x IS NULL THEN NULL ELSE pow(0.5, len(l) - i) END)),
+         4) AS ewma4
 FROM o
 """)
 def w_ewma_events(spark, sf_dir):

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import math
 import random
+from datetime import datetime, timedelta
 
 import duckdb
 import pytest
@@ -121,19 +122,97 @@ DOC_ONLY_QUERIES = [
 ]
 
 
-@pytest.mark.parametrize("name", DOC_ONLY_QUERIES)
-def test_adversarial_duckdb_parity(spark, adv_dir, name):
+def _assert_parity(spark, sf_dir, name, table):
     fn, sql = REGISTRY[name]
-    sdf = fn(spark, adv_dir)
+    sdf = fn(spark, sf_dir)
     scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
     assert srows, f"{name} produced no rows on the adversarial corpus"
 
     con = duckdb.connect()
-    con.sql("CREATE VIEW documents AS SELECT * FROM "
-            f"'{adv_dir}/documents.parquet/*.parquet'")
+    con.sql(f"CREATE VIEW {table} AS SELECT * FROM "
+            f"'{sf_dir}/{table}.parquet/*.parquet'")
     res = con.sql(sql)
     dcols, drows = list(res.columns), res.fetchall()
 
     assert sorted(scols) == sorted(dcols)
     assert len(srows) == len(drows)
     assert _multiset(scols, srows) == _multiset(dcols, drows)
+
+
+@pytest.mark.parametrize("name", DOC_ONLY_QUERIES)
+def test_adversarial_duckdb_parity(spark, adv_dir, name):
+    _assert_parity(spark, adv_dir, name, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Events table: the adversarial axes are TIME, not text — exact same-instant
+# ties (total-order tie-breaks in windows/asof/EWMA), inter-event gaps at
+# exactly/±1us of the 1800 s session boundary, null values (count-vs-count(*),
+# EWMA normalizer weights, feature math), null props, and nasty decimals
+# (0.1, .999999) under the floor(value*1e6) integer-scaling discipline.
+# Its first run caught three divergences: w_rolling's oracle counted rows
+# where Spark counts non-null values, math_features' sqrt(-x) RAISES in
+# DuckDB where Spark yields NaN (now clamped total in both engines), and
+# the EWMA oracle weighted null positions in the normalizer where pandas
+# ewm (ignore_na=False) drops them.
+# ---------------------------------------------------------------------------
+
+EVENT_QUERIES = [
+    "w_lag_lead", "w_rolling", "w_rank", "locf_backfill",
+    "sessionize_events", "session_stats", "date_features", "math_features",
+    "json_props_extract", "percentiles_by_type", "w_time_range_rolling",
+    "session_window_native", "pit_fused_events", "pit_fused_events_segmented",
+    "w_median_events", "w_ewma_events",
+    "asof_join_events", "asof_join_events_pandas", "asof_join_events_strict",
+]
+
+
+def _mk_events():
+    rng = random.Random(101)
+    base = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    types = ["click", "purchase", "view", "error"]
+    vals = [0.0, -5.25, 0.1, 123.456789, 99999.999999]
+    props = ['{"k": 69}', '{"k": 0}', '{"k": -3}', '{"k": 2147483647}',
+             '{"x": 1}', '{"k": 7, "x": 2}']
+    for uid in range(40):
+        style = uid % 5
+        t = base + timedelta(seconds=rng.randint(0, 3600))
+        for _ in range({0: 1, 1: 3, 2: 25, 3: 60, 4: 40}[style]):
+            r = rng.random()
+            if r < 0.15:
+                dt = 0                        # exact same-instant tie
+            elif r < 0.25:
+                dt = 1_800_000_000            # exactly the session gap
+            elif r < 0.30:
+                dt = 1_800_000_001
+            elif r < 0.35:
+                dt = 1_799_999_999
+            else:
+                dt = rng.randint(1, 300_000_000)
+            t = t + timedelta(microseconds=dt)
+            v = (None if rng.random() < 0.05
+                 else rng.choice(vals + [round(rng.uniform(0, 1000), 6)]))
+            p = None if rng.random() < 0.05 else rng.choice(props)
+            rows.append((eid, t, uid, rng.choice(types), v, p))
+            eid += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def adv_events_dir(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+    d = spark.createDataFrame(
+        _mk_events(),
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string")
+    # match the driver testdata's physical type (naive TIMESTAMP_NTZ)
+    d = d.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = tmp_path_factory.mktemp("adv_events")
+    d.coalesce(2).write.parquet(str(out / "events.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_adversarial_events_parity(spark, adv_events_dir, name):
+    _assert_parity(spark, adv_events_dir, name, "events")

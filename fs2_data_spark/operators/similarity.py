@@ -33,6 +33,16 @@ def _dot(a: F.Column, b: F.Column) -> F.Column:
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _cos(dot: F.Column, an: F.Column, bn: F.Column) -> F.Column:
+    """Cosine with TOTAL zero-vector semantics: a zero-magnitude side has
+    no direction, so its similarity to anything is defined as 0.  The guard
+    is operational, not cosmetic — Spark 4's ANSI mode raises on the bare
+    ``dot/(an*bn)`` division when a norm is 0 (one garbage embedding would
+    abort a 100 TB scan), and DuckDB returns ``inf`` — three different
+    behaviors without it.  Oracles replay the identical CASE."""
+    return F.when((an > 0) & (bn > 0), dot / (an * bn)).otherwise(F.lit(0.0))
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -55,7 +65,7 @@ def cosine_topk(
     c = (corpus.select(F.col(id_col).alias("n_vec_id"),
                        _as_double(F.col(vec_col)).alias("cv"))
          .select("n_vec_id", "cv", _norm(F.col("cv")).alias("cn")))
-    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    cos = _cos(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn"))
     if round_dp is not None:
         cos = F.round(cos, round_dp)
     pairs = (F.broadcast(q).join(c, F.col("n_vec_id") != F.col("q_vec_id"))
@@ -201,7 +211,7 @@ def ivf_topk(
     inv = (assigned.select(F.col("id").alias("n_vec_id"),
                            F.col("v").alias("cv2"), "cell")
            .withColumn("cn", _norm(F.col("cv2"))))
-    cos = _dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn"))
+    cos = _cos(_dot(F.col("qv"), F.col("cv2")), F.col("qn"), F.col("cn"))
     if round_dp is not None:
         cos = F.round(cos, round_dp)
     pairs = (probes.join(inv, "cell")
@@ -239,7 +249,7 @@ def lsh_bucket_topk(
          .select("n_vec_id", "cv", _norm(F.col("cv")).alias("cn"),
                  hyperplane_signature(F.col("cv"), n_planes, dim,
                                       cast=False).alias("sig")))
-    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    cos = _cos(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn"))
     if round_dp is not None:
         cos = F.round(cos, round_dp)
     pairs = (q.join(c, "sig")

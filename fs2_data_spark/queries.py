@@ -771,7 +771,7 @@ WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
 n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
 q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
 pairs AS (SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
-                 ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos_sim
+                 ROUND(CASE WHEN q.nrm > 0 AND c.nrm > 0 THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END, 4) AS cos_sim
           FROM q JOIN n c ON c.vec_id <> q.vec_id)
 SELECT q_vec_id, n_vec_id, cos_sim FROM (
   SELECT *, row_number() OVER (PARTITION BY q_vec_id
@@ -807,7 +807,7 @@ s AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
       FROM e),
 q AS (SELECT * FROM s WHERE vec_id % 50 = 0),
 pairs AS (SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
-                 ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos_sim
+                 ROUND(CASE WHEN q.nrm > 0 AND c.nrm > 0 THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END, 4) AS cos_sim
           FROM q JOIN s c ON c.sig = q.sig AND c.vec_id <> q.vec_id)
 SELECT q_vec_id, n_vec_id, cos_sim FROM (
   SELECT *, row_number() OVER (PARTITION BY q_vec_id
@@ -834,24 +834,24 @@ s AS (SELECT vec_id, label, v,
              {_hyperplane_sig_sql(4, 64)} AS sig
       FROM e)
 SELECT a.vec_id AS id1, b.vec_id AS id2,
-       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+       ROUND(CASE WHEN a.nrm > 0 AND b.nrm > 0 THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm) ELSE 0.0 END, 4) AS cos_sim
 FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
-WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.4
+WHERE ROUND(CASE WHEN a.nrm > 0 AND b.nrm > 0 THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm) ELSE 0.0 END, 4) >= 0.4
 """)
 def emb_near_dups_q(spark, sf_dir):
     """Embedding near-duplicate pairs via hyperplane-LSH bucketing + exact
     cosine verify — the oracle reproduces the deterministic plane weights
     verbatim."""
     from fs2_data_spark.operators.similarity import (
-        _as_double, _dot, _norm, hyperplane_signature,
+        _as_double, _cos, _dot, _norm, hyperplane_signature,
     )
     e = (_t(spark, sf_dir, "embeddings")
          .select(F.col("vec_id"), _as_double(F.col("embedding")).alias("v"))
          .select("vec_id", "v", _norm(F.col("v")).alias("nrm"),
                  hyperplane_signature(F.col("v"), 4, 64, cast=False).alias("sig")))
     a, b = e.alias("a"), e.alias("b")
-    cos = F.round(_dot(F.col("a.v"), F.col("b.v"))
-                  / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    cos = F.round(_cos(_dot(F.col("a.v"), F.col("b.v")),
+                       F.col("a.nrm"), F.col("b.nrm")), 4)
     return (a.join(b, (F.col("a.sig") == F.col("b.sig"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("id1"),
@@ -869,7 +869,7 @@ s AS (SELECT vec_id, label, v,
       FROM e),
 p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
       FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
-      WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.4),
+      WHERE ROUND(CASE WHEN a.nrm > 0 AND b.nrm > 0 THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm) ELSE 0.0 END, 4) >= 0.4),
 edges AS (SELECT id1 AS a, id2 AS b FROM p
           UNION SELECT id2, id1 FROM p),
 reach AS (
@@ -1793,7 +1793,7 @@ inv AS (SELECT id AS n_vec_id, v AS cv2, cell,
                sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
         FROM a2),
 pairs AS (SELECT p.q_vec_id, i.n_vec_id,
-                 ROUND(list_dot_product(p.qv, i.cv2) / (p.qn * i.cn), 4) AS cos_sim
+                 ROUND(CASE WHEN p.qn > 0 AND i.cn > 0 THEN list_dot_product(p.qv, i.cv2) / (p.qn * i.cn) ELSE 0.0 END, 4) AS cos_sim
           FROM probes p JOIN inv i USING (cell)
           WHERE i.n_vec_id != p.q_vec_id)
 SELECT q_vec_id, n_vec_id, cos_sim FROM (

@@ -216,3 +216,56 @@ def adv_events_dir(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", EVENT_QUERIES)
 def test_adversarial_events_parity(spark, adv_events_dir, name):
     _assert_parity(spark, adv_events_dir, name, "events")
+
+
+# ---------------------------------------------------------------------------
+# Embeddings table: identical-vector groups (exact distance ties in top-k),
+# a zero vector (norm 0 — the bare cosine division ABORTS the whole job
+# under Spark 4 ANSI and returns inf in DuckDB; _cos defines it as 0),
+# negated pairs (cosine -1), and tiny magnitudes.  Its first run caught the
+# zero-norm abort in all four cosine paths (cosine_topk, ivf_topk,
+# lsh verify, emb_near_dups).
+# ---------------------------------------------------------------------------
+
+EMBEDDING_QUERIES = [
+    "emb_label_stats", "emb_near_dups", "ann_cosine_topk",
+    "ann_lsh_topk", "ann_ivf_topk", "dedup_cluster_docs",
+]
+
+
+def _mk_embeddings():
+    rng = random.Random(202)
+    rows = []
+    base_vecs = [[round(rng.uniform(-1, 1), 3) for _ in range(64)]
+                 for _ in range(12)]
+    for i in range(200):
+        mode = i % 10
+        if mode < 4:     # random
+            v = [round(rng.uniform(-1, 1), 3) for _ in range(64)]
+        elif mode < 6:   # exact duplicate of a base vector (distance ties)
+            v = list(rng.choice(base_vecs))
+        elif mode == 6:  # near-duplicate (one coordinate nudged)
+            v = list(rng.choice(base_vecs))
+            v[rng.randrange(64)] += 0.001
+        elif mode == 7:  # negation (cosine -1)
+            v = [-x for x in rng.choice(base_vecs)]
+        elif mode == 8:  # tiny magnitude
+            v = [x * 1e-3 for x in rng.choice(base_vecs)]
+        else:            # zero vector (norm 0)
+            v = [0.0] * 64
+        rows.append((i, v, rng.randrange(3)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def adv_emb_dir(spark, tmp_path_factory):
+    d = spark.createDataFrame(
+        _mk_embeddings(), "vec_id bigint, embedding array<float>, label int")
+    out = tmp_path_factory.mktemp("adv_emb")
+    d.coalesce(2).write.parquet(str(out / "embeddings.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", EMBEDDING_QUERIES)
+def test_adversarial_embeddings_parity(spark, adv_emb_dir, name):
+    _assert_parity(spark, adv_emb_dir, name, "embeddings")

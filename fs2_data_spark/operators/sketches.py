@@ -49,6 +49,8 @@ dedup/mixing/packing.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from fs2_data_spark.functions.text import HASH_PRIME
@@ -235,3 +237,135 @@ def cms_point_query(
             .join(F.broadcast(sketch), ["row", "bucket"])
             .groupBy(*queries.columns)
             .agg(F.min("cnt").alias("cms_est")))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+#
+# [Flajolet, Fusy, Gandouet, Meunier 2007].  m = 2^HLL_P registers; each
+# element's re-mixed hash (kmv_hash domain [0, KMV_P)) gives the bucket
+# (h % m); the B-bit tail comes from a SECOND affine re-mix reduced mod
+# 2^B, and the register keeps the max over elements of
+# rho(w) = B - floor(log2(w)) (the 1-based position of the leading 1-bit;
+# w = 0 -> B + 1).  The tail is NOT h // m: that quotient lives on
+# [0, KMV_P / m) ~ 0.909 * 2^34, so the top 9% of the 34-bit space never
+# occurs, rho skews large, and the estimate biases high (measured +20-50%).
+# Reducing an independent remix mod 2^30 leaves KMV_P / 2^30 ~ 931 full
+# cycles plus a partial one — non-uniformity ~0.1%, negligible against the
+# sketch's own 1.04/sqrt(m) = 13% standard error.
+#
+# Engine portability, per the module discipline:
+# - rho is pure integer/string arithmetic: floor(log2(w)) =
+#   length(bin(w)) - 1, and `bin` renders identical minimal binary strings
+#   in Spark and DuckDB (verified: bin(0) = '0' in both).
+# - The harmonic sum sum(2^-r_j) is kept EXACT as the scaled bigint
+#   S = sum(2^(B+1-r_j)) (terms 2^0 .. 2^31, at most m * 2^31 < 2^38):
+#   integer addition is order-independent where float summation is not.
+# - The raw estimate is alpha_m * m^2 * 2^(B+1) / S — numerator computed
+#   once in Python, one IEEE division.
+# - The small-range linear-counting branch m * ln(m / V) depends on libm —
+#   but V (zero registers) has only m possible values, so the table of all
+#   m corrections is precomputed in Python and shipped as literals: the
+#   oracle never calls ln.
+#
+# Registers merge by elementwise MAX — the monoid that lets per-shard /
+# per-snapshot sketches maintain corpus-level distinct counts at 100 TB
+# without re-scanning (same maintenance shape as kmv_merge, fixed 2^P-row
+# state).
+
+HLL_P = 6
+HLL_M = 1 << HLL_P                    # 64 registers
+HLL_B = 30                            # tail bits (see domain note above)
+_HA3, _HB3 = 6_700_417, 65_537        # tail re-mix; (KMV_P-1)*A3 < 2^63
+_HLL_ALPHA = 0.709                    # alpha_64 per the HLL paper
+_HLL_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_B + 1))
+_HLL_LC = [0.0] + [HLL_M * math.log(HLL_M / v) for v in range(1, HLL_M + 1)]
+
+
+def hll_tail(h: Column) -> Column:
+    """Independent ``[0, 2^B)`` tail of a ``[0, KMV_P)`` element hash."""
+    return F.pmod(F.pmod(h * _HA3 + _HB3, F.lit(KMV_P)),
+                  F.lit(1 << HLL_B))
+
+
+def hll_tail_sql(h_expr: str) -> str:
+    return f"(({h_expr}) * {_HA3} + {_HB3}) % {KMV_P} % {1 << HLL_B}"
+
+
+def hll_rho(w: Column) -> Column:
+    """1-based leading-1 position of the ``HLL_B``-bit tail ``w``."""
+    return F.when(w == 0, F.lit(HLL_B + 1)).otherwise(
+        F.lit(HLL_B) - (F.length(F.bin(w)) - F.lit(1))).cast("integer")
+
+
+def hll_rho_sql(w_expr: str) -> str:
+    return (f"CAST(CASE WHEN ({w_expr}) = 0 THEN {HLL_B + 1} "
+            f"ELSE {HLL_B} - (length(bin({w_expr})) - 1) END AS INTEGER)")
+
+
+def hll_registers(elems: DataFrame, group_col: str = "source",
+                  hash_col: str = "h") -> DataFrame:
+    """Per-group register table ``(group, bucket, r)`` — non-zero registers
+    only (absent buckets are implicit 0).  One map-side-combined shuffle
+    bounded at ``m`` rows per group per task."""
+    h = F.col(hash_col)
+    return (elems
+            .select(F.col(group_col),
+                    F.pmod(h, F.lit(HLL_M)).cast("integer").alias("bucket"),
+                    hll_rho(hll_tail(h)).alias("rho"))
+            .groupBy(group_col, "bucket")
+            .agg(F.max("rho").alias("r")))
+
+
+def hll_merge(a: DataFrame, b: DataFrame,
+              group_col: str = "source") -> DataFrame:
+    """Monoid merge: elementwise register max over (group, bucket)."""
+    return (a.unionByName(b)
+             .groupBy(group_col, "bucket")
+             .agg(F.max("r").alias("r")))
+
+
+def hll_estimate(registers: DataFrame,
+                 group_col: str = "source") -> DataFrame:
+    """Cardinality estimate per group from a register table.
+
+    Absent buckets contribute ``2^(B+1)`` to the scaled sum and count as
+    zero registers, so the aggregate needs only the non-zero rows:
+    ``S = sum(2^(B+1-r)) + (m - n_present) * 2^(B+1)``.  Small-range
+    correction (raw <= 2.5 m with zero registers) selects the
+    linear-counting literal for ``V`` from the precomputed table.
+    """
+    full = F.lit(1 << (HLL_B + 1)).cast("bigint")
+    s_present = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_B + 1} - r)"))
+    n_present = F.count(F.lit(1))
+    agg = registers.groupBy(group_col).agg(
+        (s_present + (F.lit(HLL_M) - n_present) * full).alias("sum_scaled"),
+        (F.lit(HLL_M) - n_present).cast("integer").alias("n_zero"))
+    raw = F.lit(_HLL_NUM) / F.col("sum_scaled").cast("double")
+    lc = F.element_at(F.array(*[F.lit(x) for x in _HLL_LC]),
+                      F.col("n_zero") + 1)
+    est = F.when((F.col("n_zero") > 0) & (raw <= F.lit(2.5 * HLL_M)), lc) \
+           .otherwise(raw)
+    return agg.select(group_col, "n_zero", "sum_scaled",
+                      F.round(est, 4).alias("est_distinct"))
+
+
+def hll_estimate_sql(reg_rel: str, group_col: str = "source") -> str:
+    """The identical estimate as ANSI SQL over a (group, bucket, r) relation."""
+    full = 1 << (HLL_B + 1)
+    lc_arr = "[" + ", ".join(repr(x) for x in _HLL_LC) + "]"
+    return f"""
+SELECT {group_col}, n_zero, sum_scaled,
+       ROUND(CASE WHEN n_zero > 0
+                   AND {_HLL_NUM!r} / CAST(sum_scaled AS DOUBLE)
+                       <= {2.5 * HLL_M!r}
+             THEN ({lc_arr})[n_zero + 1]
+             ELSE {_HLL_NUM!r} / CAST(sum_scaled AS DOUBLE) END,
+             4) AS est_distinct
+FROM (SELECT {group_col},
+             CAST(SUM(CAST(1 AS BIGINT) << ({HLL_B + 1} - r))
+                  + ({HLL_M} - COUNT(*)) * {full} AS BIGINT) AS sum_scaled,
+             CAST({HLL_M} - COUNT(*) AS INTEGER) AS n_zero
+      FROM {reg_rel} GROUP BY {group_col})
+"""

@@ -2945,8 +2945,12 @@ def xml_pretty_docs(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 from fs2_data_spark.operators.sketches import (  # noqa: E402
+    HLL_M,
     KMV_P,
     cms_bucket_sql,
+    hll_estimate_sql,
+    hll_rho_sql,
+    hll_tail_sql,
     kmv_hash_sql,
 )
 
@@ -3147,6 +3151,56 @@ def cms_counts_docs(spark, sf_dir):
             .select("word", "exact_cnt", "cms_est"))
 
 
+@_q("hll_distinct_docs", f"""
+WITH wh AS (SELECT source, {_WH_SQL} AS w FROM documents),
+sh AS (SELECT source, unnest({_SHINGLES_SQL}) AS s FROM wh),
+hh AS (SELECT DISTINCT source, {kmv_hash_sql('s')} AS h FROM sh),
+hu AS (SELECT source, h FROM hh
+       UNION ALL
+       SELECT 'ALL' AS source, h FROM (SELECT DISTINCT h FROM hh)),
+reg AS (SELECT source,
+               CAST(h % {HLL_M} AS INTEGER) AS bucket,
+               MAX({hll_rho_sql(hll_tail_sql('h'))}) AS r
+        FROM hu GROUP BY source, h % {HLL_M}),
+est AS ({hll_estimate_sql('reg')}),
+ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+       FROM hu GROUP BY source)
+SELECT est.source, n_zero, sum_scaled, est_distinct, exact_distinct
+FROM est JOIN ex USING (source)
+""")
+def hll_distinct_docs(spark, sf_dir):
+    """HyperLogLog distinct-count registers + estimate
+    (``operators/sketches.py``): per-source distinct word-trigram-shingle
+    estimates from 64 registers, next to the exact count for calibration —
+    and an ``ALL`` row whose registers are maintained by the MONOID MERGE
+    of the per-source sketches (elementwise max; the law a 100 TB pipeline
+    relies on to keep corpus-level cardinality without re-scanning, pinned
+    by tests/test_sketches.py).  The oracle rebuilds the identical
+    registers (portable affine re-mix, ``length(bin(w))`` leading-1
+    position), the exact scaled-bigint harmonic sum, and the
+    linear-counting literal table — it checks the sketch bit-for-bit, not
+    just a property of it."""
+    from fs2_data_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+        kmv_hash,
+    )
+    d = _t(spark, sf_dir, "documents")
+    el = (d.select("source", F.explode(TXT.shingle_hashes("text")).alias("s"))
+           .select("source", kmv_hash(F.col("s")).alias("h")))
+    regs = hll_registers(el, "source", "h")
+    merged = (regs.groupBy("bucket").agg(F.max("r").alias("r"))
+                  .select(F.lit("ALL").alias("source"), "bucket", "r"))
+    est = hll_estimate(regs.unionByName(merged), "source")
+    hh = el.distinct()
+    hu = hh.unionByName(
+        hh.select("h").distinct().select(F.lit("ALL").alias("source"), "h"))
+    exact = hu.groupBy("source").agg(
+        F.count(F.lit(1)).alias("exact_distinct"))
+    return est.join(exact, "source").select(
+        "source", "n_zero", "sum_scaled", "est_distinct", "exact_distinct")
+
+
 @_q("nb_classifier_docs", f"""
 WITH s AS (SELECT doc_id, lang = 'en' AS pos, {_WS_SQL} AS ws
            FROM documents),
@@ -3289,6 +3343,10 @@ FORCE_FRONT: list[str] = [
     # event-time-keyed (streaming/sessions.py _fold_running_state); needs a
     # fresh driver row to prove the fix under the driver's batching
     "streaming_running_features_smoke",
+    # round 5 late: every cosine path gained total zero-norm semantics
+    # (similarity.py _cos + the matching CASE in the oracles) after these
+    # queries' last driver rows
+    "ann_cosine_topk", "ann_lsh_topk", "emb_near_dups",
 ]
 
 DRIVER_WINDOW = 50

@@ -221,3 +221,108 @@ def test_segment_dedup_identity_without_duplicates(spark):
     for r in segment_dedup(d, seg_words=4).collect():
         assert r.n_seg == 3 and r.n_kept == 3
         assert r.clean_text == " ".join(f"u{r.doc_id}w{j}" for j in range(11))
+
+
+# ---------------------------------------------------------------------------
+# HLL
+# ---------------------------------------------------------------------------
+
+def _hll_py_registers(vals):
+    """Pure-Python reference: register array for a value set."""
+    from fs2_data_spark.operators import sketches as SK
+    reg = [0] * SK.HLL_M
+    for v in vals:
+        r = v % SK.KMV_P
+        r = (r * SK._KA1 + SK._KB1) % SK.KMV_P
+        h = (r * SK._KA2 + SK._KB2) % SK.KMV_P
+        w = ((h * SK._HA3 + SK._HB3) % SK.KMV_P) % (1 << SK.HLL_B)
+        rho = SK.HLL_B + 1 if w == 0 else SK.HLL_B - (w.bit_length() - 1)
+        b = h % SK.HLL_M
+        reg[b] = max(reg[b], rho)
+    return reg
+
+
+def test_hll_registers_match_python_reference(spark):
+    import random
+    from fs2_data_spark.operators.sketches import (
+        HLL_M, hll_registers, kmv_hash)
+    rng = random.Random(11)
+    vals = [rng.randrange(10 ** 15) for _ in range(300)]
+    el = (spark.createDataFrame([(v,) for v in vals], "x bigint")
+          .select(F.lit("g").alias("source"), kmv_hash(F.col("x")).alias("h")))
+    got = {r.bucket: r.r for r in hll_registers(el).collect()}
+    ref = _hll_py_registers(vals)
+    assert got == {b: r for b, r in enumerate(ref) if r > 0}
+    assert all(0 <= b < HLL_M for b in got)
+
+
+def test_hll_merge_law(spark):
+    # registers(A ∪ B) == elementwise max(registers(A), registers(B)),
+    # including overlapping elements
+    import random
+    from fs2_data_spark.operators.sketches import (
+        hll_estimate, hll_merge, hll_registers, kmv_hash)
+    rng = random.Random(23)
+    a_vals = [rng.randrange(10 ** 15) for _ in range(400)]
+    b_vals = a_vals[:100] + [rng.randrange(10 ** 15) for _ in range(300)]
+
+    def regs(vals):
+        el = (spark.createDataFrame([(v,) for v in vals], "x bigint")
+              .select(F.lit("g").alias("source"),
+                      kmv_hash(F.col("x")).alias("h")))
+        return hll_registers(el)
+
+    merged = {(r.bucket, r.r)
+              for r in hll_merge(regs(a_vals), regs(b_vals)).collect()}
+    union = {(r.bucket, r.r) for r in regs(a_vals + b_vals).collect()}
+    assert merged == union
+    # and the estimate is a pure function of the registers
+    e1 = hll_estimate(hll_merge(regs(a_vals), regs(b_vals))).collect()[0]
+    e2 = hll_estimate(regs(a_vals + b_vals)).collect()[0]
+    assert (e1.sum_scaled, e1.n_zero, e1.est_distinct) == \
+           (e2.sum_scaled, e2.n_zero, e2.est_distinct)
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    # a handful of elements -> V > 0, raw <= 2.5 m -> the precomputed
+    # m*ln(m/V) literal, not the raw harmonic estimate
+    from fs2_data_spark.operators.sketches import (
+        _HLL_LC, hll_estimate, hll_registers, kmv_hash)
+    el = (spark.createDataFrame([(v,) for v in range(1, 9)], "x bigint")
+          .select(F.lit("g").alias("source"), kmv_hash(F.col("x")).alias("h")))
+    out = hll_estimate(hll_registers(el)).collect()[0]
+    assert out.n_zero > 0
+    assert out.est_distinct == round(_HLL_LC[out.n_zero], 4)
+    # 8 distinct elements: linear counting is near-exact at this load
+    assert abs(out.est_distinct - 8) <= 1
+
+
+def test_hll_estimate_band(spark):
+    # 13% standard error at m=64 -> a +-40% (3 sigma) band is a hard bound
+    import random
+    from fs2_data_spark.operators.sketches import (
+        hll_estimate, hll_registers, kmv_hash)
+    rng = random.Random(5)
+    vals = list({rng.randrange(10 ** 15) for _ in range(3000)})
+    el = (spark.createDataFrame([(v,) for v in vals], "x bigint")
+          .select(F.lit("g").alias("source"), kmv_hash(F.col("x")).alias("h")))
+    out = hll_estimate(hll_registers(el)).collect()[0]
+    assert abs(out.est_distinct - len(vals)) / len(vals) < 0.4
+
+
+def test_hll_partitioning_invariance(spark):
+    import random
+    from fs2_data_spark.operators.sketches import (
+        hll_estimate, hll_registers, kmv_hash)
+    rng = random.Random(31)
+    vals = [rng.randrange(10 ** 15) for _ in range(500)]
+
+    def est(npart):
+        el = (spark.createDataFrame([(v,) for v in vals], "x bigint")
+              .repartition(npart)
+              .select(F.lit("g").alias("source"),
+                      kmv_hash(F.col("x")).alias("h")))
+        r = hll_estimate(hll_registers(el)).collect()[0]
+        return (r.sum_scaled, r.n_zero, r.est_distinct)
+
+    assert est(1) == est(7) == est(32)

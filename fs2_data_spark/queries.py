@@ -825,6 +825,45 @@ def ann_lsh(spark, sf_dir):
                            n_planes=8, dim=64, round_dp=4)
 
 
+@_q("ann_quantized_topk", """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+g AS (SELECT CAST(unnest(generate_series(1, 64)) AS INTEGER) AS i),
+st AS (SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+       FROM e CROSS JOIN g GROUP BY i),
+qt AS (SELECT e.vec_id,
+              list(CASE WHEN st.mx > st.mn
+                   THEN CAST(round((v[st.i] - st.mn) * 255.0
+                                   / (st.mx - st.mn)) AS BIGINT)
+                   ELSE 0 END ORDER BY st.i) AS q
+       FROM e CROSS JOIN st GROUP BY e.vec_id),
+pairs AS (SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id,
+                 CAST(list_sum(list_transform(
+                     range(1, 65),
+                     i -> (a.q[CAST(i AS INTEGER)] - b.q[CAST(i AS INTEGER)])
+                        * (a.q[CAST(i AS INTEGER)] - b.q[CAST(i AS INTEGER)])))
+                   AS BIGINT) AS dist_sq
+          FROM qt a JOIN qt b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id % 50 = 0)
+SELECT q_vec_id, n_vec_id, dist_sq FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                               ORDER BY dist_sq, n_vec_id) AS rn
+  FROM pairs) WHERE rn <= 5
+""")
+def ann_quantized(spark, sf_dir):
+    """Int8-quantized exact top-k (``operators/quantize.py``): per-dimension
+    affine codes from one partial-aggregatable min/max pass (no explode —
+    a (row, dim) shuffle would multiply the corpus by 64), then EXACT int64
+    squared-L2 ranking.  4x less scan/shuffle than the float tier and
+    bit-for-bit reproducible on any hardware — the oracle matches every
+    distance with no rounding tolerance anywhere, the only embeddings query
+    that can say that."""
+    from fs2_data_spark.operators.quantize import quantized_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, F.col("vec_id") % 50 == 0,
+                          id_col="vec_id", vec_col="embedding", dim=64, k=5)
+
+
 @_q("emb_near_dups", f"""
 WITH e AS (SELECT vec_id, label,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

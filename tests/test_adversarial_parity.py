@@ -230,7 +230,8 @@ def test_adversarial_events_parity(spark, adv_events_dir, name):
 
 EMBEDDING_QUERIES = [
     "emb_label_stats", "emb_near_dups", "ann_cosine_topk",
-    "ann_lsh_topk", "ann_ivf_topk", "dedup_cluster_docs",
+    "ann_lsh_topk", "ann_ivf_topk", "ann_quantized_topk",
+    "dedup_cluster_docs",
 ]
 
 

@@ -177,3 +177,14 @@ def test_unigram_quality_vocab_broadcasts(spark):
     assert "CartesianProduct" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def test_quantized_topk_no_dim_explode_no_python(spark):
+    """Quantization stats come from one partial-agg pass (no Generate /
+    explode multiplying the corpus by dim) and the whole pipeline stays
+    JVM-side; the stats row and the query side broadcast."""
+    plan = plan_of(q(spark, "ann_quantized_topk"))
+    assert "Generate" not in plan           # no (row, dim) explode
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

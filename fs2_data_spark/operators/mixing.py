@@ -265,3 +265,50 @@ def mixing_rates(
         n = counts.get(s, 0)
         rates[s] = 0.0 if n == 0 else min(1.0, budget_rows * (w / total_w) / n)
     return rates
+
+
+def cap_per_group(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Frequency capping: keep at most ``cap`` rows per group, chosen
+    deterministically as the ``cap`` smallest ``(hash(id, seed), id)``.
+
+    The RefinedWeb/CCNet guard against a single domain or dump flooding the
+    training mixture: hash-ordering makes the kept subset a uniform random
+    ``cap``-sample of each group, reproducible under reruns and any
+    partitioning (unlike ``ORDER BY rand()``), while the window rank makes
+    the decision auditable (``cap_rank`` says how close each row was).
+
+    Scale shape: one hash Exchange on the group key; Spark rewrites the
+    ``row_number() <= cap`` filter into ``WindowGroupLimit``, so every map
+    task pre-trims to ``cap`` rows per group BEFORE the shuffle — the
+    exchange carries at most ``cap * n_tasks`` rows per group no matter how
+    skewed the corpus, the same bound that makes top-k-per-key safe at
+    100 TB.  Adds ``cap_rank`` (1-based) and ``kept``; filter on ``kept``
+    to apply the cap.
+    """
+    from pyspark.sql import Window
+
+    if method == "portable":
+        h = portable_unit_hash(F.col(id_col), seed)
+    elif method == "xxhash64":
+        h = F.xxhash64(F.col(id_col), F.lit(seed))
+    else:
+        raise ValueError(f"unknown method {method!r} (portable | xxhash64)")
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("cap_rank", F.row_number().over(w))
+              .withColumn("kept", F.col("cap_rank") <= cap))
+
+
+def cap_per_group_sql(cap: int, group_col: str = "source",
+                      id_expr: str = "doc_id", seed: int = 42) -> str:
+    """Oracle fragment: the identical rank/keep decision for the portable
+    hash tier, as a window expression over ``documents``-shaped input."""
+    h = portable_unit_hash_sql(id_expr, seed)
+    return (f"ROW_NUMBER() OVER (PARTITION BY {group_col} "
+            f"ORDER BY {h}, {id_expr})")

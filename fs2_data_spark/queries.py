@@ -968,6 +968,31 @@ def mix_sample_docs(spark, sf_dir):
                              default_rate=_MIX_DEFAULT, method="portable")
 
 
+@_q("source_cap_docs", """
+SELECT doc_id, source, cap_rank, cap_rank <= 15 AS kept FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id * 2654435761 + 42) % 1000003 * 40503 + 17)
+                    % 999983,
+                    doc_id) AS cap_rank
+  FROM documents)
+""")
+def source_cap_docs(spark, sf_dir):
+    """Per-source frequency capping (``operators/mixing.py cap_per_group``)
+    — the RefinedWeb-style guard against one domain flooding the mixture:
+    keep the 15 smallest ``(portable_hash(doc_id), doc_id)`` per source, a
+    deterministic uniform cap-sample that is rerun/partitioning/engine
+    independent.  One hash Exchange; WindowGroupLimit pre-trims every map
+    task to ``cap`` rows per group before the shuffle (plan-pinned), so the
+    exchange stays bounded under any skew.  The oracle replays the
+    identical hash ordering and rank."""
+    from fs2_data_spark.operators.mixing import cap_per_group
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(d, cap=15, group_col="source", id_col="doc_id",
+                         seed=42, method="portable")
+
+
 @_q("pack_sequences_docs", """
 WITH RECURSIVE s AS (
   SELECT doc_id, source, n_chars,

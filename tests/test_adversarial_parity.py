@@ -99,6 +99,7 @@ DOC_ONLY_QUERIES = [
     # mixing / packing / chunking / splits
     "mix_sample_docs", "pack_sequences_docs", "split_assign_docs",
     "resample_docs", "curriculum_buckets_docs", "chunk_tokens_docs",
+    "source_cap_docs",
     # corpus-fit scoring
     "unigram_quality_docs", "bigram_quality_docs", "tfidf_topk_docs",
     "preprocess_pipeline_docs", "vocab_merge_docs",

@@ -231,3 +231,54 @@ def test_stratified_resample_bad_method(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with _pytest.raises(ValueError):
         stratified_resample(df, {"a": 1.0}, method="md5")
+
+
+# ---------------------------------------------------------------------------
+# Frequency capping
+# ---------------------------------------------------------------------------
+
+def test_cap_per_group_respects_cap_and_partitions(spark, corpus):
+    from fs2_data_spark.operators.mixing import cap_per_group
+    for method in ("portable", "xxhash64"):
+        outs = []
+        for nparts in (1, 13):
+            out = cap_per_group(corpus.repartition(nparts), cap=100,
+                                method=method)
+            kept = out.filter("kept")
+            by_src = {r.source: r.n for r in
+                      kept.groupBy("source")
+                          .agg(F.count(F.lit(1)).alias("n")).collect()}
+            assert all(n == 100 for n in by_src.values()), (method, by_src)
+            outs.append(sorted((r.doc_id, r.cap_rank)
+                               for r in kept.collect()))
+        assert outs[0] == outs[1], method  # partitioning invariance
+
+
+def test_cap_per_group_small_groups_untouched(spark):
+    from fs2_data_spark.operators.mixing import cap_per_group
+    d = spark.createDataFrame(
+        [(i, "a") for i in range(5)] + [(i, "b") for i in range(100, 130)],
+        "doc_id bigint, source string")
+    kept = cap_per_group(d, cap=10).filter("kept")
+    by_src = {r.source: r.n for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+    assert by_src == {"a": 5, "b": 10}
+
+
+def test_cap_per_group_is_uniform_sample(spark, corpus):
+    # hash-ordering means the kept set is spread over the id range, not a
+    # prefix: the mean kept id should be near the group's mid-range
+    from fs2_data_spark.operators.mixing import cap_per_group
+    kept = cap_per_group(corpus, cap=200).filter("kept")
+    stats = {r.source: r.m for r in
+             kept.groupBy("source").agg(F.avg("doc_id").alias("m"))
+                 .collect()}
+    for src, m in stats.items():
+        assert 3000 < m < 7000, (src, m)  # ids run 0..9999 in every group
+
+
+def test_cap_per_group_bad_method(spark, corpus):
+    from fs2_data_spark.operators.mixing import cap_per_group
+    with pytest.raises(ValueError):
+        cap_per_group(corpus, cap=10, method="md5")

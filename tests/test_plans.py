@@ -188,3 +188,16 @@ def test_quantized_topk_no_dim_explode_no_python(spark):
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_source_cap_window_group_limit(spark):
+    """The row_number <= cap filter must rewrite into WindowGroupLimit so
+    map tasks pre-trim to cap rows per group before the exchange."""
+    from fs2_data_spark.operators.mixing import cap_per_group
+    from fs2_data_spark.queries import _t
+    d = _t(spark, SF, "documents").select("doc_id", "source")
+    plan = plan_of(cap_per_group(d, cap=15, method="portable").filter("kept"))
+    # Partial group-limit below the exchange, Final above it
+    assert ", 15, Partial" in plan and ", 15, Final" in plan
+    assert plan.count("+- Exchange") == 1
+    assert "PythonUDF" not in plan

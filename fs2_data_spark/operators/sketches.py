@@ -369,3 +369,85 @@ FROM (SELECT {group_col},
              CAST({HLL_M} - COUNT(*) AS INTEGER) AS n_zero
       FROM {reg_rel} GROUP BY {group_col})
 """
+
+
+# ---------------------------------------------------------------------------
+# MinHash union sketch: cross-group similarity matrix
+# ---------------------------------------------------------------------------
+
+def minhash_union_similarity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Pairwise group-vocabulary similarity from mergeable MinHash sketches.
+
+    The estimator behind "how much does dump N overlap dump M" corpus
+    audits [Broder 1997]: a group's k-component signature is the
+    elementwise MIN over its elements' permuted hashes — ``sig(A ∪ B) =
+    min(sig(A), sig(B))``, the union monoid, so per-shard signatures
+    maintained incrementally compose into per-group ones without
+    re-scanning (constant 8-value state; same maintenance shape as
+    kmv/hll).  ``P(sig_i(A) = sig_i(B)) = J(A, B)`` exactly, so the
+    fraction of agreeing components estimates the Jaccard similarity.
+
+    Output per unordered group pair: ``n_agree`` / ``est_jaccard``
+    (n_agree/k, an exact multiple of 1/k) next to the EXACT vocabulary
+    ``inter_cnt / union_cnt / jaccard`` for calibration.
+
+    Scale shape: one explode + group-key shuffle builds all signatures
+    (map-side combined MINs); the pair matrix is a broadcast self-join of
+    the group-count-sized signature table.  The exact side (distinct
+    (group, code) + code-key equi-self-join) costs vocabulary-sized
+    shuffles and exists for calibration — at 100 TB you keep the sketch
+    side only.  Permutations reuse ``functions/text.py
+    minhash_signature_from`` coefficients, so per-document signatures
+    already materialized by dedup pipelines min-fold directly into these.
+    """
+    from fs2_data_spark.functions.text import HASH_PRIME, word_codes
+
+    wc = df.select(F.col(group_col).alias("g"),
+                   F.explode(word_codes(text_col)).alias("c"))
+    mins = []
+    for i in range(k):
+        a, b = 1_103_515_245 + 2 * i + 1, 12_345 + 7919 * i
+        mins.append(F.min(F.pmod(F.col("c") * a + b, F.lit(HASH_PRIME)))
+                     .alias(f"mh{i}"))
+    sig = wc.groupBy("g").agg(*mins)
+
+    dc = wc.distinct()
+    cnt = dc.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    a_, b_ = dc.alias("a"), dc.alias("b")
+    inter = (a_.join(b_, (F.col("a.c") == F.col("b.c"))
+                     & (F.col("a.g") < F.col("b.g")))
+             .groupBy(F.col("a.g").alias("s1"), F.col("b.g").alias("s2"))
+             .agg(F.count(F.lit(1)).alias("inter_cnt")))
+
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.mh{i}").eqNullSafe(F.col(f"sb.mh{i}")), 1)
+         .otherwise(0)
+        for i in range(k))
+    pairs = (F.broadcast(sa)
+             .join(sb, F.col("sa.g") < F.col("sb.g"))
+             .select(F.col("sa.g").alias("s1"), F.col("sb.g").alias("s2"),
+                     agree.cast("integer").alias("n_agree")))
+
+    out = (pairs
+           .join(F.broadcast(cnt).withColumnRenamed("g", "s1")
+                 .withColumnRenamed("n", "n1"), "s1")
+           .join(F.broadcast(cnt).withColumnRenamed("g", "s2")
+                 .withColumnRenamed("n", "n2"), "s2")
+           .join(F.broadcast(inter), ["s1", "s2"], "left")
+           .withColumn("inter_cnt", F.coalesce("inter_cnt", F.lit(0)))
+           .withColumn("union_cnt",
+                       F.col("n1") + F.col("n2") - F.col("inter_cnt")))
+    return out.select(
+        "s1", "s2", "n_agree",
+        (F.col("n_agree").cast("double") / F.lit(float(k)))
+        .alias("est_jaccard"),
+        "inter_cnt", "union_cnt",
+        F.when(F.col("union_cnt") > 0,
+               F.col("inter_cnt").cast("double")
+               / F.col("union_cnt").cast("double")).alias("jaccard"))

@@ -3215,6 +3215,52 @@ def cms_counts_docs(spark, sf_dir):
             .select("word", "exact_cnt", "cms_est"))
 
 
+_MH_UNION_SIG_SQL = ", ".join(
+    f"MIN((c * {1_103_515_245 + 2 * i + 1} + {12_345 + 7_919 * i}) "
+    f"% 2147483647) AS mh{i}" for i in range(8))
+_MH_UNION_AGREE_SQL = " + ".join(
+    f"(CASE WHEN a.mh{i} IS NOT DISTINCT FROM b.mh{i} THEN 1 ELSE 0 END)"
+    for i in range(8))
+
+
+@_q("source_jaccard_docs", f"""
+WITH wc AS (SELECT source AS g, unnest({_WC_SQL}) AS c FROM documents),
+sig AS (SELECT g, {_MH_UNION_SIG_SQL} FROM wc GROUP BY g),
+dc AS (SELECT DISTINCT g, c FROM wc),
+cnt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM dc GROUP BY g),
+inter AS (SELECT a.g AS s1, b.g AS s2, CAST(COUNT(*) AS BIGINT) AS ic
+          FROM dc a JOIN dc b ON a.c = b.c AND a.g < b.g GROUP BY 1, 2),
+pairs AS (SELECT a.g AS s1, b.g AS s2,
+                 CAST({_MH_UNION_AGREE_SQL} AS INTEGER) AS n_agree
+          FROM sig a JOIN sig b ON a.g < b.g)
+SELECT p.s1, p.s2, n_agree, CAST(n_agree AS DOUBLE) / 8.0 AS est_jaccard,
+       COALESCE(i.ic, 0) AS inter_cnt,
+       ca.n + cb.n - COALESCE(i.ic, 0) AS union_cnt,
+       CASE WHEN ca.n + cb.n - COALESCE(i.ic, 0) > 0
+            THEN CAST(COALESCE(i.ic, 0) AS DOUBLE)
+                 / CAST(ca.n + cb.n - COALESCE(i.ic, 0) AS DOUBLE)
+       END AS jaccard
+FROM pairs p
+JOIN cnt ca ON ca.g = p.s1
+JOIN cnt cb ON cb.g = p.s2
+LEFT JOIN inter i ON i.s1 = p.s1 AND i.s2 = p.s2
+""")
+def source_jaccard_docs(spark, sf_dir):
+    """Cross-source vocabulary-overlap matrix from mergeable MinHash union
+    sketches (``operators/sketches.py minhash_union_similarity``) — the
+    "how much does dump N overlap dump M" corpus audit: per-source
+    signatures are elementwise MINs over word codes (the union monoid —
+    per-shard signatures fold into per-source ones without re-scanning),
+    pair agreement estimates Jaccard, and the exact vocabulary
+    intersection/union sit beside it for calibration.  The oracle rebuilds
+    signatures, agreement counts, and exact overlap with identical
+    arithmetic."""
+    from fs2_data_spark.operators.sketches import minhash_union_similarity
+    d = _t(spark, sf_dir, "documents")
+    return minhash_union_similarity(d, group_col="source",
+                                    text_col="text", k=8)
+
+
 @_q("hll_distinct_docs", f"""
 WITH wh AS (SELECT source, {_WH_SQL} AS w FROM documents),
 sh AS (SELECT source, unnest({_SHINGLES_SQL}) AS s FROM wh),

@@ -110,8 +110,8 @@ DOC_ONLY_QUERIES = [
     "bpe_pretok_docs", "bpe_learn_docs", "bpe_apply_docs",
     # sketches / heuristic filter / rewrite / classifier (round-5 tier)
     "gopher_rules_docs", "segment_dedup_docs", "kmv_distinct_docs",
-    "cms_counts_docs", "hll_distinct_docs", "nb_classifier_docs",
-    "redact_pii_docs",
+    "cms_counts_docs", "hll_distinct_docs", "source_jaccard_docs",
+    "nb_classifier_docs", "redact_pii_docs",
     "multimodal_decode_docs",
     # format engines (payloads synthesized from the doc text)
     "jsonpath_descendant_docs", "jq_construct_docs", "xpath_attr_filter",

@@ -326,3 +326,70 @@ def test_hll_partitioning_invariance(spark):
         return (r.sum_scaled, r.n_zero, r.est_distinct)
 
     assert est(1) == est(7) == est(32)
+
+
+# ---------------------------------------------------------------------------
+# MinHash union similarity
+# ---------------------------------------------------------------------------
+
+def test_minhash_union_monoid_law(spark):
+    # sig(A ∪ B) == elementwise min(sig(A), sig(B)): computing the group
+    # signature from shard halves must equal the whole-group signature
+    from fs2_data_spark.functions.text import HASH_PRIME, word_codes
+    texts = ["alpha beta gamma delta", "beta epsilon zeta",
+             "gamma eta theta iota kappa"]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string")
+
+    def sig_of(df):
+        wc = df.select(F.explode(word_codes("text")).alias("c"))
+        aggs = []
+        for i in range(8):
+            a, b = 1_103_515_245 + 2 * i + 1, 12_345 + 7_919 * i
+            aggs.append(F.min(F.pmod(F.col("c") * a + b,
+                                     F.lit(HASH_PRIME))).alias(f"mh{i}"))
+        return wc.agg(*aggs).collect()[0]
+
+    whole = sig_of(d)
+    h1, h2 = sig_of(d.filter("doc_id < 1")), sig_of(d.filter("doc_id >= 1"))
+    assert tuple(whole) == tuple(min(x, y) for x, y in zip(h1, h2))
+
+
+def test_minhash_union_similarity_extremes(spark):
+    # identical vocabularies -> every component agrees, exact jaccard 1;
+    # disjoint vocabularies -> exact jaccard 0 (sketch agreement ~0 w.h.p.)
+    from fs2_data_spark.operators.sketches import minhash_union_similarity
+    d = spark.createDataFrame(
+        [(1, "aa bb cc dd", "x"), (2, "dd cc bb aa aa", "y"),
+         (3, "ee ff gg hh", "z")],
+        "doc_id bigint, text string, source string")
+    out = {(r.s1, r.s2): r for r in
+           minhash_union_similarity(d, "source", "text", k=8).collect()}
+    xy = out[("x", "y")]
+    assert xy.n_agree == 8 and xy.est_jaccard == 1.0 and xy.jaccard == 1.0
+    for pair in (("x", "z"), ("y", "z")):
+        assert out[pair].inter_cnt == 0 and out[pair].jaccard == 0.0
+
+
+def test_minhash_union_estimator_tracks_exact(spark):
+    # half-overlapping vocabularies: the sketch estimate must land within
+    # the k=8 binomial band around the exact jaccard
+    import random
+    rng = random.Random(13)
+    # word_codes is the coarse (first char, last char, length) code — give
+    # every vocab word a distinct triple so the code set IS the word set
+    vocab = [chr(65 + j % 26) + chr(97 + j // 26) for j in range(400)]
+    a_words = vocab[:300]
+    b_words = vocab[100:400]  # exact J = 200/400 = 0.5
+    rows = []
+    for i in range(50):
+        rows.append((i, " ".join(rng.sample(a_words, 40)), "A"))
+        rows.append((100 + i, " ".join(rng.sample(b_words, 40)), "B"))
+    # make coverage complete so the vocab IS the word set
+    rows.append((998, " ".join(a_words), "A"))
+    rows.append((999, " ".join(b_words), "B"))
+    from fs2_data_spark.operators.sketches import minhash_union_similarity
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    r = minhash_union_similarity(d, "source", "text", k=8).collect()[0]
+    assert r.inter_cnt == 200 and r.union_cnt == 400 and r.jaccard == 0.5
+    assert abs(r.est_jaccard - 0.5) <= 3 * (0.5 * 0.5 / 8) ** 0.5  # 3 sigma

@@ -414,3 +414,71 @@ def gopher_rules(
         stop_ok.alias("stop_ok"),
         (word_count_ok & mean_wlen_ok & symbol_ok & alpha_ok & stop_ok)
         .alias("gopher_pass"))
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+    topn: int = 30,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Top corpus collocations by pointwise mutual information — the
+    association-mining counterpart of :func:`bigram_lm_score` (which ranks
+    documents; this ranks WORD PAIRS): for each adjacent pair the lift
+    ``p(u,v) / (p(u,·) p(·,v))`` over the bigram distribution, i.e.
+    ``c_uv * N / (c_u * c_v)`` with the first/second-position marginals and
+    the total all re-aggregated from the bigram count table itself
+    (vocabulary²-sized, not the corpus).  PMI is the log of the lift; since
+    ``log`` is monotone the top-k by lift IS the top-k by PMI, and skipping
+    it keeps the pipeline inside exact integer arithmetic (the module's
+    libm-free discipline): ``score_e6 = c_uv * N * 10^6 div (c_u * c_v)``
+    — exact while ``c_uv * N * 10^6 < 2^63`` (any pair count times corpus
+    bigram total under ~9.2e12; shard the count table beyond that).
+
+    ``min_count`` drops hapax noise (classic PMI failure mode: a pair seen
+    once between two hapax words scores the maximum ``N``).
+
+    Scale shape: ONE corpus explode feeds the ``(u, v)`` aggregation; the
+    count table is then lazily ``localCheckpoint``-ed — without the
+    barrier, Spark recomputes the corpus explode once per marginal branch
+    (measured: 4 Generate subtrees in the plan; column pruning makes the
+    branches non-identical so ReuseExchange never fires), i.e. 4 corpus
+    passes at 100 TB, where the checkpoint costs one bigram-table
+    materialization (shuffle-sized, the same trade
+    ``dedup.py connected_components`` makes).  Marginals re-aggregate the
+    checkpointed table and broadcast back; the scalar total joins as a
+    broadcast 1-row frame (never a driver collect); the final top-k is
+    ``TakeOrderedAndProject`` — no global sort materializes.  Returns
+    ``(u, v, c_uv, c_u, c_v, n_bi, score_e6, lift)`` ordered by
+    ``(score_e6 DESC, u, v)``.
+    """
+    w = docs.select(words(text_col).alias("ws"))
+    big = w.select(F.explode(F.when(
+        F.size("ws") >= 2,
+        F.zip_with(F.slice("ws", 1, F.size("ws") - 1),
+                   F.slice("ws", 2, F.size("ws") - 1),
+                   lambda a, b: F.struct(a.alias("u"), b.alias("v"))),
+    ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
+    ).alias("p")).select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+    cuv = big.groupBy("u", "v").agg(F.count(F.lit(1)).alias("c_uv"))
+    if checkpoint:
+        cuv = cuv.localCheckpoint(eager=False)
+    cu = cuv.groupBy("u").agg(F.sum("c_uv").alias("c_u"))
+    cv = cuv.groupBy("v").agg(F.sum("c_uv").alias("c_v"))
+    nb = cuv.agg(F.sum("c_uv").alias("n_bi"))
+    scored = (cuv
+              .join(F.broadcast(cu), "u")
+              .join(F.broadcast(cv), "v")
+              .crossJoin(F.broadcast(nb))
+              .filter(F.col("c_uv") >= min_count)
+              .withColumn(
+                  "score_e6",
+                  F.expr("c_uv * n_bi * 1000000 div (c_u * c_v)"))
+              .withColumn("lift",
+                          F.col("score_e6").cast("double") / F.lit(1e6)))
+    return (scored
+            .orderBy(F.desc("score_e6"), "u", "v")
+            .limit(topn)
+            .select("u", "v", "c_uv", "c_u", "c_v", "n_bi",
+                    "score_e6", "lift"))

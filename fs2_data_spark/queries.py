@@ -1247,6 +1247,38 @@ def bigram_quality_docs(spark, sf_dir):
     return bigram_lm_score(d, text_col="text", id_col="doc_id")
 
 
+@_q("pmi_bigrams_docs", f"""
+WITH w AS (SELECT {_WORDS_SQL} AS ws FROM documents),
+b AS (SELECT ws[CAST(i AS INTEGER)] AS u,
+             ws[CAST(i AS INTEGER) + 1] AS v
+      FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 2),
+cuv AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS c_uv FROM b GROUP BY u, v),
+cu AS (SELECT u, CAST(SUM(c_uv) AS BIGINT) AS c_u FROM cuv GROUP BY u),
+cv AS (SELECT v, CAST(SUM(c_uv) AS BIGINT) AS c_v FROM cuv GROUP BY v),
+nb AS (SELECT CAST(SUM(c_uv) AS BIGINT) AS n_bi FROM cuv),
+s AS (SELECT u, v, c_uv, c_u, c_v, n_bi,
+             CAST((c_uv * n_bi * 1000000) // (c_u * c_v) AS BIGINT)
+               AS score_e6
+      FROM cuv JOIN cu USING (u) JOIN cv USING (v) CROSS JOIN nb
+      WHERE c_uv >= 3)
+SELECT u, v, c_uv, c_u, c_v, n_bi, score_e6,
+       CAST(score_e6 AS DOUBLE) / 1e6 AS lift
+FROM s ORDER BY score_e6 DESC, u, v LIMIT 30
+""")
+def pmi_bigrams_docs(spark, sf_dir):
+    """Corpus collocation mining (``operators/quality.py
+    pmi_collocations``): top-30 adjacent word pairs by PMI lift
+    ``c_uv * N / (c_u * c_v)`` with ``min_count=3`` hapax suppression.
+    Log-free by monotonicity (top-k by exact integer lift == top-k by
+    PMI), so the whole ranking is exact int64 arithmetic the oracle
+    replays; one corpus explode, vocab²-sized marginal re-aggregations
+    broadcast back, TakeOrderedAndProject top-k (plan-pinned)."""
+    from fs2_data_spark.operators.quality import pmi_collocations
+    d = _t(spark, sf_dir, "documents").select("text")
+    return pmi_collocations(d, text_col="text", min_count=3, topn=30)
+
+
 @_q("tfidf_topk_docs", f"""
 WITH w AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
 tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),

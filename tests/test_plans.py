@@ -201,3 +201,21 @@ def test_source_cap_window_group_limit(spark):
     assert ", 15, Partial" in plan and ", 15, Final" in plan
     assert plan.count("+- Exchange") == 1
     assert "PythonUDF" not in plan
+
+
+def test_pmi_topk_no_global_sort_single_explode(spark):
+    from fs2_data_spark.operators.quality import pmi_collocations
+    d = spark.createDataFrame([(1, "a b c a b")], "doc_id bigint, text string")
+    # Without the checkpoint barrier the corpus explode is recomputed once
+    # per marginal branch (the 100 TB failure mode the operator avoids):
+    raw = plan_of(pmi_collocations(d, checkpoint=False))
+    # 4 explode subtrees (formatted explain prints each node twice:
+    # tree + operator-detail section)
+    assert raw.count("Generate") == 8
+    # With it (the default, and what the registry query uses), every branch
+    # scans the one materialized bigram-count table instead:
+    plan = plan_of(q(spark, "pmi_bigrams_docs"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan  # explode happens once, behind the barrier
+    assert "ExistingRDD" in plan  # all branches re-scan the checkpointed cuv
+    assert "PythonUDF" not in plan

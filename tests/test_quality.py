@@ -212,3 +212,48 @@ def test_nb_posterior_separates_disjoint_vocab(spark):
         assert r.nb_pass == r.is_positive
         assert (r.nb_score > 0.9) == r.is_positive
         assert (r.nb_score < 0.1) == (not r.is_positive)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+def test_pmi_hand_computed(spark):
+    from fs2_data_spark.operators.quality import pmi_collocations
+    # doc1 bigrams: ab, ba, ab, ba, ab; doc2: ba, ab, ba, ac
+    # -> ab=4, ba=4, ac=1, N=9; first-marginals a=5, b=4; second b=4, a=4, c=1
+    d = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "b a b a c")], "doc_id bigint, text string")
+    out = {(r.u, r.v): r for r in
+           pmi_collocations(d, min_count=1, topn=10).collect()}
+    ab = out[("a", "b")]
+    assert (ab.c_uv, ab.c_u, ab.c_v, ab.n_bi) == (4, 5, 4, 9)
+    assert ab.score_e6 == 4 * 9 * 1_000_000 // (5 * 4)
+    assert ab.lift == ab.score_e6 / 1e6
+    ba = out[("b", "a")]
+    assert (ba.c_uv, ba.c_u, ba.c_v, ba.n_bi) == (4, 4, 4, 9)
+    assert ba.score_e6 == 4 * 9 * 1_000_000 // (4 * 4)
+    ac = out[("a", "c")]
+    assert ac.score_e6 == 1 * 9 * 1_000_000 // (5 * 1)
+    # ba (2.25) first; ab and ac tie at 1.8 -> (u, v) tiebreak
+    rows = pmi_collocations(d, min_count=1, topn=10).collect()
+    assert [(r.u, r.v) for r in rows] == [("b", "a"), ("a", "b"), ("a", "c")]
+
+
+def test_pmi_min_count_suppresses_hapax(spark):
+    from fs2_data_spark.operators.quality import pmi_collocations
+    d = spark.createDataFrame(
+        [(1, "x y x y x y rare pair")], "doc_id bigint, text string")
+    pairs = {(r.u, r.v) for r in
+             pmi_collocations(d, min_count=3, topn=10).collect()}
+    assert ("rare", "pair") not in pairs
+    assert ("x", "y") in pairs
+
+
+def test_pmi_short_docs_contribute_nothing(spark):
+    from fs2_data_spark.operators.quality import pmi_collocations
+    d = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a b a b a b")],
+        "doc_id bigint, text string")
+    rows = pmi_collocations(d, min_count=1, topn=10).collect()
+    assert all(r.n_bi == 5 for r in rows)  # only doc 3's bigrams counted

@@ -26,7 +26,10 @@ Two physical strategies:
     Arrow-vectorized, useful when the right payload is very wide (windows over
     many columns get expensive) or when per-group imperative logic is needed.
 
-Both strategies produce identical results (pinned by tests).
+Both strategies produce identical results (pinned by tests), across the full
+``pandas.merge_asof`` direction matrix (backward / forward / nearest — see
+``asof_join``'s docstring; the one union-strategy gap, strict nearest, raises
+with a pointer to the pandas strategy).
 """
 
 from __future__ import annotations
@@ -56,36 +59,64 @@ def asof_join(
     suffix: str = "",
     strategy: str = "union",
     dedup_right: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward (point-in-time) as-of join; returns left columns + right
-    payload columns (null when no right row qualifies).
+    """As-of join; returns left columns + right payload columns (null when
+    no right row qualifies).
 
-    ``tolerance_us``: max allowed ``t - t'`` in microseconds (older matches
-    are nulled out, like ``pandas.merge_asof(tolerance=...)``).
+    ``direction`` (the full ``pandas.merge_asof`` matrix):
+      * ``"backward"`` — latest right row with ``t' <= t`` (point-in-time;
+        the north-rule default, zero temporal leakage).
+      * ``"forward"`` — earliest right row with ``t' >= t`` (label/outcome
+        attachment: "next purchase after this click").
+      * ``"nearest"`` — whichever of the two is closer in absolute time;
+        ties go backward (pandas semantics, pinned by test). The union
+        strategy supports nearest only with ``allow_exact=True`` — both
+        candidates come from one sort, and a strict-nearest would need a
+        second ordering; use ``strategy="pandas"`` for that corner.
+
+    ``tolerance_us``: max allowed ``|t - t'|`` in microseconds (farther
+    matches are nulled out, like ``pandas.merge_asof(tolerance=...)``).
     ``dedup_right``: when several right rows share ``(key, ts)``, keep the
     lexicographically greatest payload — a *deterministic* choice (plain
-    ``last()`` over an underspecified sort order is not).
+    ``last()`` over an underspecified sort order is not) applied uniformly
+    across directions and strategies.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
+    if direction == "nearest" and not allow_exact and strategy == "union":
+        raise ValueError(
+            "direction='nearest' with allow_exact=False needs "
+            "strategy='pandas' (one sort order cannot exclude equal-ts rows "
+            "from both the backward and the forward candidate)")
     on = [on] if isinstance(on, str) else list(on)
     right_cols = _right_payload_cols(left, right, on, right_ts, right_cols)
     if strategy == "union":
         return _asof_union(left, right, on, left_ts, right_ts, right_cols,
-                           allow_exact, tolerance_us, suffix, dedup_right)
+                           allow_exact, tolerance_us, suffix, dedup_right,
+                           direction)
     if strategy == "pandas":
         return _asof_pandas(left, right, on, left_ts, right_ts, right_cols,
-                            allow_exact, tolerance_us, suffix, dedup_right)
+                            allow_exact, tolerance_us, suffix, dedup_right,
+                            direction)
     raise ValueError(f"unknown asof strategy: {strategy!r}")
 
 
 def _asof_union(left, right, on, left_ts, right_ts, right_cols,
-                allow_exact, tolerance_us, suffix, dedup_right):
+                allow_exact, tolerance_us, suffix, dedup_right,
+                direction="backward"):
     r = right.select(*on, F.col(right_ts).alias(_TS),
                      F.struct(*right_cols).alias(_R))
     if dedup_right:
         # deterministic winner among (key, ts) duplicates: max struct
         r = r.groupBy(*on, _TS).agg(F.max(_R).alias(_R))
-    # side ordinal: smaller sorts first => visible to later rows at equal ts
-    l_side, r_side = (1, 0) if allow_exact else (0, 1)
+    # side ordinal: smaller sorts first. Backward scans the preceding frame,
+    # so a right row is visible at equal ts iff it sorts BEFORE the left row;
+    # forward scans the following frame, so visibility flips.
+    if direction == "backward" or direction == "nearest":
+        l_side, r_side = (1, 0) if allow_exact else (0, 1)
+    else:  # forward
+        l_side, r_side = (0, 1) if allow_exact else (1, 0)
     l = left.select(
         *on, F.col(left_ts).alias(_TS), F.lit(l_side).alias(_SIDE),
         F.struct(*[c for c in left.columns]).alias(_L),
@@ -94,9 +125,18 @@ def _asof_union(left, right, on, left_ts, right_ts, right_cols,
     r = r.select(*on, _TS, F.lit(r_side).alias(_SIDE),
                  F.lit(None).cast(l.schema[_L].dataType).alias(_L), _R)
     u = l.unionByName(r)
-    w = (Window.partitionBy(*on).orderBy(F.col(_TS), F.col(_SIDE))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = F.last(_R, ignorenulls=True).over(w)
+    order = (F.col(_TS), F.col(_SIDE))
+    w_back = (Window.partitionBy(*on).orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_fwd = (Window.partitionBy(*on).orderBy(*order)
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    if direction == "nearest":
+        return _asof_union_nearest(u, on, right_cols, tolerance_us, suffix,
+                                   w_back, w_fwd)
+    if direction == "forward":
+        w, matched = w_fwd, F.first(_R, ignorenulls=True).over(w_fwd)
+    else:
+        w, matched = w_back, F.last(_R, ignorenulls=True).over(w_back)
     if tolerance_us is None:
         # no second window aggregate on the default path (the matched-ts
         # carry measurably slows the plan; only tolerance needs it)
@@ -104,17 +144,17 @@ def _asof_union(left, right, on, left_ts, right_ts, right_cols,
     else:
         # timestamp of the matched right row, carried by the same window spec
         # (must be computed from the raw union, where _R is null on left rows)
-        mts = F.last(F.when(F.col(_R).isNotNull(), F.col(_TS)),
-                     ignorenulls=True).over(w)
+        mts_src = F.when(F.col(_R).isNotNull(), F.col(_TS))
+        if direction == "forward":
+            mts = F.first(mts_src, ignorenulls=True).over(w)
+            gap = (F.unix_micros(F.col(_MTS).cast("timestamp"))
+                   - F.unix_micros(F.col(_TS).cast("timestamp")))
+        else:
+            mts = F.last(mts_src, ignorenulls=True).over(w)
+            gap = (F.unix_micros(F.col(_TS).cast("timestamp"))
+                   - F.unix_micros(F.col(_MTS).cast("timestamp")))
         out = u.withColumn(_MTS, mts).withColumn(_R, matched)
-        out = out.withColumn(
-            _R,
-            F.when(
-                F.unix_micros(F.col(_TS).cast("timestamp"))
-                - F.unix_micros(F.col(_MTS).cast("timestamp")) <= F.lit(tolerance_us),
-                F.col(_R),
-            ),
-        )
+        out = out.withColumn(_R, F.when(gap <= F.lit(tolerance_us), F.col(_R)))
     out = out.filter(F.col(_L).isNotNull())
     return out.select(
         F.col(_L + ".*"),
@@ -122,8 +162,50 @@ def _asof_union(left, right, on, left_ts, right_ts, right_cols,
     )
 
 
+def _asof_union_nearest(u, on, right_cols, tolerance_us, suffix,
+                        w_back, w_fwd):
+    """Nearest = min(|t - t'|) over the backward-inclusive and the
+    strictly-forward candidate, tie to backward (pandas semantics).
+
+    Side ordinals put right rows BEFORE left rows at equal ts, so the
+    backward frame sees exact matches (distance 0 — backward then always
+    wins the tie against any strictly-forward row) and the forward frame
+    sees only strictly-later right rows. Both candidates ride the SAME
+    partition sort: one Exchange + one Sort, two WindowExec nodes
+    (plan-pinned by test_plans.py).
+    """
+    mts_src = F.when(F.col(_R).isNotNull(), F.col(_TS))
+    b_ts = F.last(mts_src, ignorenulls=True).over(w_back)
+    f_ts = F.first(mts_src, ignorenulls=True).over(w_fwd)
+    b_r = F.last(_R, ignorenulls=True).over(w_back)
+    f_r = F.first(_R, ignorenulls=True).over(w_fwd)
+    out = (u.withColumn("__b_ts", b_ts).withColumn("__f_ts", f_ts)
+            .withColumn("__b_r", b_r).withColumn("__f_r", f_r)
+            .filter(F.col(_L).isNotNull()))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    b_gap = us(_TS) - us("__b_ts")
+    f_gap = us("__f_ts") - us(_TS)
+    # pandas applies tolerance per CANDIDATE before choosing (an
+    # out-of-tolerance backward row does not block an in-tolerance forward
+    # one) — pinned by test_direction_adversarial_sweep
+    b_ok = F.col("__b_ts").isNotNull()
+    f_ok = F.col("__f_ts").isNotNull()
+    if tolerance_us is not None:
+        b_ok = b_ok & (b_gap <= F.lit(tolerance_us))
+        f_ok = f_ok & (f_gap <= F.lit(tolerance_us))
+    use_f = f_ok & (~b_ok | (f_gap < b_gap))
+    chosen = (F.when(use_f, F.col("__f_r"))
+              .when(b_ok, F.col("__b_r")))
+    out = out.withColumn(_R, chosen)
+    return out.select(
+        F.col(_L + ".*"),
+        *[F.col(f"{_R}.{c}").alias(c + suffix) for c in right_cols],
+    )
+
+
 def _asof_pandas(left, right, on, left_ts, right_ts, right_cols,
-                 allow_exact, tolerance_us, suffix, dedup_right=True):
+                 allow_exact, tolerance_us, suffix, dedup_right=True,
+                 direction="backward"):
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
     out_fields = [f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields]
@@ -184,7 +266,7 @@ def _asof_pandas(left, right, on, left_ts, right_ts, right_cols,
             rp = rp.sort_values(rtsc, kind="mergesort")
         merged = pd.merge_asof(
             lpdf, rp, left_on=ltsc, right_on=rtsc,
-            direction="backward", allow_exact_matches=allow_exact, tolerance=tol,
+            direction=direction, allow_exact_matches=allow_exact, tolerance=tol,
         )
         merged = merged[lcols + internal]
         merged.columns = lcols + out_names

@@ -403,6 +403,63 @@ def asof_events_strict(spark, sf_dir):
     return out.select("event_id", F.col("pvalue").alias("last_purchase_value"))
 
 
+@_q("asof_join_events_forward", """
+WITH p AS (SELECT user_id, ts, max(value) AS pvalue
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, p.pvalue AS next_purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+""")
+def asof_events_forward(spark, sf_dir):
+    """Forward as-of (label attachment): each click gets the value of the
+    NEXT purchase at or after it — the outcome-labeling mirror of the
+    point-in-time feature join (``operators/asof.py`` direction='forward';
+    DuckDB's forward ASOF JOIN ``c.ts <= p.ts`` is the oracle). Same
+    one-exchange union-window plan as backward, with the frame flipped to
+    (currentRow, unboundedFollowing)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("pvalue")))
+    out = asof_join(clicks, purch, on="user_id", left_ts="ts", right_ts="ts",
+                    right_cols=["pvalue"], allow_exact=True, strategy="union",
+                    direction="forward")
+    return out.select("event_id", F.col("pvalue").alias("next_purchase_value"))
+
+
+@_q("asof_join_events_nearest", """
+WITH p AS (SELECT user_id, ts, max(value) AS pvalue
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+b AS (SELECT c.event_id, c.ts, p.pvalue AS bv, p.ts AS bt
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
+f AS (SELECT c.event_id, p.pvalue AS fv, p.ts AS ft
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts)
+SELECT b.event_id,
+       CASE WHEN ft IS NOT NULL AND (bt IS NULL OR
+                 epoch_us(ft) - epoch_us(b.ts) < epoch_us(b.ts) - epoch_us(bt))
+            THEN fv ELSE bv END AS nearest_purchase_value
+FROM b JOIN f USING (event_id)
+""")
+def asof_events_nearest(spark, sf_dir):
+    """Nearest as-of: each click gets the purchase closest in absolute time,
+    ties to the past (pandas.merge_asof direction='nearest' semantics).
+    Both candidates ride ONE sort (one Exchange, two WindowExec) —
+    ``operators/asof.py _asof_union_nearest``; the oracle recombines
+    DuckDB's backward and forward ASOF JOINs with the same tie rule. An
+    exact-ts match has backward distance 0 and therefore always wins, so
+    the inclusive forward oracle CTE cannot disagree at distance 0 (the
+    deduped (user_id, ts) winner is unique)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("pvalue")))
+    out = asof_join(clicks, purch, on="user_id", left_ts="ts", right_ts="ts",
+                    right_cols=["pvalue"], allow_exact=True, strategy="union",
+                    direction="nearest")
+    return out.select("event_id", F.col("pvalue").alias("nearest_purchase_value"))
+
+
 # ---------------------------------------------------------------------------
 # Token-array operators over the tokenized documents table (input_hint payload)
 # ---------------------------------------------------------------------------

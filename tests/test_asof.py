@@ -169,3 +169,135 @@ def test_adversarial_sweep_vs_bruteforce(spark):
                 assert got == exp, (strategy, allow_exact, tol_min,
                                     {s: (got[s], exp[s]) for s in exp
                                      if got.get(s) != exp[s]})
+
+
+# ---------------------------------------------------------------------------
+# Direction matrix (forward / nearest — pandas.merge_asof parity)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("strategy", ["union", "pandas"])
+@pytest.mark.parametrize("direction,allow_exact", [
+    ("forward", True), ("forward", False), ("nearest", True),
+])
+def test_direction_matches_pandas_oracle(spark, small, strategy, direction,
+                                         allow_exact):
+    left, right = small
+    got = asof_join(left, right, on="doc_id", left_ts="event_time",
+                    right_ts="obs_time", right_cols=["feat"],
+                    allow_exact=allow_exact, strategy=strategy,
+                    direction=direction)
+    gpdf = (got.toPandas().sort_values(["doc_id", "event_time", "seq"])
+            .reset_index(drop=True))
+    exp = []
+    lpdf, rpdf = left.toPandas(), right.toPandas()
+    for key, lg in lpdf.groupby("doc_id"):
+        rg = rpdf[rpdf.doc_id == key].sort_values("obs_time")
+        m = pd.merge_asof(
+            lg.sort_values("event_time"), rg[["obs_time", "feat"]],
+            left_on="event_time", right_on="obs_time",
+            direction=direction, allow_exact_matches=allow_exact)
+        exp.append(m)
+    exp = (pd.concat(exp, ignore_index=True)
+           .sort_values(["doc_id", "event_time", "seq"]).reset_index(drop=True))
+    assert list(gpdf["seq"]) == list(exp["seq"])
+    assert np.allclose(gpdf["feat"].fillna(-1), exp["feat"].fillna(-1))
+
+
+def test_nearest_tie_goes_backward(spark):
+    left = spark.createDataFrame([("a", ts(10), 1)],
+                                 "doc_id string, event_time timestamp, seq int")
+    right = spark.createDataFrame(
+        [("a", ts(5), 55.0), ("a", ts(15), 155.0)],
+        "doc_id string, obs_time timestamp, feat double")
+    for strategy in ("union", "pandas"):
+        row = asof_join(left, right, right_cols=["feat"], direction="nearest",
+                        strategy=strategy).collect()[0]
+        assert row.feat == 55.0, strategy  # 5min back vs 5min fwd: backward
+
+
+def test_forward_tolerance(spark, small):
+    left, right = small
+    got = asof_join(left, right, right_cols=["feat"], direction="forward",
+                    tolerance_us=5 * 60 * 1_000_000)
+    rows = {(r.doc_id, r.event_time): r.feat for r in got.collect()}
+    assert rows[("a", ts(0))] == 100.0   # exact match, distance 0
+    assert rows[("a", ts(10))] == 115.0  # obs @15 is 5min ahead == tolerance
+    assert rows[("a", ts(20))] == 125.0  # obs @25 is 5min ahead == tolerance
+    assert rows[("b", ts(5))] is None    # only obs @4 is behind
+    assert rows[("c", ts(1))] is None
+
+
+def test_nearest_strict_union_raises_pandas_works(spark, small):
+    left, right = small
+    with pytest.raises(ValueError, match="pandas"):
+        asof_join(left, right, right_cols=["feat"], direction="nearest",
+                  allow_exact=False, strategy="union")
+    got = asof_join(left, right, right_cols=["feat"], direction="nearest",
+                    allow_exact=False, strategy="pandas")
+    rows = {(r.doc_id, r.event_time, r.seq): r.feat for r in got.collect()}
+    # left a@0 has an exact right @0 (excluded) -> nearest is @15
+    assert rows[("a", ts(0), 1)] == 115.0
+
+
+def test_direction_adversarial_sweep(spark):
+    """Randomized forward/nearest sweep with heavy ties vs a brute-force
+    oracle (same recipe as the backward sweep above)."""
+    import random
+    rng = random.Random(23)
+    keys = [f"k{i}" for i in range(5)]
+    lrows = [(rng.choice(keys), ts(rng.randint(0, 30)), i) for i in range(250)]
+    rrows = [(rng.choice(keys), ts(rng.randint(0, 30)),
+              None if rng.random() < 0.2 else round(rng.random() * 100, 2))
+             for _ in range(180)]
+    left = spark.createDataFrame(
+        lrows, "doc_id string, event_time timestamp, seq int")
+    right = spark.createDataFrame(
+        rrows, "doc_id string, obs_time timestamp, feat double")
+
+    def winner(cands):
+        with_vals = [p for p in cands if p is not None]
+        return max(with_vals) if with_vals else None
+
+    def brute(direction, allow_exact, tol_min):
+        def in_tol(gap):
+            return tol_min is None or gap.total_seconds() <= tol_min * 60
+
+        out = {}
+        for k, t, seq in lrows:
+            # tolerance invalidates each candidate BEFORE the nearest choice
+            # (pandas semantics, probed empirically)
+            back = [(rt, p) for rk, rt, p in rrows if rk == k
+                    and (rt <= t if allow_exact else rt < t) and in_tol(t - rt)]
+            fwd = [(rt, p) for rk, rt, p in rrows if rk == k
+                   and (rt >= t if allow_exact else rt > t) and in_tol(rt - t)]
+            if direction == "forward":
+                elig, pick = fwd, min
+            else:  # nearest: closer side, tie backward
+                bd = min((t - rt for rt, _ in back), default=None)
+                fd = min((rt - t for rt, _ in fwd), default=None)
+                if fd is not None and (bd is None or fd < bd):
+                    elig, pick = fwd, min
+                else:
+                    elig, pick = back, max
+            if not elig:
+                out[seq] = None
+                continue
+            best_t = pick(rt for rt, _ in elig)
+            out[seq] = winner([p for rt, p in elig if rt == best_t])
+        return out
+
+    for strategy in ("union", "pandas"):
+        for direction, allow_exact in (("forward", True), ("forward", False),
+                                       ("nearest", True)):
+            for tol_min in (None, 5):
+                got = {r.seq: r.feat for r in asof_join(
+                    left, right, on="doc_id", left_ts="event_time",
+                    right_ts="obs_time", right_cols=["feat"],
+                    strategy=strategy, allow_exact=allow_exact,
+                    direction=direction,
+                    tolerance_us=None if tol_min is None else tol_min * 60 * 10**6,
+                ).collect()}
+                exp = brute(direction, allow_exact, tol_min)
+                assert got == exp, (strategy, direction, allow_exact, tol_min,
+                                    {s: (got[s], exp[s]) for s in exp
+                                     if got.get(s) != exp[s]})

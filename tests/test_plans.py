@@ -219,3 +219,15 @@ def test_pmi_topk_no_global_sort_single_explode(spark):
     assert "Generate" not in plan  # explode happens once, behind the barrier
     assert "ExistingRDD" in plan  # all branches re-scan the checkpointed cuv
     assert "PythonUDF" not in plan
+
+
+def test_asof_nearest_single_sort_two_windows(spark):
+    plan = plan_of(q(spark, "asof_join_events_nearest"))
+    # both direction candidates ride ONE partition sort: two WindowExec
+    # nodes (backward frame + forward frame) share a single window exchange;
+    # the only other exchange is the right-side (key, ts) dedup aggregation
+    assert plan.count(") Window") == 2
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "PythonUDF" not in plan
+    # no join node: the union-window strategy never joins
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -3213,6 +3213,38 @@ def segment_dedup_docs(spark, sf_dir):
     return segment_dedup(d, seg_words=8)
 
 
+@_q("boilerplate_segments_docs", f"""
+WITH s AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+base AS (SELECT doc_id, ws,
+                CAST((len(ws) + 7) // 8 AS INTEGER) AS n_seg FROM s),
+segs AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_no,
+                array_to_string(
+                  ws[(CAST(i AS BIGINT) * 8 + 1):(CAST(i AS BIGINT) * 8 + 8)],
+                  ' ') AS seg
+         FROM base, unnest(CASE WHEN n_seg > 0
+                THEN range(0, CAST(n_seg AS BIGINT)) ELSE [] END) AS t(i)),
+bp AS (SELECT seg FROM segs GROUP BY seg
+       HAVING COUNT(DISTINCT doc_id) >= 2),
+rb AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_kept,
+              string_agg(seg, ' ' ORDER BY seg_no) AS clean_text
+       FROM segs ANTI JOIN bp USING (seg) GROUP BY doc_id)
+SELECT b.doc_id, b.n_seg,
+       COALESCE(rb.n_kept, 0) AS n_kept,
+       COALESCE(rb.clean_text, '') AS clean_text
+FROM base b LEFT JOIN rb USING (doc_id)
+""")
+def boilerplate_segments_docs(spark, sf_dir):
+    """CCNet-style boilerplate removal (``operators/dedup.py
+    drop_boilerplate_segments``): every 8-word segment present in >= 2
+    distinct documents is removed from ALL of them (the first occurrence
+    too — the complement of the C4 keep-first rewrite above). One hash
+    aggregation builds the vocabulary-sized boilerplate set, the corpus
+    anti-joins it (AQE-broadcastable), one shuffle back reassembles."""
+    from fs2_data_spark.operators.dedup import drop_boilerplate_segments
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return drop_boilerplate_segments(d, seg_words=8, min_docs=2)
+
+
 @_q("kmv_distinct_docs", f"""
 WITH wh AS (SELECT source, {_WH_SQL} AS w FROM documents),
 sh AS (SELECT source, unnest({_SHINGLES_SQL}) AS s FROM wh),

@@ -231,3 +231,10 @@ def test_asof_nearest_single_sort_two_windows(spark):
     assert "PythonUDF" not in plan
     # no join node: the union-window strategy never joins
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_boilerplate_anti_join_no_cartesian(spark):
+    plan = plan_of(q(spark, "boilerplate_segments_docs"))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan

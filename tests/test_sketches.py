@@ -224,6 +224,47 @@ def test_segment_dedup_identity_without_duplicates(spark):
 
 
 # ---------------------------------------------------------------------------
+# drop_boilerplate_segments (CCNet-style: removed from EVERY doc)
+# ---------------------------------------------------------------------------
+
+def test_boilerplate_removed_from_all_docs(spark):
+    from fs2_data_spark.operators.dedup import drop_boilerplate_segments
+    got = {r.doc_id: r for r in drop_boilerplate_segments(
+        _seg_docs(spark), seg_words=4, min_docs=2).collect()}
+    # "a b c d" is in docs 1+2, "e f" in docs 1+3: both vanish EVERYWHERE
+    assert got[1].n_kept == 0 and got[1].clean_text == ""
+    assert got[2].n_kept == 1 and got[2].clean_text == "x y z w"
+    assert got[3].n_kept == 0 and got[3].clean_text == ""
+    assert got[4].n_seg == 0 and got[4].clean_text == ""
+
+
+def test_boilerplate_within_doc_repeats_survive(spark):
+    """The threshold counts DISTINCT documents: a segment repeated ten
+    times inside one document is not boilerplate."""
+    from fs2_data_spark.operators.dedup import drop_boilerplate_segments
+    d = spark.createDataFrame(
+        [(1, " ".join(["p q"] * 10)), (2, "r s t u")],
+        "doc_id bigint, text string")
+    got = {r.doc_id: r for r in drop_boilerplate_segments(
+        d, seg_words=2, min_docs=2).collect()}
+    assert got[1].n_kept == 10
+    assert got[2].n_kept == 2
+
+
+def test_boilerplate_threshold_and_partitioning_invariance(spark, documents):
+    from fs2_data_spark.operators.dedup import drop_boilerplate_segments
+    d = documents.select("doc_id", "text").limit(120)
+    base = {r.doc_id: (r.n_kept, r.clean_text) for r in
+            drop_boilerplate_segments(d.coalesce(1), min_docs=3).collect()}
+    got = {r.doc_id: (r.n_kept, r.clean_text) for r in
+           drop_boilerplate_segments(d.repartition(7), min_docs=3).collect()}
+    assert got == base
+    # a high-enough threshold is the identity rewrite
+    keep_all = drop_boilerplate_segments(d, min_docs=10**9)
+    assert all(r.n_kept == r.n_seg for r in keep_all.collect())
+
+
+# ---------------------------------------------------------------------------
 # HLL
 # ---------------------------------------------------------------------------
 

@@ -61,6 +61,53 @@ def with_rolling(
     return out
 
 
+def multi_horizon_features(
+    df: DataFrame,
+    value: str = "value",
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    horizons_us: dict[str, int] | None = None,
+) -> DataFrame:
+    """Trailing ``count`` / ``sum`` / ``mean`` of ``value`` over SEVERAL time
+    horizons at once (e.g. 10 min / 1 h / 6 h) — the classic multi-horizon
+    activity-feature block of a point-in-time feature store, with the same
+    zero-leakage contract as the as-of join (each row sees only rows with
+    ``t' <= t``, itself included).
+
+    Scale shape: every horizon shares ONE ``partitionBy(key).orderBy(ts)``
+    sort — Spark fuses all the RANGE frames into a single WindowExec behind
+    one Exchange + Sort (plan-pinned by test_plans.py), so adding a horizon
+    costs one in-memory frame scan, never a new shuffle. Sums accumulate in
+    DECIMAL(27,6) (order-independent, overflow-checked under ANSI mode) and
+    surface as doubles; ``mean`` divides the exact decimal-sum double by the
+    count, so it is bit-reproducible across engines.
+    """
+    from fs2_data_spark.functions.timeutil import epoch_us as _eus
+
+    if horizons_us is None:
+        horizons_us = {"10m": 600_000_000, "1h": 3_600_000_000,
+                       "6h": 21_600_000_000}
+    key = [key] if isinstance(key, str) else list(key)
+    out = df.withColumn("_eus", _eus(F.col(ts)))
+    cols = []
+    for name, us in horizons_us.items():
+        w = (Window.partitionBy(*key).orderBy("_eus").rangeBetween(-us, 0))
+        cnt = F.count(value).over(w).alias(f"h{name}_cnt")
+        s = (F.sum(F.col(value).cast("decimal(27,6)")).over(w)
+             .cast("double").alias(f"h{name}_sum"))
+        cols.append((cnt, s, f"h{name}_cnt", f"h{name}_sum", f"h{name}_mean"))
+    # attach every horizon in one projection
+    out = out.select(
+        "*",
+        *[c for cnt, s, *_ in cols for c in (cnt, s)],
+    )
+    for _, _, cname, sname, mname in cols:
+        out = out.withColumn(
+            mname,
+            F.when(F.col(cname) > 0, F.col(sname) / F.col(cname)))
+    return out.drop("_eus")
+
+
 def with_ranks(
     df: DataFrame,
     key: str | Sequence[str],

@@ -2209,6 +2209,49 @@ def w_time_range(spark, sf_dir):
          .alias("roll10m_sum"))
 
 
+@_q("w_multi_horizon_events", """
+SELECT event_id,
+       CAST(count(value) OVER w10 AS BIGINT)  AS h10m_cnt,
+       CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w10 AS DOUBLE)
+         AS h10m_sum,
+       CASE WHEN count(value) OVER w10 > 0 THEN
+         CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w10 AS DOUBLE)
+           / count(value) OVER w10 END AS h10m_mean,
+       CAST(count(value) OVER w1h AS BIGINT)  AS h1h_cnt,
+       CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w1h AS DOUBLE)
+         AS h1h_sum,
+       CASE WHEN count(value) OVER w1h > 0 THEN
+         CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w1h AS DOUBLE)
+           / count(value) OVER w1h END AS h1h_mean,
+       CAST(count(value) OVER w6h AS BIGINT)  AS h6h_cnt,
+       CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w6h AS DOUBLE)
+         AS h6h_sum,
+       CASE WHEN count(value) OVER w6h > 0 THEN
+         CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w6h AS DOUBLE)
+           / count(value) OVER w6h END AS h6h_mean
+FROM events
+WINDOW
+  w10 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW),
+  w1h AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+  w6h AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+""")
+def w_multi_horizon(spark, sf_dir):
+    """Multi-horizon trailing activity features (``operators/windows.py
+    multi_horizon_features``): count/exact-decimal-sum/mean of ``value``
+    over the trailing 10 min / 1 h / 6 h per user, all horizons sharing ONE
+    partition sort (one Exchange + one Sort + three RANGE WindowExec nodes,
+    plan-pinned). The same zero-leakage t' <= t contract as the as-of join."""
+    from fs2_data_spark.operators.windows import multi_horizon_features
+    ev = _t(spark, sf_dir, "events")
+    out = multi_horizon_features(ev, value="value", key="user_id", ts="ts")
+    feats = [f"h{n}_{a}" for n in ("10m", "1h", "6h")
+             for a in ("cnt", "sum", "mean")]
+    return out.select("event_id", *feats)
+
+
 @_q("session_window_native", """
 WITH g AS (
   SELECT *, CASE WHEN lag(ts) OVER w IS NULL

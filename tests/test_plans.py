@@ -227,7 +227,7 @@ def test_asof_nearest_single_sort_two_windows(spark):
     # nodes (backward frame + forward frame) share a single window exchange;
     # the only other exchange is the right-side (key, ts) dedup aggregation
     assert plan.count(") Window") == 2
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("hashpartitioning(") <= 2
     assert "PythonUDF" not in plan
     # no join node: the union-window strategy never joins
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
@@ -237,4 +237,15 @@ def test_boilerplate_anti_join_no_cartesian(spark):
     plan = plan_of(q(spark, "boilerplate_segments_docs"))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_multi_horizon_single_sort(spark):
+    """Three RANGE horizons must share one partition sort: one hash
+    exchange, one Sort, and Spark fuses all three frames into a SINGLE
+    WindowExec — adding a horizon costs a frame scan, never a shuffle."""
+    plan = plan_of(q(spark, "w_multi_horizon_events"))
+    assert plan.count("hashpartitioning(") == 1
+    assert plan.count(") Sort") == 1
+    assert plan.count(") Window") == 1
     assert "PythonUDF" not in plan

@@ -120,3 +120,52 @@ def test_grouped_median_exact(spark):
     df = spark.createDataFrame(rows, "user_id int, value double")
     got = {r.user_id: r.median_v for r in grouped_median(df).collect()}
     assert got == {1: 3.0, 2: 2.5, 3: 7.5}
+
+
+def test_multi_horizon_hand_computed(spark):
+    """Trailing multi-horizon features vs hand computation, including the
+    inclusive-boundary case (a row exactly horizon-old still counts)."""
+    import datetime as dt
+    from fs2_data_spark.operators.windows import multi_horizon_features
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [  # one user; values chosen to make each horizon distinct
+        (1, "u", m(0), 1.0),
+        (2, "u", m(9), 2.0),    # 9min later
+        (3, "u", m(19), 4.0),   # 10min after row 2 (inclusive boundary)
+        (4, "u", m(100), 8.0),  # only itself in 10m; rows 1-3 in 6h
+        (5, "v", m(5), 16.0),   # other key: never mixed in
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id string, ts timestamp, value double")
+    got = {r.event_id: r for r in multi_horizon_features(
+        df, value="value", key="user_id", ts="ts",
+        horizons_us={"10m": 600_000_000, "6h": 21_600_000_000}).collect()}
+    assert (got[1].h10m_cnt, got[1].h10m_sum) == (1, 1.0)
+    assert (got[2].h10m_cnt, got[2].h10m_sum) == (2, 3.0)
+    # row 3: row 2 is 10min old == horizon -> INCLUDED; row 1 is 19min old
+    assert (got[3].h10m_cnt, got[3].h10m_sum) == (2, 6.0)
+    assert (got[4].h10m_cnt, got[4].h10m_sum) == (1, 8.0)
+    assert (got[4].h6h_cnt, got[4].h6h_sum) == (4, 15.0)
+    assert got[4].h6h_mean == 15.0 / 4
+    assert (got[5].h10m_cnt, got[5].h10m_sum) == (1, 16.0)
+
+
+def test_multi_horizon_null_values_and_invariance(spark, events):
+    """Null values: count skips them, sum ignores them, mean of an
+    all-null window is null; results partition-invariant."""
+    from pyspark.sql import functions as F
+    from fs2_data_spark.operators.windows import multi_horizon_features
+    ev = events.withColumn(
+        "value", F.when(F.col("event_id") % 7 != 0, F.col("value")))
+    a = {r.event_id: (r.h10m_cnt, r.h10m_sum, r.h10m_mean)
+         for r in multi_horizon_features(
+             ev.coalesce(1), horizons_us={"10m": 600_000_000}).collect()}
+    b = {r.event_id: (r.h10m_cnt, r.h10m_sum, r.h10m_mean)
+         for r in multi_horizon_features(
+             ev.repartition(11), horizons_us={"10m": 600_000_000}).collect()}
+    assert a == b
+    # count counts only non-null values; sum/mean are null exactly when
+    # the window holds none
+    assert all((s is None) == (cnt == 0) and (mn is None) == (cnt == 0)
+               for cnt, s, mn in a.values())

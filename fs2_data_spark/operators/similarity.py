@@ -258,3 +258,57 @@ def lsh_bucket_topk(
     w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"), "n_vec_id")
     return (pairs.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    round_dp: int | None = 4,
+    canonical: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with the IVF coarse quantizer, then mark a vector a
+    duplicate iff some SAME-CELL vector with a smaller id has cosine
+    similarity >= ``threshold``. Keeping the smallest id per near-duplicate
+    group edge makes the output a deterministic function of the data
+    (partitioning-invariant, pinned by test).
+
+    Scale shape: the all-pairs comparison is fenced inside each cell — the
+    self-join is an equi-join on the cell id, so the cost is
+    ``sum(|cell|^2)``, not ``N^2`` (the SemDeDup trick: at 100 TB you raise
+    ``n_cells`` so cells stay bounded, e.g. ~100k cells for 1e9 vectors);
+    there is no cross-cell candidate by construction, which is the recall
+    trade the paper makes. Index build reuses :func:`ivf_index` (broadcast
+    Lloyd steps); ``canonical=True`` selects the engine-portable build +
+    rounded cosines so the DuckDB oracle replays every stage bit-for-bit.
+
+    Returns one row per input vector: ``(id_col, cell, keep, dup_of,
+    dup_cos)`` where ``dup_of`` is the most-similar smaller-id same-cell
+    neighbor over the threshold (null when ``keep``).
+    """
+    _, assigned = ivf_index(corpus, id_col, vec_col, n_cells,
+                            canonical=canonical)
+    w = assigned.select("id", "v", "cell", _norm(F.col("v")).alias("n"))
+    a = w.select(F.col("id").alias("i"), F.col("v").alias("vi"),
+                 F.col("n").alias("ni"), "cell")
+    b = w.select(F.col("id").alias("j"), F.col("v").alias("vj"),
+                 F.col("n").alias("nj"), "cell")
+    cos = _cos(_dot(F.col("vi"), F.col("vj")), F.col("ni"), F.col("nj"))
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
+    pairs = (a.join(b, "cell")
+             .filter(F.col("j") < F.col("i"))
+             .select("i", "j", cos.alias("cos_sim"))
+             .filter(F.col("cos_sim") >= F.lit(threshold)))
+    wk = Window.partitionBy("i").orderBy(F.desc("cos_sim"), "j")
+    best = (pairs.withColumn("__rn", F.row_number().over(wk))
+            .filter(F.col("__rn") == 1)
+            .select("i", F.col("j").alias("dup_of"),
+                    F.col("cos_sim").alias("dup_cos")))
+    return (w.join(best, w["id"] == best["i"], "left")
+            .select(F.col("id").alias(id_col), "cell",
+                    F.col("dup_of").isNull().alias("keep"),
+                    "dup_of", "dup_cos"))

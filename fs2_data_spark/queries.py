@@ -1972,6 +1972,48 @@ def ann_ivf(spark, sf_dir):
                     n_cells=16, nprobe=4, canonical=True)
 
 
+@_q("semantic_dedup_emb", f"""
+WITH e AS (SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+seeds AS (SELECT row_number() OVER (ORDER BY h, id) - 1 AS cell, v AS cv
+          FROM (SELECT id, v, (id * 2654435761) % 1000003 AS h
+                FROM e ORDER BY h, id LIMIT 16)),
+a0 AS ({_ivf_assign_sql('e', 'seeds')}),
+c1 AS ({_IVF_MEAN_SQL.format(src='a0')}),
+a1 AS ({_ivf_assign_sql('e', 'c1')}),
+c2 AS ({_IVF_MEAN_SQL.format(src='a1')}),
+a2 AS ({_ivf_assign_sql('e', 'c2')}),
+w AS (SELECT id, v, cell, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+      FROM a2),
+pairs AS (SELECT x.id AS i, y.id AS j,
+                 ROUND(CASE WHEN x.n > 0 AND y.n > 0
+                       THEN list_dot_product(x.v, y.v) / (x.n * y.n)
+                       ELSE 0.0 END, 4) AS cos_sim
+          FROM w x JOIN w y ON x.cell = y.cell AND y.id < x.id),
+best AS (SELECT i, j AS dup_of, cos_sim AS dup_cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY i
+               ORDER BY cos_sim DESC, j) AS rn
+  FROM pairs WHERE cos_sim >= 0.5) WHERE rn = 1)
+SELECT w.id AS vec_id, w.cell, best.i IS NULL AS keep,
+       best.dup_of, best.dup_cos
+FROM w LEFT JOIN best ON w.id = best.i
+""")
+def semantic_dedup_emb(spark, sf_dir):
+    """SemDeDup semantic deduplication (``operators/similarity.py
+    semantic_dedup``): IVF-cluster the embeddings (canonical
+    engine-portable build), then inside each cell drop any vector with a
+    smaller-id neighbor at cosine >= 0.5 (this synthetic corpus is
+    near-orthogonal, so the oracle's weight is in replaying the full
+    index-build + cell-fenced pair generation for every row). All-pairs
+    cost is sum(|cell|^2) — cell-fenced, never N^2 — and the oracle
+    replays seeds, two Lloyd steps, assignment, pairs, and the argmax
+    winner bit-for-bit."""
+    from fs2_data_spark.operators.similarity import semantic_dedup
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.5, canonical=True)
+
+
 @_q("emb_label_stats", """
 SELECT label, count(*) AS n,
        ROUND(CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)

@@ -311,3 +311,62 @@ def test_dedup_clusters_keep_policy(spark):
     for s in (0, 5, 7):
         assert out[s] == (s, True)
     assert sum(1 for c, k in out.values() if k) == 5  # kept rows
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+def _planted_clusters(spark):
+    """3 tight clusters of near-identical vectors + isolated vectors."""
+    import random
+    rng = random.Random(7)
+    rows = []
+    base = {0: [1.0, 0.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0, 0.0],
+            2: [0.0, 0.0, 1.0, 0.0]}
+    vid = 0
+    for c in range(3):
+        for _ in range(4):  # 4 near-copies per cluster
+            v = [x + rng.uniform(-0.01, 0.01) for x in base[c]]
+            rows.append((vid, v)); vid += 1
+    for i in range(4):  # isolated: unit vectors in distinct directions
+        v = [0.5 if j == i else (1.0 if j == (i + 1) % 4 else 0.0)
+             for j in range(4)]
+        rows.append((vid, v)); vid += 1
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_semantic_dedup_keeps_one_per_cluster(spark):
+    from fs2_data_spark.operators.similarity import semantic_dedup
+    df = _planted_clusters(spark)
+    out = semantic_dedup(df, n_cells=4, threshold=0.99).collect()
+    by_id = {r.vec_id: r for r in out}
+    # within each planted cluster whose members share a cell, only the
+    # smallest id survives; every dup points at a smaller same-cell id
+    for r in out:
+        if not r.keep:
+            assert r.dup_of < r.vec_id
+            assert by_id[r.dup_of].cell == r.cell
+            assert r.dup_cos >= 0.99
+    # cluster members that share a cell: exactly the min id among them keeps
+    from collections import defaultdict
+    cells = defaultdict(list)
+    for r in out:
+        if r.vec_id < 12:  # planted cluster members
+            cells[(r.vec_id // 4, r.cell)].append(r)
+    for (_, _), members in cells.items():
+        min_id = min(m.vec_id for m in members)
+        for m in members:
+            assert m.keep == (m.vec_id == min_id)
+    # isolated vectors never drop
+    assert all(r.keep for r in out if r.vec_id >= 12)
+
+
+def test_semantic_dedup_partitioning_invariance(spark):
+    from fs2_data_spark.operators.similarity import semantic_dedup
+    df = _planted_clusters(spark)
+    a = sorted(map(str, semantic_dedup(df.coalesce(1), n_cells=4,
+                                       threshold=0.99).collect()))
+    b = sorted(map(str, semantic_dedup(df.repartition(9), n_cells=4,
+                                       threshold=0.99).collect()))
+    assert a == b

@@ -249,3 +249,17 @@ def test_multi_horizon_single_sort(spark):
     assert plan.count(") Sort") == 1
     assert plan.count(") Window") == 1
     assert "PythonUDF" not in plan
+
+
+def test_semantic_dedup_cell_fenced_pairs(spark):
+    """SemDeDup's all-pairs stage must be an equi-join on the cell id —
+    sum(|cell|^2) work, never an N^2 cross product. (The
+    BroadcastNestedLoopJoins in the plan are the intentional bounded
+    16-row centroid broadcasts of the IVF assign steps, same as
+    ann_ivf_topk's audited plan.)"""
+    plan = plan_of(q(spark, "semantic_dedup_emb"))
+    assert "CartesianProduct" not in plan
+    # the corpus-vs-corpus pair join keys on cell: a hash equi-join node
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    assert "PythonUDF" not in plan

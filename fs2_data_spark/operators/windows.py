@@ -108,6 +108,58 @@ def multi_horizon_features(
     return out.drop("_eus")
 
 
+def cascade_rollup(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("user_id",),
+    levels_us: Sequence[int] = (300_000_000, 3_600_000_000, 86_400_000_000),
+) -> dict[int, DataFrame]:
+    """Hypertable-style cascading continuous aggregate: bucket the raw table
+    once at the finest resolution, then build every coarser level by
+    re-aggregating the PREVIOUS level's partial aggregates — the raw table
+    is scanned exactly once no matter how many resolutions are materialized
+    (TimescaleDB continuous-aggregate / OLAP rollup-cascade pattern).
+
+    The per-bucket state is a monoid: ``(count, decimal-sum, min, max)``
+    all re-aggregate losslessly (sums stay DECIMAL(27,6) between levels —
+    re-summing doubles would drift, re-summing decimals is exact and
+    order-independent), so the cascade is bit-identical to aggregating each
+    level directly from raw (the monoid law, pinned by the driver oracle).
+    ``mean`` is derived at read time as ``sum/count``, never carried.
+
+    Each ``levels_us[i+1]`` must be a multiple of ``levels_us[i]``.
+    Returns ``{width_us: DataFrame(keys..., bucket_us, n, sum_v, min_v,
+    max_v)}`` with ``sum_v`` still decimal; at 100 TB each level's input is
+    the previous level's output (buckets x keys rows, orders of magnitude
+    smaller than raw), so the cascade costs one raw shuffle + tiny ones.
+    """
+    from fs2_data_spark.functions.timeutil import epoch_us as _eus
+
+    keys = list(keys)
+    for a, b in zip(levels_us, levels_us[1:]):
+        if b % a != 0:
+            raise ValueError(f"level {b} is not a multiple of {a}")
+    w0 = levels_us[0]
+    bucket0 = (F.floor(_eus(F.col(ts)) / F.lit(w0)) * F.lit(w0)).cast("bigint")
+    out: dict[int, DataFrame] = {}
+    cur = (df.groupBy(*keys, bucket0.alias("bucket_us"))
+           .agg(F.count(value).alias("n"),
+                F.sum(F.col(value).cast("decimal(27,6)")).alias("sum_v"),
+                F.min(value).alias("min_v"),
+                F.max(value).alias("max_v")))
+    out[w0] = cur
+    for w in levels_us[1:]:
+        b = (F.floor(F.col("bucket_us") / F.lit(w)) * F.lit(w)).cast("bigint")
+        cur = (cur.groupBy(*keys, b.alias("bucket_us"))
+               .agg(F.sum("n").alias("n"),
+                    F.sum("sum_v").alias("sum_v"),
+                    F.min("min_v").alias("min_v"),
+                    F.max("max_v").alias("max_v")))
+        out[w] = cur
+    return out
+
+
 def with_ranks(
     df: DataFrame,
     key: str | Sequence[str],

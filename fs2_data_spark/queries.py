@@ -2294,6 +2294,42 @@ def w_multi_horizon(spark, sf_dir):
     return out.select("event_id", *feats)
 
 
+_CASCADE_LEVEL_SQL = """
+SELECT user_id, CAST({w} AS BIGINT) AS level_us,
+       CAST((epoch_us(ts) // {w}) * {w} AS BIGINT) AS bucket_us,
+       CAST(count(value) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_v,
+       min(value) AS min_v, max(value) AS max_v
+FROM events GROUP BY user_id, bucket_us"""
+
+
+@_q("time_bucket_cascade_events", f"""
+{_CASCADE_LEVEL_SQL.format(w=300_000_000)}
+UNION ALL {_CASCADE_LEVEL_SQL.format(w=3_600_000_000)}
+UNION ALL {_CASCADE_LEVEL_SQL.format(w=86_400_000_000)}
+""")
+def time_bucket_cascade(spark, sf_dir):
+    """Hypertable-style cascading continuous aggregate
+    (``operators/windows.py cascade_rollup``): 5-min buckets from raw, then
+    1-hour re-aggregated FROM the 5-min partials, then 1-day from 1-hour —
+    the raw table is scanned once for all three resolutions. The oracle
+    aggregates each level DIRECTLY from raw, so a value match certifies the
+    monoid law (decimal-sum/count/min/max re-aggregation is lossless)."""
+    from fs2_data_spark.operators.windows import cascade_rollup
+    ev = _t(spark, sf_dir, "events")
+    levels = cascade_rollup(ev, ts="ts", value="value", keys=("user_id",))
+    parts = []
+    for w, df in levels.items():
+        parts.append(df.select(
+            "user_id", F.lit(w).cast("bigint").alias("level_us"), "bucket_us",
+            "n", F.col("sum_v").cast("double").alias("sum_v"),
+            "min_v", "max_v"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @_q("session_window_native", """
 WITH g AS (
   SELECT *, CASE WHEN lag(ts) OVER w IS NULL

@@ -169,3 +169,37 @@ def test_multi_horizon_null_values_and_invariance(spark, events):
     # the window holds none
     assert all((s is None) == (cnt == 0) and (mn is None) == (cnt == 0)
                for cnt, s, mn in a.values())
+
+
+def test_cascade_rollup_monoid_law(spark, events):
+    """Each cascaded level must equal aggregating that level directly from
+    raw — count/decimal-sum/min/max re-aggregation is lossless."""
+    from pyspark.sql import functions as F
+    from fs2_data_spark.functions.timeutil import epoch_us
+    from fs2_data_spark.operators.windows import cascade_rollup
+    levels = cascade_rollup(events, ts="ts", value="value",
+                            keys=("user_id",),
+                            levels_us=(600_000_000, 3_600_000_000))
+    for w, df in levels.items():
+        direct = (events.groupBy(
+            "user_id",
+            (F.floor(epoch_us(F.col("ts")) / F.lit(w)) * F.lit(w))
+            .cast("bigint").alias("bucket_us"))
+            .agg(F.count("value").alias("n"),
+                 F.sum(F.col("value").cast("decimal(27,6)")).alias("sum_v"),
+                 F.min("value").alias("min_v"),
+                 F.max("value").alias("max_v")))
+        got = sorted(map(str, df.select(
+            "user_id", "bucket_us", "n",
+            F.col("sum_v").cast("double"), "min_v", "max_v").collect()))
+        exp = sorted(map(str, direct.select(
+            "user_id", "bucket_us", "n",
+            F.col("sum_v").cast("double"), "min_v", "max_v").collect()))
+        assert got == exp, w
+
+
+def test_cascade_rollup_validates_multiples(spark, events):
+    from fs2_data_spark.operators.windows import cascade_rollup
+    import pytest as _pt
+    with _pt.raises(ValueError, match="multiple"):
+        cascade_rollup(events, levels_us=(300_000_000, 700_000_000))

@@ -104,3 +104,52 @@ def pack_sequences(
 
     out = work.groupBy(*keys).applyInPandas(kernel, schema)
     return out.drop("__shard", "__g")
+
+
+def length_buckets(df: DataFrame, len_col: str = "n_tok") -> DataFrame:
+    """Power-of-two sequence-length bucketing with padding-waste accounting
+    — the batch-efficiency audit that motivates packing: group sequences
+    into buckets ``[2^(k-1)+1 .. 2^k]``, pad each to its bucket length, and
+    compare the waste against the naive pad-to-global-max baseline.
+
+    The bucket boundary is computed in EXACT integer arithmetic —
+    ``1 << bitlength(len - 1)`` (smallest power of two >= len; len <= 1
+    maps to bucket 1) — never ``2^ceil(log2 n)``, whose float rounding can
+    misbucket exact powers of two. Note the top bucket's pow2 length may
+    exceed the global max, so for sequences clustered just above a power
+    of two, pow2 shapes can waste MORE than pad-to-max — that honest
+    trade (fixed kernel shapes vs padding) is exactly what this audit
+    surfaces (accounting identity pinned by test). Waste sums are exact int64; only the
+    final fill fractions are derived doubles (one IEEE division each,
+    engine-portable).
+
+    Scale shape: one partial-aggregated hash shuffle on the bucket id
+    (~60 buckets exist for any realistic corpus) plus a broadcast of the
+    1-row global max — the corpus is scanned once and never re-shuffled.
+    Returns one row per occupied bucket: ``(bucket_len, n_seqs, sum_tok,
+    waste_bucket, waste_padmax, fill_frac_bucket, fill_frac_padmax)``.
+    """
+    n = F.col(len_col).cast("bigint")
+    bucket = (F.when(n <= 1, F.lit(1).cast("bigint"))
+              .otherwise(F.expr(
+                  f"shiftleft(CAST(1 AS BIGINT), "
+                  f"CAST(length(bin({len_col} - 1)) AS INT))")))
+    per = (df.select(n.alias("_n"), bucket.alias("bucket_len"))
+           .groupBy("bucket_len")
+           .agg(F.count(F.lit(1)).alias("n_seqs"),
+                F.sum("_n").alias("sum_tok")))
+    gmax = df.agg(F.max(n).alias("_gmax"))
+    out = (per.crossJoin(F.broadcast(gmax))
+           .select(
+               "bucket_len", "n_seqs", "sum_tok",
+               (F.col("bucket_len") * F.col("n_seqs") - F.col("sum_tok"))
+               .alias("waste_bucket"),
+               (F.col("_gmax") * F.col("n_seqs") - F.col("sum_tok"))
+               .alias("waste_padmax"),
+               (F.col("sum_tok").cast("double")
+                / (F.col("bucket_len") * F.col("n_seqs")).cast("double"))
+               .alias("fill_frac_bucket"),
+               (F.col("sum_tok").cast("double")
+                / (F.col("_gmax") * F.col("n_seqs")).cast("double"))
+               .alias("fill_frac_padmax")))
+    return out

@@ -1972,6 +1972,34 @@ def ann_ivf(spark, sf_dir):
                     n_cells=16, nprobe=4, canonical=True)
 
 
+@_q("length_buckets_docs", f"""
+WITH t AS (SELECT CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tok FROM documents),
+b AS (SELECT n_tok, CAST(CASE WHEN n_tok <= 1 THEN 1
+                         ELSE 1 << length(bin(n_tok - 1)) END AS BIGINT)
+             AS bucket_len FROM t),
+g AS (SELECT MAX(n_tok) AS gmax FROM t),
+p AS (SELECT bucket_len, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+             CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+      FROM b GROUP BY bucket_len)
+SELECT bucket_len, n_seqs, sum_tok,
+       bucket_len * n_seqs - sum_tok AS waste_bucket,
+       gmax * n_seqs - sum_tok AS waste_padmax,
+       CAST(sum_tok AS DOUBLE) / (bucket_len * n_seqs) AS fill_frac_bucket,
+       CAST(sum_tok AS DOUBLE) / (gmax * n_seqs) AS fill_frac_padmax
+FROM p CROSS JOIN g
+""")
+def length_buckets_docs(spark, sf_dir):
+    """Power-of-two length-bucket padding audit (``operators/packing.py
+    length_buckets``): exact-integer bucket boundaries (``1 <<
+    bitlength(n-1)``, never float log2), int64 waste sums vs the
+    pad-to-global-max baseline, derived fill fractions. One bucket-keyed
+    aggregation + a broadcast 1-row global max."""
+    from fs2_data_spark.operators.packing import length_buckets
+    d = _t(spark, sf_dir, "documents").select(
+        F.size(tokens_col("text")).cast("bigint").alias("n_tok"))
+    return length_buckets(d, len_col="n_tok")
+
+
 @_q("semantic_dedup_emb", f"""
 WITH e AS (SELECT vec_id AS id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -282,3 +282,46 @@ def test_cap_per_group_bad_method(spark, corpus):
     from fs2_data_spark.operators.mixing import cap_per_group
     with pytest.raises(ValueError):
         cap_per_group(corpus, cap=10, method="md5")
+
+
+# ---------------------------------------------------------------------------
+# length_buckets (padding-waste audit)
+# ---------------------------------------------------------------------------
+
+def test_length_buckets_exact_boundaries(spark):
+    """Exact powers of two land in their own bucket (the float-log2 trap);
+    waste arithmetic is exact."""
+    from fs2_data_spark.operators.packing import length_buckets
+    rows = [(n,) for n in (1, 2, 3, 4, 5, 8, 9, 1024, 1025)]
+    df = spark.createDataFrame(rows, "n_tok bigint")
+    got = {r.bucket_len: r for r in length_buckets(df).collect()}
+    assert set(got) == {1, 2, 4, 8, 16, 1024, 2048}
+    assert got[4].n_seqs == 2            # 3 and 4
+    assert got[4].sum_tok == 7
+    assert got[4].waste_bucket == 4 * 2 - 7
+    assert got[1024].n_seqs == 1 and got[1024].waste_bucket == 0
+    assert got[2048].n_seqs == 1 and got[2048].waste_bucket == 1023
+    # pad-to-max baseline uses the global max (1025)
+    assert got[1].waste_padmax == 1025 - 1
+    assert got[2048].fill_frac_bucket == 1025 / 2048
+    assert got[2048].fill_frac_padmax == 1.0
+
+
+def test_length_buckets_accounting_identity(spark, documents):
+    """Exact waste accounting: the two waste columns differ by exactly
+    (bucket_len - gmax) * n_seqs per bucket (the top pow2 bucket may
+    legitimately exceed the global max — pow2 shapes, not a bug), and the
+    fill fractions are the implied ratios in (0, 1]."""
+    from pyspark.sql import functions as F
+    from fs2_data_spark.operators.packing import length_buckets
+    from fs2_data_spark.tables import tokens_col
+    d = documents.select(
+        F.size(tokens_col("text")).cast("bigint").alias("n_tok"))
+    rows = length_buckets(d).collect()
+    gmax = d.agg(F.max("n_tok")).first()[0]
+    for r in rows:
+        assert r.waste_bucket - r.waste_padmax == \
+            (r.bucket_len - gmax) * r.n_seqs
+        assert r.fill_frac_bucket == r.sum_tok / (r.bucket_len * r.n_seqs)
+        assert 0 < r.fill_frac_bucket <= 1.0
+        assert 0 < r.fill_frac_padmax <= 1.0

@@ -23,7 +23,7 @@ Two hash methods:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _P1, _P2 = 1_000_003, 999_983
 _M1, _M2 = 2_654_435_761, 40_503
@@ -312,3 +312,48 @@ def cap_per_group_sql(cap: int, group_col: str = "source",
     h = portable_unit_hash_sql(id_expr, seed)
     return (f"ROW_NUMBER() OVER (PARTITION BY {group_col} "
             f"ORDER BY {h}, {id_expr})")
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_buckets: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor draws ``k`` pseudo-random negatives from its hash bucket — a
+    pure function of ``(id, seed)``, reproducible across runs, engines,
+    and partitionings (no RNG state, no ``rand()``).
+
+    Scale shape: the corpus is hash-partitioned into ``n_buckets`` groups
+    with :func:`portable_unit_hash`; candidates meet anchors through an
+    equi-join ON THE BUCKET (sum(|bucket|^2) pairs, the SemDeDup fence —
+    at 1e9 docs you size ``n_buckets`` so buckets hold ~10^3 docs and the
+    join stays linear-ish), then a per-anchor window keeps the ``k``
+    candidates with the smallest pair-mix hash. Anchors alone in their
+    bucket get no negatives (disclosed; size buckets >> k). Returns
+    ``(anchor_id, neg_id, neg_rank)`` with ``neg_rank`` in ``1..k``.
+    """
+    h = portable_unit_hash(F.col(id_col), seed)
+    b = df.select(F.col(id_col).alias("anchor_id"),
+                  F.pmod(h, F.lit(n_buckets)).alias("_b"))
+    c = df.select(F.col(id_col).alias("neg_id"),
+                  F.pmod(h, F.lit(n_buckets)).alias("_b"))
+    # pair-mix hash. Each id is reduced mod _P1 FIRST (keeps the product
+    # < 2^63 under ANSI overflow checks for ids of any magnitude), then the
+    # terms couple MULTIPLICATIVELY: multiplication by (ra + 1) mod the
+    # prime _P1 is a distinct permutation of the candidate order per anchor.
+    # An additive mix (ra*c1 + rc*c2) only ROTATES one shared circular
+    # order, making anchors in a bucket draw near-identical negative sets
+    # (regression-pinned by test_negative_pairs_vary_per_anchor).
+    ra = F.pmod(F.col("anchor_id") * _M1, F.lit(_P1))
+    rc = F.pmod(F.col("neg_id") * _M1, F.lit(_P1))
+    mix = F.pmod((ra + 1) * (rc + 1) + seed, F.lit(_P1))
+    pairs = (b.join(c, "_b")
+             .filter(F.col("neg_id") != F.col("anchor_id"))
+             .select("anchor_id", "neg_id", mix.alias("_h")))
+    w = Window.partitionBy("anchor_id").orderBy("_h", "neg_id")
+    return (pairs.withColumn("neg_rank", F.row_number().over(w))
+            .filter(F.col("neg_rank") <= k)
+            .select("anchor_id", "neg_id", "neg_rank"))

@@ -1972,6 +1972,32 @@ def ann_ivf(spark, sf_dir):
                     n_cells=16, nprobe=4, canonical=True)
 
 
+@_q("negative_pairs_docs", """
+WITH h AS (SELECT doc_id,
+                  ((doc_id * 2654435761 + 42) % 1000003 * 40503 + 17)
+                    % 999983 % 32 AS b,
+                  (doc_id * 2654435761) % 1000003 AS r
+           FROM documents),
+pairs AS (SELECT a.doc_id AS anchor_id, c.doc_id AS neg_id,
+                 ((a.r + 1) * (c.r + 1) + 42) % 1000003 AS hh
+          FROM h a JOIN h c ON a.b = c.b AND a.doc_id != c.doc_id)
+SELECT anchor_id, neg_id, CAST(neg_rank AS INTEGER) AS neg_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+               ORDER BY hh, neg_id) AS neg_rank
+  FROM pairs) WHERE neg_rank <= 3
+""")
+def negative_pairs_docs(spark, sf_dir):
+    """Deterministic contrastive negative sampling (``operators/mixing.py
+    negative_pairs``): 3 pseudo-random negatives per anchor drawn from its
+    portable-hash bucket — RNG-free, partitioning/engine-invariant, and the
+    all-pairs stage is bucket-fenced (equi-join on the bucket id, the
+    SemDeDup fence). The oracle replays the bucket hash, pair-mix hash,
+    and per-anchor rank verbatim."""
+    from fs2_data_spark.operators.mixing import negative_pairs
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return negative_pairs(d, id_col="doc_id", k=3, n_buckets=32, seed=42)
+
+
 @_q("length_buckets_docs", f"""
 WITH t AS (SELECT CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tok FROM documents),
 b AS (SELECT n_tok, CAST(CASE WHEN n_tok <= 1 THEN 1

@@ -325,3 +325,50 @@ def test_length_buckets_accounting_identity(spark, documents):
         assert r.fill_frac_bucket == r.sum_tok / (r.bucket_len * r.n_seqs)
         assert 0 < r.fill_frac_bucket <= 1.0
         assert 0 < r.fill_frac_padmax <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# negative_pairs (contrastive negative sampling)
+# ---------------------------------------------------------------------------
+
+def test_negative_pairs_deterministic_and_bucket_fenced(spark):
+    from fs2_data_spark.operators.mixing import (
+        _M1, _P1, _P2, _M2, negative_pairs, portable_unit_hash)
+    from pyspark.sql import functions as F
+    d = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    a = sorted(map(str, negative_pairs(d.coalesce(1), k=3,
+                                       n_buckets=8).collect()))
+    b = sorted(map(str, negative_pairs(d.repartition(13), k=3,
+                                       n_buckets=8).collect()))
+    assert a == b
+    rows = negative_pairs(d, k=3, n_buckets=8).collect()
+    bucket = {r.doc_id: r.b for r in d.select(
+        "doc_id", F.pmod(portable_unit_hash(F.col("doc_id"), 42),
+                         F.lit(8)).alias("b")).collect()}
+    for r in rows:
+        assert r.neg_id != r.anchor_id
+        assert bucket[r.neg_id] == bucket[r.anchor_id]
+        assert 1 <= r.neg_rank <= 3
+
+
+def test_negative_pairs_vary_per_anchor(spark):
+    """Regression: the pair-mix hash must depend on BOTH ids — a term that
+    cancels mod P would give every anchor in a bucket the same negative
+    set (global candidate order)."""
+    from pyspark.sql import functions as F
+    from fs2_data_spark.operators.mixing import negative_pairs
+    d = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    rows = negative_pairs(d, k=2, n_buckets=2).collect()
+    from collections import defaultdict
+    negs = defaultdict(set)
+    for r in rows:
+        negs[r.anchor_id].add(r.neg_id)
+    sets = [frozenset(v) for v in negs.values()]
+    assert len(set(sets)) > len(sets) // 4  # many distinct negative sets
+
+
+def test_negative_pairs_lonely_bucket_yields_none(spark):
+    from pyspark.sql import functions as F
+    from fs2_data_spark.operators.mixing import negative_pairs
+    d = spark.createDataFrame([(1,)], "doc_id bigint")
+    assert negative_pairs(d, k=3, n_buckets=4).count() == 0

@@ -3753,6 +3753,12 @@ FORCE_FRONT: list[str] = [
     # (similarity.py _cos + the matching CASE in the oracles) after these
     # queries' last driver rows
     "ann_cosine_topk", "ann_lsh_topk", "emb_near_dups",
+    # round 5 late: asof.py gained the direction matrix — the backward
+    # trio shares _asof_union/_asof_pandas whose signatures and tolerance
+    # block changed; segment_dedup's segmentation was factored into
+    # _word_segment_rows (shared with drop_boilerplate_segments)
+    "asof_join_events", "asof_join_events_pandas", "asof_join_events_strict",
+    "segment_dedup_docs",
 ]
 
 DRIVER_WINDOW = 50
@@ -3770,10 +3776,12 @@ def _apply_driver_order() -> None:
     def key(n: str):
         if n == _FLAGSHIP:
             tier = 0
-        elif last_row.get(n, 0) == 0:
-            tier = 1          # never driver-checked
         elif n in forced:
-            tier = 2          # changed after last row
+            tier = 1          # changed after last row (incl. known-red rows:
+            #                   re-validating a past driver failure outranks
+            #                   first-validation of new, mirror-green queries)
+        elif last_row.get(n, 0) == 0:
+            tier = 2          # never driver-checked
         else:
             tier = 3          # stalest-first
         return (tier, last_row.get(n, 0), reg_index[n])

@@ -82,6 +82,25 @@ AUDITED = [
     # the fitted NB vocab broadcasts back for scoring
     ("nb_classifier_docs", ["no_python", "broadcast", "no_cartesian",
                             "pruned_scan"]),
+    # r5 late batch 2
+    # PMI: marginals broadcast back onto the checkpointed count table; the
+    # scan sits behind the localCheckpoint barrier so pruned_scan does not
+    # apply (barrier-vs-no-barrier Generate counts pinned in test_plans.py)
+    ("pmi_bigrams_docs", ["no_python", "top_k_not_sort", "broadcast"]),
+    ("asof_join_events_forward", ["single_window_exchange", "no_python"]),
+    ("asof_join_events_nearest", ["single_window_exchange", "no_python"]),
+    ("boilerplate_segments_docs", ["no_python", "no_cartesian",
+                                   "pruned_scan"]),
+    ("w_multi_horizon_events", ["no_python", "single_group_shuffle",
+                                "pruned_scan"]),
+    ("time_bucket_cascade_events", ["no_python", "no_cartesian",
+                                    "pruned_scan"]),
+    # the 1-row global max joins as a bounded broadcast-NL by design
+    ("length_buckets_docs", ["no_python", "pruned_scan"]),
+    ("negative_pairs_docs", ["no_python", "no_cartesian", "pruned_scan"]),
+    # IVF centroid broadcasts are bounded broadcast-NLs by design (as in
+    # ann_ivf_topk); the pair stage must hash-join on the cell
+    ("semantic_dedup_emb", ["no_python", "broadcast", "pruned_scan"]),
 ]
 
 

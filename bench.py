@@ -254,7 +254,13 @@ def main() -> None:
              "preprocess_pipeline_docs", "bpe_learn_docs",
              "winnow_fp_docs", "bigram_quality_docs", "novelty_docs",
              "w_median_events", "gopher_rules_docs", "segment_dedup_docs",
-             "kmv_distinct_docs", "cms_counts_docs", "nb_classifier_docs"]
+             "kmv_distinct_docs", "cms_counts_docs", "nb_classifier_docs",
+             # r5 late batch 2
+             "pmi_bigrams_docs", "boilerplate_segments_docs",
+             "semantic_dedup_emb", "w_multi_horizon_events",
+             "time_bucket_cascade_events", "length_buckets_docs",
+             "negative_pairs_docs", "asof_join_events_forward",
+             "asof_join_events_nearest"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]
@@ -269,6 +275,11 @@ def main() -> None:
     # value_single_shot: same flagship+headline scope as `value`
     total_single = round(sum(singles[k] for k in timings), 3)
     flag_s = timings["flagship_asof_features"]
+    # the FINAL stdout line must fit the driver's ~2.2 KB tail capture
+    # (VERDICT r04 #2; r04's line was truncated): it carries only the
+    # flagship+headline timings; extras + engines live in the detail
+    # line/file with their subtotals surfaced as scalars below
+    headline_timings = dict(timings)
     timings.update(extra_timings)
     timings.update(eng_timings)
     singles.update(eng_singles)
@@ -285,6 +296,7 @@ def main() -> None:
     # earlier stdout line; the final printed line is the parseable contract.
     detail = {
         "value_single_shot": total_single,
+        "queries_all": timings,
         "queries_single_shot": singles,
         "timing_protocol": "queries=min of 2 passes (r3+ protocol); "
                            "queries_single_shot=first pass (r1/r2 protocol)",
@@ -298,8 +310,9 @@ def main() -> None:
         "metric": "asof+window feature pipeline + headline query batch, wall sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": headline_timings,
         "sf": sf,
+        "extras_batch_sec": round(sum(extra_timings.values()), 3),
         "engine_batch_sec": round(sum(eng_timings.values()), 3),
         "throughput": throughput,
         "detail": "BENCH_DETAIL.json",

@@ -1972,6 +1972,48 @@ def ann_ivf(spark, sf_dir):
                     n_cells=16, nprobe=4, canonical=True)
 
 
+@_q("cdc_dedup_stats_docs", f"""
+WITH t AS (SELECT doc_id,
+             list_transform({TOKENS_SQL}, x -> CAST(x AS BIGINT)) AS l
+           FROM documents),
+w AS (SELECT doc_id, l, len(l) AS n,
+        CASE WHEN len(l) >= 5 THEN
+          list_filter(generate_series(3, len(l) - 2),
+            i -> list_reduce(l[CAST(i - 2 AS BIGINT):CAST(i + 1 AS BIGINT)],
+                             (a, x) -> (a * 31 + x) % 1000000007) % 16 = 0)
+        ELSE [] END AS cuts
+      FROM t WHERE len(l) > 0),
+s2 AS (SELECT doc_id, l, n,
+         [CAST(0 AS BIGINT)] || list_transform(cuts, c -> c + 1) AS starts,
+         list_transform(cuts, c -> c + 1) || [CAST(n AS BIGINT)] AS ends
+       FROM w),
+ch AS (SELECT list_reduce(l[CAST(starts[CAST(j AS INTEGER)] + 1 AS BIGINT)
+                            :CAST(ends[CAST(j AS INTEGER)] AS BIGINT)],
+                          (a, x) -> (a * 31 + x) % 1000000007) AS chunk_h,
+              ends[CAST(j AS INTEGER)] - starts[CAST(j AS INTEGER)] AS clen
+       FROM s2, unnest(generate_series(1, len(starts))) AS u(j)),
+per AS (SELECT chunk_h, COUNT(*) AS cnt, MAX(clen) AS clen
+        FROM ch GROUP BY chunk_h)
+SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(cnt * clen) AS BIGINT) AS total_tokens,
+       CAST(SUM((cnt - 1) * clen) AS BIGINT) AS dup_tokens,
+       CAST(SUM((cnt - 1) * clen) AS DOUBLE) / SUM(cnt * clen)
+         AS dedup_ratio
+FROM per
+""")
+def cdc_dedup_stats_docs(spark, sf_dir):
+    """Content-defined-chunking dedup audit (``operators/dedup.py
+    cdc_chunks``/``cdc_dedup_stats``): Rabin-style boundaries wherever the
+    4-token rolling window hash is ``% 16 == 0``, then one hash aggregation
+    over chunk hashes measures the tokens a content-addressed chunk store
+    would save. Chunking rides the scan (zero shuffle, per-row O(n*k));
+    the DuckDB oracle rebuilds every boundary and chunk hash verbatim."""
+    from fs2_data_spark.operators.dedup import cdc_dedup_stats
+    d = _doc_tokens(spark, sf_dir).select("doc_id", "tokens")
+    return cdc_dedup_stats(d, k=4, divisor=16)
+
+
 @_q("negative_pairs_docs", """
 WITH h AS (SELECT doc_id,
                   ((doc_id * 2654435761 + 42) % 1000003 * 40503 + 17)

@@ -260,7 +260,7 @@ def main() -> None:
              "semantic_dedup_emb", "w_multi_horizon_events",
              "time_bucket_cascade_events", "length_buckets_docs",
              "negative_pairs_docs", "asof_join_events_forward",
-             "asof_join_events_nearest"]
+             "asof_join_events_nearest", "cdc_dedup_stats_docs"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

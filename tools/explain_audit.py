@@ -101,6 +101,7 @@ AUDITED = [
     # IVF centroid broadcasts are bounded broadcast-NLs by design (as in
     # ann_ivf_topk); the pair stage must hash-join on the cell
     ("semantic_dedup_emb", ["no_python", "broadcast", "pruned_scan"]),
+    ("cdc_dedup_stats_docs", ["no_python", "no_cartesian", "pruned_scan"]),
 ]
 
 

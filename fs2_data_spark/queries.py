@@ -2786,6 +2786,43 @@ def streaming_dedup_smoke(spark, sf_dir):
     return spark.table(name).select("h")
 
 
+@_q("streaming_tumbling_smoke", """
+SELECT user_id,
+       (epoch_us(ts) // 300000000) * 300000000 AS win_start_us,
+       (epoch_us(ts) // 300000000) * 300000000 + 300000000 AS win_end_us,
+       count(*) AS n,
+       SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS sum_v_us
+FROM events WHERE user_id < 50
+GROUP BY user_id, win_start_us
+""")
+def streaming_tumbling_smoke(spark, sf_dir):
+    """Streaming tumbling event-time window aggregation
+    (``streaming/windows.py streaming_windowed_agg``) driven to completion
+    with availableNow — the third streaming leg next to session windows and
+    the custom stateful operator. Hard oracle: finalized 5-minute windows
+    must equal the batch floor-bucketed GROUP BY — count plus the exact
+    int64 ``floor(value*1e6)`` accumulator (associative, hence batching and
+    arrival-order independent)."""
+    import os  # noqa: PLC0415
+
+    from fs2_data_spark.streaming.windows import streaming_windowed_agg
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50).select(
+        "user_id", "ts", "value")
+    src = f"/tmp/fs2_stream_src_tw_{abs(hash(sf_dir)) % 10**9}"
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = streaming_windowed_agg(stream, key="user_id", ts="ts",
+                                 value="value", width="5 minutes",
+                                 watermark="10000 days")
+    name = _stream_query_name(spark, "fs2ds_stream_tw_smoke")
+    q = (out.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", "win_start_us", "win_end_us", "n", "sum_v_us")
+
+
 @_q("cbor_transcode_roundtrip", """
 SELECT doc_id, text AS t, lang AS l, CAST(TRUE AS BOOLEAN) AS ok FROM documents
 """)

@@ -451,3 +451,38 @@ def minhash_union_similarity(
         F.when(F.col("union_cnt") > 0,
                F.col("inter_cnt").cast("double")
                / F.col("union_cnt").cast("double")).alias("jaccard"))
+
+
+def hll_trailing_estimate(elems: DataFrame, group_col: str = "hour_no",
+                          hash_col: str = "h", trail: int = 6) -> DataFrame:
+    """Trailing-window distinct-count estimates from bucketed HLL sketches —
+    the register-merge monoid applied along TIME: build registers once per
+    time bucket, then every trailing window of ``trail`` buckets is the
+    elementwise max of its members' registers. The raw events are scanned
+    exactly once no matter how many windows are estimated (the streaming
+    cardinality pattern: at 100 TB you materialize the per-hour register
+    table — 64 rows/hour — and answer any trailing-window distinct query
+    from it without touching events again; same cascade idea as
+    ``windows.cascade_rollup`` but for a NON-addable aggregate, which is
+    exactly what the sketch monoid buys).
+
+    ``group_col`` must be an integer bucket number (consecutive buckets =
+    adjacent windows). Each source bucket fans out to the ``trail`` target
+    windows it serves (an explode of ``trail`` ints per register row —
+    register-table-sized, not event-sized), targets are restricted to
+    buckets that actually exist, and the merge is one hash aggregation.
+    Returns ``hll_estimate`` rows keyed by the window's LAST bucket.
+    """
+    regs = hll_registers(elems, group_col, hash_col)
+    present = elems.select(group_col).distinct()
+    fan = regs.select(
+        F.explode(F.sequence(F.col(group_col).cast("bigint"),
+                             F.col(group_col).cast("bigint") + (trail - 1))
+                  ).alias("__target"),
+        "bucket", "r")
+    merged = (fan
+              .join(present.select(F.col(group_col).cast("bigint")
+                                   .alias("__target")), "__target")
+              .groupBy("__target", "bucket").agg(F.max("r").alias("r"))
+              .withColumnRenamed("__target", group_col))
+    return hll_estimate(merged, group_col)

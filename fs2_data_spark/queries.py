@@ -3379,6 +3379,61 @@ _KMV_K = 64
 _KMV_NUM = (_KMV_K - 1) * KMV_P  # exact int; < 2^53 so its double is exact
 
 
+@_q("hll_trailing_users_events", f"""
+WITH e AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_no,
+                  user_id, {kmv_hash_sql('user_id')} AS h
+           FROM events),
+reg AS (SELECT hour_no, CAST(h % {HLL_M} AS INTEGER) AS bucket,
+               MAX({hll_rho_sql(hll_tail_sql('h'))}) AS r
+        FROM e GROUP BY hour_no, h % {HLL_M}),
+pres AS (SELECT DISTINCT hour_no FROM e),
+fan AS (SELECT CAST(t AS BIGINT) AS hour_no, bucket, r
+        FROM reg, unnest(generate_series(reg.hour_no, reg.hour_no + 5))
+             AS u(t)),
+mg AS (SELECT fan.hour_no, bucket, MAX(r) AS r
+       FROM fan JOIN pres USING (hour_no) GROUP BY fan.hour_no, bucket),
+est AS ({hll_estimate_sql('mg', 'hour_no')}),
+exd AS (SELECT p.hour_no,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_distinct
+        FROM pres p JOIN e ON e.hour_no BETWEEN p.hour_no - 5 AND p.hour_no
+        GROUP BY p.hour_no)
+SELECT est.hour_no, n_zero, sum_scaled, est_distinct, exact_distinct
+FROM est JOIN exd USING (hour_no)
+""")
+def hll_trailing_users_events(spark, sf_dir):
+    """Trailing 6-hour distinct-user estimates from per-hour HLL sketches
+    (``operators/sketches.py hll_trailing_estimate``): registers built once
+    per hour bucket, every trailing window answered by the elementwise-max
+    monoid merge — events scanned ONCE for all windows (the sketch-cascade
+    pattern a streaming cardinality dashboard runs at 100 TB; what
+    ``cascade_rollup`` does for addable aggregates, this does for distinct
+    counts). Exact trailing distincts ride beside the estimate for
+    calibration; the oracle rebuilds registers, fan-out, merge, and the
+    ln-free estimate bit-for-bit."""
+    from fs2_data_spark.functions.timeutil import epoch_us as _eus
+    from fs2_data_spark.operators.sketches import (
+        hll_trailing_estimate,
+        kmv_hash,
+    )
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.floor(_eus(F.col("ts")) / F.lit(3_600_000_000)).cast("bigint")
+        .alias("hour_no"),
+        "user_id", kmv_hash(F.col("user_id")).alias("h"))
+    est = hll_trailing_estimate(e.select("hour_no", "h"),
+                                group_col="hour_no", hash_col="h", trail=6)
+    present = e.select("hour_no").distinct()
+    pairs = e.select("hour_no", "user_id").distinct()
+    exact = (pairs.select(
+        F.explode(F.sequence(F.col("hour_no"), F.col("hour_no") + 5))
+        .alias("hour_no"), "user_id")
+        .join(present, "hour_no")
+        .groupBy("hour_no")
+        .agg(F.countDistinct("user_id").alias("exact_distinct")))
+    return est.join(exact, "hour_no").select(
+        "hour_no", "n_zero", "sum_scaled", "est_distinct", "exact_distinct")
+
+
 @_q("gopher_rules_docs", f"""
 WITH s AS (SELECT doc_id, text, {_WS_SQL} AS ws FROM documents),
 m AS (SELECT doc_id,

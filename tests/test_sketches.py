@@ -434,3 +434,39 @@ def test_minhash_union_estimator_tracks_exact(spark):
     r = minhash_union_similarity(d, "source", "text", k=8).collect()[0]
     assert r.inter_cnt == 200 and r.union_cnt == 400 and r.jaccard == 0.5
     assert abs(r.est_jaccard - 0.5) <= 3 * (0.5 * 0.5 / 8) ** 0.5  # 3 sigma
+
+
+# ---------------------------------------------------------------------------
+# HLL trailing-window merge
+# ---------------------------------------------------------------------------
+
+def test_hll_trailing_equals_direct_window_sketch(spark):
+    """The time-merge law: the trailing-window estimate from per-bucket
+    register maxima must equal the estimate built DIRECTLY from the raw
+    elements of that window (sketch-of-union == union-of-sketches)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from fs2_data_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+        hll_trailing_estimate,
+        kmv_hash,
+    )
+    rng = random.Random(13)
+    rows = [(rng.randint(0, 11), rng.randint(0, 400)) for _ in range(3000)]
+    df = spark.createDataFrame(rows, "hour_no bigint, uid bigint").select(
+        "hour_no", kmv_hash(F.col("uid")).alias("h"))
+    got = {r.hour_no: (r.sum_scaled, r.n_zero, r.est_distinct)
+           for r in hll_trailing_estimate(df, "hour_no", "h",
+                                          trail=3).collect()}
+    hours = sorted({h for h, _ in rows})
+    for hr in hours:
+        win = df.filter((F.col("hour_no") >= hr - 2)
+                        & (F.col("hour_no") <= hr)) \
+                .select(F.lit(hr).alias("hour_no"), "h")
+        direct = hll_estimate(hll_registers(win, "hour_no", "h"),
+                              "hour_no").collect()[0]
+        assert got[hr] == (direct.sum_scaled, direct.n_zero,
+                           direct.est_distinct), hr
+    assert set(got) == set(hours)  # only buckets that exist get a window

@@ -482,3 +482,66 @@ def pmi_collocations(
             .limit(topn)
             .select("u", "v", "c_uv", "c_u", "c_v", "n_bi",
                     "score_e6", "lift"))
+
+
+def top_ngram_fraction(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Gopher/RefinedWeb "top n-gram fraction" repetition signals: for each
+    ``n`` the fraction of the document's words covered by its single
+    most-frequent word n-gram (count * n / n_words; overlapping occurrences
+    each count). High values mark template/spam pages that per-document
+    length/symbol heuristics miss.
+
+    Per-row zero-shuffle Catalyst: n-gram codes are rolling-hash folds of
+    the word-code array, and the max frequency comes from ``array_sort`` +
+    one linear run-length fold (O(n log n) per doc) — never a corpus-level
+    explode/groupBy (the 100 TB difference: this is a per-document signal,
+    so shuffling every n-gram would be pure waste). The DuckDB oracle
+    recomputes the same max by brute force (count each distinct gram),
+    pinning the run-length fold against an independent formulation.
+
+    Returns ``(id_col, n_words, top{n}_count, top{n}_frac ...)``; documents
+    with fewer than ``n`` words get count 0 / fraction 0.0.
+    """
+    from fs2_data_spark.functions.text import word_hashes
+
+    P = F.lit(1_000_000_007).cast("long")
+    w = words(text_col)
+    out_cols = [F.col(id_col), F.size(w).alias("n_words")]
+    wc = word_hashes(text_col)
+    def _gram_at(n):
+        # Closure factory, NOT a `n=n` keyword default: a two-parameter
+        # lambda would be compiled by Spark as transform's (element, index)
+        # form, silently binding the second parameter to the array index.
+        return lambda i: F.aggregate(
+            F.slice(wc, i + 1, n), F.lit(0).cast("long"),
+            lambda a, x: (a * F.lit(1_000_003) + x) % P)
+
+    for n in ns:
+        L = F.size(w) - (n - 1)
+        grams = F.when(L >= 1, F.transform(
+            F.sequence(F.lit(0), L - 1), _gram_at(n))
+        ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+        srt = F.array_sort(grams)
+        acc0 = F.struct(F.lit(0).cast("int").alias("cur"),
+                        F.lit(0).cast("int").alias("best"),
+                        F.lit(None).cast("long").alias("prev"))
+
+        def step(a, x):
+            cur = (F.when(a["prev"].isNotNull() & (a["prev"] == x),
+                          a["cur"] + 1).otherwise(F.lit(1)))
+            return F.struct(cur.alias("cur"),
+                            F.greatest(a["best"], cur).alias("best"),
+                            x.alias("prev"))
+
+        top = F.aggregate(srt, acc0, step, lambda a: a["best"])
+        frac = (F.when(F.size(w) > 0,
+                       (top * n).cast("double") / F.size(w).cast("double"))
+                .otherwise(F.lit(0.0)))
+        out_cols.append(top.alias(f"top{n}_count"))
+        out_cols.append(F.round(frac, 9).alias(f"top{n}_frac"))
+    return docs.select(*out_cols)

@@ -3434,6 +3434,49 @@ def hll_trailing_users_events(spark, sf_dir):
         "hour_no", "n_zero", "sum_scaled", "est_distinct", "exact_distinct")
 
 
+def _topgram_sql(n: int) -> str:
+    """Brute-force top-n-gram count/fraction columns for the oracle
+    (independent formulation: count each distinct gram, take the max —
+    pins the Spark side's sorted run-length fold)."""
+    return f"""
+ CAST(CASE WHEN len(w) >= {n} THEN COALESCE(list_max(list_transform(
+        list_distinct(g{n}), d -> len(list_filter(g{n}, x -> x = d)))), 0)
+      ELSE 0 END AS INTEGER) AS top{n}_count,
+ CASE WHEN len(w) > 0 AND len(w) >= {n} THEN
+        ROUND(COALESCE(list_max(list_transform(list_distinct(g{n}),
+                d -> len(list_filter(g{n}, x -> x = d)))), 0) * {n}
+              / CAST(len(w) AS DOUBLE), 9)
+      ELSE 0.0 END AS top{n}_frac"""
+
+
+def _gram_sql(n: int) -> str:
+    return f"""CASE WHEN len(w) >= {n} THEN
+      list_transform(generate_series(1, len(w) - {n} + 1),
+        i -> list_reduce(w[CAST(i AS BIGINT):CAST(i + {n} - 1 AS BIGINT)],
+                         (a, x) -> (a * 1000003 + x) % 1000000007))
+      ELSE [] END AS g{n}"""
+
+
+@_q("top_ngram_docs", f"""
+WITH wh AS (SELECT doc_id, {_WH_SQL} AS w FROM documents),
+g AS (SELECT doc_id, w, {_gram_sql(2)}, {_gram_sql(3)}, {_gram_sql(4)}
+      FROM wh)
+SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words,
+       {_topgram_sql(2)}, {_topgram_sql(3)}, {_topgram_sql(4)}
+FROM g
+""")
+def top_ngram_docs(spark, sf_dir):
+    """Gopher/RefinedWeb top-n-gram repetition signals
+    (``operators/quality.py top_ngram_fraction``): for n in 2/3/4 the
+    fraction of each document's words covered by its most frequent word
+    n-gram. Per-row zero-shuffle (rolling-hash grams + array_sort +
+    run-length fold); the oracle recomputes the max by brute-force distinct
+    counting — two independent formulations of the same statistic."""
+    from fs2_data_spark.operators.quality import top_ngram_fraction
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return top_ngram_fraction(d, ns=(2, 3, 4))
+
+
 @_q("gopher_rules_docs", f"""
 WITH s AS (SELECT doc_id, text, {_WS_SQL} AS ws FROM documents),
 m AS (SELECT doc_id,

@@ -257,3 +257,42 @@ def test_pmi_short_docs_contribute_nothing(spark):
         "doc_id bigint, text string")
     rows = pmi_collocations(d, min_count=1, topn=10).collect()
     assert all(r.n_bi == 5 for r in rows)  # only doc 3's bigrams counted
+
+
+# ---------------------------------------------------------------------------
+# top n-gram fraction (Gopher/RefinedWeb repetition signals)
+# ---------------------------------------------------------------------------
+
+def test_top_ngram_hand_computed(spark):
+    from fs2_data_spark.operators.quality import top_ngram_fraction
+    d = spark.createDataFrame(
+        [(1, "a b a b a b c"),       # top bigram "a b" x3 of 6 words... 7 words
+         (2, "x y z"),               # all bigrams unique
+         (3, "w w w w"),             # "w w" x3 (overlapping)
+         (4, "solo"),                # shorter than any n
+         (5, "")],
+        "doc_id bigint, text string")
+    got = {r.doc_id: r for r in top_ngram_fraction(d, ns=(2, 3)).collect()}
+    assert got[1].n_words == 7
+    assert got[1].top2_count == 3                   # "a b" at 0, 2, 4
+    assert got[1].top2_frac == round(3 * 2 / 7, 9)
+    assert got[1].top3_count == 2                   # "a b a" x2 (pos 0, 2)
+    assert got[1].top3_frac == round(2 * 3 / 7, 9)
+    assert got[2].top2_count == 1 and got[2].top3_count == 1
+    assert got[3].top2_count == 3 and got[3].top2_frac == round(6 / 4, 9)
+    assert got[4].top2_count == 0 and got[4].top2_frac == 0.0
+    assert got[5].n_words == 0 and got[5].top2_frac == 0.0
+
+
+def test_top_ngram_shuffle_insensitive_unigrams_not(spark):
+    """The signal is order-sensitive: a document and its word-shuffle share
+    unigram stats but differ in top-bigram count."""
+    from fs2_data_spark.operators.quality import top_ngram_fraction
+    rep = " ".join(["spam mail"] * 20)
+    shuf = " ".join(["spam"] * 20 + ["mail"] * 20)
+    d = spark.createDataFrame([(1, rep), (2, shuf)],
+                              "doc_id bigint, text string")
+    got = {r.doc_id: r.top2_count for r in
+           top_ngram_fraction(d, ns=(2,)).collect()}
+    assert got[1] == 20       # "spam mail" 20x
+    assert got[2] == 19       # "spam spam" 19x (or "mail mail")

@@ -102,6 +102,7 @@ AUDITED = [
     # ann_ivf_topk); the pair stage must hash-join on the cell
     ("semantic_dedup_emb", ["no_python", "broadcast", "pruned_scan"]),
     ("cdc_dedup_stats_docs", ["no_python", "no_cartesian", "pruned_scan"]),
+    ("top_ngram_docs", ["no_python", "no_exchange", "pruned_scan"]),
 ]
 
 

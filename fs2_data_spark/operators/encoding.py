@@ -1,0 +1,162 @@
+"""Point-in-time feature encoding: expanding z-score normalization and
+bucketed past-only target encoding.
+
+Both operators carry the engine's zero-temporal-leakage contract (reference
+semantics: fs2-data's streaming transforms only ever see the prefix of the
+stream — ``json/src/main/scala/fs2/data/json/internals/TokenParser.scala``
+pulls strictly left-to-right): every derived feature at time ``t`` is a
+function of events with ``t' < t`` only (strict, the row itself excluded —
+the feature-store "no label leakage" rule).
+
+Determinism contract (canonical-oracle pattern): accumulations are
+DECIMAL(38,12) (order-independent, exact), divisions/sqrt happen once in
+double on exact-decimal inputs, and outputs are rounded so the DuckDB
+replay is bit-identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from fs2_data_spark.functions.timeutil import epoch_us
+
+_DEC = "decimal(38,12)"
+
+
+def expanding_zscore(
+    df: DataFrame,
+    value: str = "value",
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    order_tiebreak: str = "event_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Standardize each event's ``value`` against the statistics of that
+    entity's STRICTLY PRIOR events — the leakage-free online normalization
+    of a point-in-time feature store (a training row must never be scaled
+    by statistics that include itself or its future).
+
+    ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`` over
+    ``(ts, tiebreak)`` — an expanding frame Spark evaluates incrementally
+    (one pass per partition), unlike forward unbounded frames which go
+    quadratic. All three accumulators (count, decimal sum, decimal sum of
+    squares) share ONE partition sort: one Exchange + one Sort + one
+    WindowExec at any number of derived features.
+
+    Output columns: ``n_past`` (bigint), ``mean_past`` (exact-decimal-sum
+    double, round 9), ``std_past`` (sample std over past, round 9, NULL
+    when ``n_past < 2``), ``zscore`` (round ``round_dp``, NULL when std is
+    NULL or 0). Variance uses the exact-decimal identity
+    ``(n*sum2 - sum^2) / (n*(n-1))`` evaluated in double AFTER the exact
+    sums are fixed, so both engines see identical operands.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    w = (Window.partitionBy(*key)
+         .orderBy("_eus", order_tiebreak)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    v = F.col(value)
+    n = F.count(value).over(w)
+    s1 = F.sum(v.cast(_DEC)).over(w)
+    # (15,6) x (15,6) -> (31,12): stays inside decimal(38,12) so the
+    # product is exact (a (19,6) square would hit Spark's precision-38
+    # ceiling and silently lose scale)
+    s2 = F.sum((v.cast("decimal(15,6)") * v.cast("decimal(15,6)")).cast(_DEC)
+               ).over(w)
+    nd = n.cast("double")
+    s1d = s1.cast("double")
+    s2d = s2.cast("double")
+    mean = F.when(n > 0, F.round(s1d / nd, 9))
+    var = (nd * s2d - s1d * s1d) / (nd * (nd - F.lit(1.0)))
+    std = F.when(n >= 2, F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 9))
+    z = F.when(std.isNotNull() & (std > 0),
+               F.round((v - mean) / std, round_dp))
+    return (df.withColumn("_eus", epoch_us(F.col(ts)))
+            .select("*",
+                    n.alias("n_past"),
+                    mean.alias("mean_past"),
+                    std.alias("std_past"),
+                    z.alias("zscore"))
+            .drop("_eus"))
+
+
+def pit_target_encode(
+    df: DataFrame,
+    category: str = "event_type",
+    target: str = "value",
+    ts: str = "ts",
+    order_tiebreak: str = "event_id",
+    bucket_us: int = 3_600_000_000,
+    prior: float = 0.0,
+    prior_weight: float = 10.0,
+) -> DataFrame:
+    """Past-only target encoding of a categorical column: each event's
+    category is replaced by the smoothed mean of ``target`` over ALL
+    strictly-prior events of the same category (global history, not
+    per-entity), with zero temporal leakage —
+    ``enc = (sum_past + w*prior) / (n_past + w)``.
+
+    The naive formulation is ``PARTITION BY category ORDER BY ts`` — for a
+    low-cardinality categorical that is one partition per category, i.e. a
+    handful of sequential tasks owning the full 100 TB history. This
+    operator decomposes the expanding frame so no task ever sees more than
+    one time bucket:
+
+    1. aggregate ``(category, bucket)`` partials — count + DECIMAL(38,12)
+       sum (the ordinary map-side-combined shuffle, key cardinality
+       ``|cats| x |buckets|``, no skew pile-up);
+    2. exclusive prefix-sum the partials per category — a window over the
+       TINY bucket table (rows = cats x buckets);
+    3. join the bucket prefix back (broadcast when small) and add the
+       intra-bucket expanding frame, whose partitions are bounded by the
+       bucket duration, never by total history.
+
+    ``prior_events = earlier buckets (step 2) + earlier rows in my bucket
+    (step 3)`` — exact, because both sides accumulate the same
+    DECIMAL(38,12) monoid and the bucket split is a refinement of the
+    ``(ts, tiebreak)`` total order. The driver oracle states the DIRECT
+    single-window formulation, so a value match certifies the
+    decomposition. ``prior``/``prior_weight`` are hyperparameters (compute
+    the prior on a frozen training slice upstream — deriving it from the
+    same stream would itself leak).
+
+    Output: input columns + ``n_past``, ``sum_past`` (double of the exact
+    decimal, round 9), ``target_enc`` (round 9).
+    """
+    eus = epoch_us(F.col(ts))
+    b = (F.floor(F.col("_eus") / F.lit(bucket_us)) * F.lit(bucket_us)
+         ).cast("bigint")
+    ev = df.withColumn("_eus", eus).withColumn("_bucket", b)
+
+    partials = (ev.groupBy(category, "_bucket")
+                .agg(F.count(target).alias("_bn"),
+                     F.sum(F.col(target).cast(_DEC)).alias("_bs")))
+    wprev = (Window.partitionBy(category).orderBy("_bucket")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = partials.select(
+        category, "_bucket",
+        F.coalesce(F.sum("_bn").over(wprev), F.lit(0)).alias("_pn"),
+        F.coalesce(F.sum("_bs").over(wprev), F.lit(0).cast(_DEC))
+         .alias("_ps"))
+
+    wintra = (Window.partitionBy(category, "_bucket")
+              .orderBy("_eus", order_tiebreak)
+              .rowsBetween(Window.unboundedPreceding, -1))
+    joined = (ev.join(prefix, on=[category, "_bucket"], how="left")
+              .select("*",
+                      F.coalesce(F.count(target).over(wintra), F.lit(0))
+                       .alias("_in"),
+                      F.coalesce(F.sum(F.col(target).cast(_DEC)).over(wintra),
+                                 F.lit(0).cast(_DEC)).alias("_is")))
+    n_past = (F.col("_pn") + F.col("_in")).cast("bigint")
+    sum_past = (F.col("_ps") + F.col("_is")).cast("double")
+    enc = F.round(
+        (sum_past + F.lit(float(prior_weight)) * F.lit(float(prior)))
+        / (n_past.cast("double") + F.lit(float(prior_weight))), 9)
+    return (joined
+            .withColumn("n_past", n_past)
+            .withColumn("sum_past", F.round(sum_past, 9))
+            .withColumn("target_enc", enc)
+            .drop("_eus", "_bucket", "_bn", "_bs", "_pn", "_ps",
+                  "_in", "_is"))

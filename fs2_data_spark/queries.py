@@ -2426,6 +2426,80 @@ def time_bucket_cascade(spark, sf_dir):
     return out
 
 
+@_q("pit_zscore_events", """
+WITH w AS (
+  SELECT event_id, value AS v,
+    count(value) OVER pw AS n_past,
+    CAST(sum(CAST(value AS DECIMAL(38,12))) OVER pw AS DOUBLE) AS s1,
+    CAST(sum(CAST(CAST(value AS DECIMAL(15,6)) * CAST(value AS DECIMAL(15,6))
+                  AS DECIMAL(38,12))) OVER pw AS DOUBLE) AS s2
+  FROM events
+  WINDOW pw AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+m AS (
+  SELECT event_id, v, CAST(n_past AS BIGINT) AS n_past,
+    CASE WHEN n_past > 0 THEN ROUND(s1 / CAST(n_past AS DOUBLE), 9)
+    END AS mean_past,
+    CASE WHEN n_past >= 2 THEN ROUND(sqrt(greatest(
+      (CAST(n_past AS DOUBLE) * s2 - s1 * s1)
+        / (CAST(n_past AS DOUBLE) * (CAST(n_past AS DOUBLE) - 1.0)),
+      0.0)), 9) END AS std_past
+  FROM w)
+SELECT event_id, n_past, mean_past, std_past,
+       CASE WHEN std_past IS NOT NULL AND std_past > 0
+            THEN ROUND((v - mean_past) / std_past, 6) END AS zscore
+FROM m
+""")
+def pit_zscore_events(spark, sf_dir):
+    """Leakage-free expanding z-score (``operators/encoding.py
+    expanding_zscore``): each event standardized against the count / exact
+    decimal sum / decimal sum-of-squares of that user's STRICTLY PRIOR
+    events — the point-in-time feature-store normalization rule (the same
+    ``t' < t`` contract as the as-of join, here with the row itself also
+    excluded). One Exchange + one Sort feed all three accumulators; the
+    backward expanding frame is Spark's incremental (never quadratic)
+    running-frame path. Oracle restates the identical window algebra."""
+    from fs2_data_spark.operators.encoding import expanding_zscore
+    ev = _t(spark, sf_dir, "events")
+    out = expanding_zscore(ev, value="value", key="user_id", ts="ts")
+    return out.select("event_id", "n_past", "mean_past", "std_past",
+                      "zscore")
+
+
+@_q("pit_target_encode_events", """
+WITH w AS (
+  SELECT event_id,
+    count(value) OVER pw AS n_past,
+    CAST(coalesce(sum(CAST(value AS DECIMAL(38,12))) OVER pw,
+                  0) AS DOUBLE) AS s
+  FROM events
+  WINDOW pw AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id, CAST(n_past AS BIGINT) AS n_past,
+       ROUND(s, 9) AS sum_past,
+       ROUND((s + 10.0 * 1.0) / (CAST(n_past AS DOUBLE) + 10.0), 9)
+         AS target_enc
+FROM w
+""")
+def pit_target_encode_events(spark, sf_dir):
+    """Past-only smoothed target encoding (``operators/encoding.py
+    pit_target_encode``): category -> smoothed mean of the target over ALL
+    strictly-prior events of that category, zero temporal leakage. The
+    Spark side runs the SCALABLE decomposition — per-(category, hour)
+    partials, an exclusive prefix over the tiny bucket table, and an
+    intra-bucket expanding frame whose partitions are bounded by the
+    bucket, never by total history (a naive PARTITION BY category window
+    would serialize the full 100 TB history through |categories| tasks).
+    The oracle states the DIRECT single-window formulation, so a value
+    match certifies the decomposition is exact (shared DECIMAL(38,12)
+    monoid; the bucket split refines the (ts, event_id) total order)."""
+    from fs2_data_spark.operators.encoding import pit_target_encode
+    ev = _t(spark, sf_dir, "events")
+    out = pit_target_encode(ev, category="event_type", target="value",
+                            ts="ts", prior=1.0, prior_weight=10.0)
+    return out.select("event_id", "n_past", "sum_past", "target_enc")
+
+
 @_q("session_window_native", """
 WITH g AS (
   SELECT *, CASE WHEN lag(ts) OVER w IS NULL

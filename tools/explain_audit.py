@@ -103,6 +103,13 @@ AUDITED = [
     ("semantic_dedup_emb", ["no_python", "broadcast", "pruned_scan"]),
     ("cdc_dedup_stats_docs", ["no_python", "no_cartesian", "pruned_scan"]),
     ("top_ngram_docs", ["no_python", "no_exchange", "pruned_scan"]),
+    # all three expanding accumulators share one partition sort
+    ("pit_zscore_events", ["no_python", "single_group_shuffle",
+                           "pruned_scan"]),
+    # 3 exchanges by design (partials agg, bucket prefix, intra-bucket
+    # window); the tiny bucket-prefix table broadcasts back onto events
+    ("pit_target_encode_events", ["no_python", "broadcast", "no_cartesian",
+                                  "pruned_scan"]),
 ]
 
 

@@ -486,3 +486,72 @@ def hll_trailing_estimate(elems: DataFrame, group_col: str = "hour_no",
               .groupBy("__target", "bucket").agg(F.max("r").alias("r"))
               .withColumnRenamed("__target", group_col))
     return hll_estimate(merged, group_col)
+
+
+# ---------------------------------------------------------------------------
+# Log-bucket histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def hist_sketch(df: DataFrame, group_col: str = "source",
+                value: str = "n_chars") -> DataFrame:
+    """Power-of-two histogram sketch of a non-negative integer measure:
+    ``(group, blen, cnt)`` where ``blen = length(bin(v))`` is the bit
+    length of the value (bucket ``L`` covers ``[2^(L-1), 2^L - 1]``;
+    0 shares bucket 1 with 1). Constant-size mergeable state —
+    ``O(64)`` counters per group, summed elementwise across shards — the
+    quantile-sketch analogue of the KMV/CMS/HLL family above, with the
+    same engine-portable discipline: the bucket function is a string
+    length of a binary rendering (exact in any engine, never float
+    ``log2``) and the state is exact ``COUNT(*)``s.
+
+    One map-side-combined shuffle of at most ``|groups| x 64`` rows per
+    task, regardless of corpus size.
+    """
+    blen = F.length(F.bin(F.col(value).cast("bigint"))).cast("integer")
+    return (df.groupBy(F.col(group_col), blen.alias("blen"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hist_merge(a: DataFrame, b: DataFrame,
+               group_col: str = "source") -> DataFrame:
+    """Monoid merge: elementwise count addition over (group, blen)."""
+    return (a.unionByName(b)
+             .groupBy(group_col, "blen")
+             .agg(F.sum("cnt").alias("cnt")))
+
+
+def hist_quantiles(sketch: DataFrame, group_col: str = "source",
+                   qs: "tuple[tuple[int, int, str], ...]" = (
+                       (1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")),
+                   ) -> DataFrame:
+    """Quantile read-out from a histogram sketch: for each quantile
+    ``num/den`` the reported value is the UPPER BOUND ``2^blen - 1`` of
+    the first bucket whose cumulative count reaches ``ceil(num*n/den)``
+    — the true quantile is guaranteed inside ``[2^(blen-1), 2^blen - 1]``
+    (relative error bounded by the bucket base, 2x; tighter bases are a
+    parameter change, not a design change). All rank arithmetic is exact
+    integer ``ceil`` via ``(num*n + den - 1) div den`` — no float ranks,
+    so the read-out replays bit-for-bit in any engine.
+
+    Returns ``(group, n, {q}_ub ...)``. The window runs over the TINY
+    sketch table (<= 64 rows per group), never the corpus.
+    """
+    w = (Window.partitionBy(group_col).orderBy("blen")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wall = (Window.partitionBy(group_col)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    cum = sketch.select(
+        group_col, "blen", "cnt",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(wall).alias("_n"))
+    # expr form: python shiftleft() only takes a literal bit count
+    ub = F.expr("shiftleft(CAST(1 AS BIGINT), blen)") - 1
+    aggs = [F.max("_n").alias("n")]
+    for num, den, label in qs:
+        # exact integer ceil(num*n/den) — DIV, never float division
+        aggs.append(F.min(F.when(F.col("_cum") >=
+                                 F.expr(f"CAST(({num} * _n + {den - 1}) "
+                                        f"DIV {den} AS BIGINT)"), ub))
+                    .alias(f"{label}_ub"))
+    return cum.groupBy(group_col).agg(*aggs)

@@ -3808,6 +3808,48 @@ def source_jaccard_docs(spark, sf_dir):
                                     text_col="text", k=8)
 
 
+@_q("hist_quantiles_docs", """
+WITH s AS (SELECT source, length(bin(CAST(n_chars AS BIGINT))) AS blen,
+                  count(*) AS cnt
+           FROM documents GROUP BY source, blen),
+u AS (SELECT source, blen, cnt FROM s
+      UNION ALL
+      SELECT 'ALL' AS source, blen, SUM(cnt) AS cnt FROM s GROUP BY blen),
+c AS (SELECT source, blen, cnt,
+        SUM(cnt) OVER (PARTITION BY source ORDER BY blen
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+        SUM(cnt) OVER (PARTITION BY source) AS n
+      FROM u)
+SELECT source, CAST(max(n) AS BIGINT) AS n,
+  CAST(min(CASE WHEN cum >= (1 * n + 1) // 2
+            THEN (CAST(1 AS BIGINT) << blen) - 1 END) AS BIGINT) AS p50_ub,
+  CAST(min(CASE WHEN cum >= (9 * n + 9) // 10
+            THEN (CAST(1 AS BIGINT) << blen) - 1 END) AS BIGINT) AS p90_ub,
+  CAST(min(CASE WHEN cum >= (99 * n + 99) // 100
+            THEN (CAST(1 AS BIGINT) << blen) - 1 END) AS BIGINT) AS p99_ub
+FROM c GROUP BY source
+""")
+def hist_quantiles_docs(spark, sf_dir):
+    """Log-bucket histogram quantile sketch (``operators/sketches.py
+    hist_sketch``/``hist_quantiles``): p50/p90/p99 upper bounds of the
+    document-length distribution per source plus the merged ``ALL`` row
+    — the ALL sketch is built by ADDING the per-source partials (the
+    monoid), while the oracle re-buckets ALL directly from raw, so a
+    value match certifies merge-losslessness (same pattern as the HLL /
+    cascade monoid proofs). Constant-size state (<= 64 counters per
+    group); rank arithmetic is exact-integer ceil — no float quantile
+    machinery anywhere."""
+    from fs2_data_spark.operators.sketches import hist_quantiles, hist_sketch
+    d = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    sk = hist_sketch(d, group_col="source", value="n_chars")
+    merged = (sk.groupBy("blen").agg(F.sum("cnt").alias("cnt"))
+              .select(F.lit("ALL").alias("source"), "blen", "cnt"))
+    u = sk.unionByName(merged)
+    out = hist_quantiles(u, group_col="source")
+    return out.select("source", F.col("n").cast("bigint").alias("n"),
+                      "p50_ub", "p90_ub", "p99_ub")
+
+
 @_q("hll_distinct_docs", f"""
 WITH wh AS (SELECT source, {_WH_SQL} AS w FROM documents),
 sh AS (SELECT source, unnest({_SHINGLES_SQL}) AS s FROM wh),

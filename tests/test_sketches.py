@@ -470,3 +470,63 @@ def test_hll_trailing_equals_direct_window_sketch(spark):
         assert got[hr] == (direct.sum_scaled, direct.n_zero,
                            direct.est_distinct), hr
     assert set(got) == set(hours)  # only buckets that exist get a window
+
+
+# ---------------------------------------------------------------------------
+# log-bucket histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def _hist_df(spark, vals, src="a"):
+    return spark.createDataFrame([(src, v) for v in vals],
+                                 "source string, n_chars bigint")
+
+
+def test_hist_sketch_buckets_exact(spark):
+    from fs2_data_spark.operators.sketches import hist_sketch
+    d = _hist_df(spark, [0, 1, 2, 3, 4, 7, 8, 1023, 1024])
+    got = {r.blen: r.cnt for r in hist_sketch(d).collect()}
+    # 0 and 1 share bucket blen=1; [2,3] -> 2; [4,7] -> 3; 8 -> 4;
+    # 1023 -> 10; 1024 -> 11
+    assert got == {1: 2, 2: 2, 3: 2, 4: 1, 10: 1, 11: 1}
+
+
+def test_hist_quantiles_hand_computed(spark):
+    from fs2_data_spark.operators.sketches import hist_quantiles, hist_sketch
+    # 10 values: ranks p50 -> 5th, p90 -> 9th, p99 -> 10th
+    vals = [1, 1, 2, 3, 6, 6, 7, 20, 200, 5000]
+    out = hist_quantiles(hist_sketch(_hist_df(spark, vals))).collect()[0]
+    assert out.n == 10
+    assert out.p50_ub == 7       # 5th smallest = 6, bucket [4,7]
+    assert out.p90_ub == 255     # 9th = 200, bucket [128,255]
+    assert out.p99_ub == 8191    # 10th = 5000, bucket [4096,8191]
+
+
+def test_hist_quantile_containment(spark):
+    """The true quantile always lands inside the reported bucket."""
+    from fs2_data_spark.operators.sketches import hist_quantiles, hist_sketch
+    vals = [(i * 7919) % 10007 for i in range(500)]
+    out = hist_quantiles(hist_sketch(_hist_df(spark, vals))).collect()[0]
+    sv = sorted(vals)
+    for num, den, col in ((1, 2, out.p50_ub), (9, 10, out.p90_ub),
+                          (99, 100, out.p99_ub)):
+        rank = -(-num * len(sv) // den)   # ceil
+        true_q = sv[rank - 1]
+        assert (col + 1) // 2 <= max(true_q, 1) <= col
+
+
+def test_hist_merge_monoid_law(spark):
+    """sketch(A) + sketch(B) == sketch(A union B), hence identical
+    quantile read-outs — the property that lets shards fold at 100 TB."""
+    from fs2_data_spark.operators.sketches import (hist_merge,
+                                                   hist_quantiles,
+                                                   hist_sketch)
+    a = [(i * 13) % 997 for i in range(200)]
+    b = [(i * 31) % 4093 for i in range(150)]
+    merged = hist_merge(hist_sketch(_hist_df(spark, a)),
+                        hist_sketch(_hist_df(spark, b)))
+    whole = hist_sketch(_hist_df(spark, a + b))
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, whole.collect())))
+    qa = hist_quantiles(merged).collect()[0]
+    qb = hist_quantiles(whole).collect()[0]
+    assert qa == qb

@@ -110,6 +110,9 @@ AUDITED = [
     # window); the tiny bucket-prefix table broadcasts back onto events
     ("pit_target_encode_events", ["no_python", "broadcast", "no_cartesian",
                                   "pruned_scan"]),
+    # corpus touches one map-side-combined agg; everything after runs on
+    # the <=64-rows-per-group sketch table
+    ("hist_quantiles_docs", ["no_python", "no_cartesian", "pruned_scan"]),
 ]
 
 

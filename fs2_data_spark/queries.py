@@ -921,6 +921,59 @@ def ann_quantized(spark, sf_dir):
                           id_col="vec_id", vec_col="embedding", dim=64, k=5)
 
 
+def _jl_oracle_sql() -> str:
+    from fs2_data_spark.operators.projection import jl_chain_sql, jl_signs
+    import math
+    dim, out_dim = 64, 16
+    signs = jl_signs(dim, out_dim, seed=42)
+    scale = repr(1.0 / math.sqrt(out_dim))
+    proj = ",\n    ".join(
+        f"ROUND(({jl_chain_sql('embedding', signs[j])}) * {scale}, 6) "
+        f"AS jl_{j}" for j in range(out_dim))
+    d2o = " + ".join(
+        f"(CAST(a.embedding[{i + 1}] AS DOUBLE) - "
+        f"CAST(b.embedding[{i + 1}] AS DOUBLE)) * "
+        f"(CAST(a.embedding[{i + 1}] AS DOUBLE) - "
+        f"CAST(b.embedding[{i + 1}] AS DOUBLE))" for i in range(dim))
+    d2p = " + ".join(
+        f"(a.jl_{j} - b.jl_{j}) * (a.jl_{j} - b.jl_{j})"
+        for j in range(out_dim))
+    return f"""
+WITH p AS (SELECT vec_id, embedding,
+    {proj}
+  FROM embeddings),
+pair AS (
+  SELECT a.vec_id, a.jl_0, a.jl_1, a.jl_2, a.jl_3,
+         {d2o} AS d2o,
+         {d2p} AS d2p
+  FROM p a LEFT JOIN p b ON b.vec_id = a.vec_id + 1)
+SELECT vec_id, jl_0, jl_1, jl_2, jl_3,
+       ROUND(d2o, 6) AS d2_orig, ROUND(d2p, 6) AS d2_proj,
+       CASE WHEN d2o > 0 THEN ROUND(d2p / d2o, 6) END AS d2_ratio
+FROM pair
+"""
+
+
+@_q("emb_jl_project", _jl_oracle_sql())
+def emb_jl_project(spark, sf_dir):
+    """Johnson-Lindenstrauss sign projection 64 -> 16 dims
+    (``operators/projection.py jl_project``) plus the consecutive-pair
+    distance-preservation audit: every downstream shuffle of the vector
+    column gets 4x lighter before LSH/IVF/verify stages. The sign matrix
+    is plan-time integer arithmetic (no RNG), each component one
+    left-associated ±CAST chain — bit-identical in any engine — and the
+    oracle replays the identical chains, so the hash match pins the whole
+    projection, not a property of it."""
+    from fs2_data_spark.operators.projection import (jl_distance_audit,
+                                                     jl_project)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    p = jl_project(emb, vec_col="embedding", dim=64, out_dim=16, seed=42)
+    out = jl_distance_audit(p, id_col="vec_id", vec_col="embedding",
+                            dim=64, out_dim=16)
+    return out.select("vec_id", "jl_0", "jl_1", "jl_2", "jl_3",
+                      "d2_orig", "d2_proj", "d2_ratio")
+
+
 @_q("emb_near_dups", f"""
 WITH e AS (SELECT vec_id, label,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -113,6 +113,9 @@ AUDITED = [
     # corpus touches one map-side-combined agg; everything after runs on
     # the <=64-rows-per-group sketch table
     ("hist_quantiles_docs", ["no_python", "no_cartesian", "pruned_scan"]),
+    # projection is zero-shuffle per-row; the consecutive-id audit pair
+    # join is an equi-join (broadcast at this SF, hash at scale)
+    ("emb_jl_project", ["no_python", "no_cartesian", "pruned_scan"]),
 ]
 
 

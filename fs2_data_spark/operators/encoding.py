@@ -160,3 +160,55 @@ def pit_target_encode(
             .withColumn("target_enc", enc)
             .drop("_eus", "_bucket", "_bn", "_bs", "_pn", "_ps",
                   "_in", "_is"))
+
+
+def winsorize(
+    df: DataFrame,
+    value: str = "value",
+    key: str | Sequence[str] = "user_id",
+    tiebreak: str = "event_id",
+    q_lo: tuple[int, int] = (1, 20),
+    q_hi: tuple[int, int] = (19, 20),
+) -> DataFrame:
+    """Group-wise winsorization: clip ``value`` to the group's exact
+    [q_lo, q_hi] percentile band — the robust-scaling step that keeps a
+    handful of outlier events from dominating trained features.
+
+    EXACT percentiles by rank, not approximate sketches: the bound for
+    quantile ``num/den`` is the value at rank ``ceil(num*n/den)`` in
+    ``(value, tiebreak)`` order over the group's non-null values (exact
+    integer ceil via ``(num*n + den - 1) div den`` — no float ranks, no
+    interpolation, so any engine replays it bit-for-bit; the clip itself
+    is pure comparison, so no rounding is needed anywhere).
+
+    Scale shape: ONE hash exchange on the group key feeds both window
+    passes (the ordered rank and the unbounded bound-pickup share the
+    partitioning, Spark reuses the exchange — plan-pinned); nothing else
+    shuffles. NULL values sort last (explicitly, because Spark defaults
+    nulls FIRST ascending and DuckDB defaults them LAST), never rank,
+    and pass through as NULL.
+
+    Adds ``p_lo``, ``p_hi`` (the group bounds) and ``value_w`` (clipped).
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    v = F.col(value)
+    wo = Window.partitionBy(*key).orderBy(v.asc_nulls_last(),
+                                          F.col(tiebreak))
+    wf = (Window.partitionBy(*key)
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    rn = F.row_number().over(wo)
+    n = F.count(value).over(wf)
+    lo_r = F.expr(f"CAST(({q_lo[0]} * _n + {q_lo[1] - 1}) DIV {q_lo[1]} "
+                  "AS BIGINT)")
+    hi_r = F.expr(f"CAST(({q_hi[0]} * _n + {q_hi[1] - 1}) DIV {q_hi[1]} "
+                  "AS BIGINT)")
+    tmp = df.select("*", rn.alias("_rn"), n.alias("_n"))
+    tmp = tmp.select("*", lo_r.alias("_lo_r"), hi_r.alias("_hi_r"))
+    lo_v = F.max(F.when(F.col("_rn") == F.col("_lo_r"), v)).over(wf)
+    hi_v = F.max(F.when(F.col("_rn") == F.col("_hi_r"), v)).over(wf)
+    out = tmp.select("*", lo_v.alias("p_lo"), hi_v.alias("p_hi"))
+    clipped = F.when(v.isNotNull(),
+                     F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi")))
+    return (out.withColumn("value_w", clipped)
+            .drop("_rn", "_n", "_lo_r", "_hi_r"))

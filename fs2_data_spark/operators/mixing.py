@@ -357,3 +357,49 @@ def negative_pairs(
     return (pairs.withColumn("neg_rank", F.row_number().over(w))
             .filter(F.col("neg_rank") <= k)
             .select("anchor_id", "neg_id", "neg_rank"))
+
+
+def time_folds(
+    df: DataFrame,
+    ts: str = "ts",
+    k: int = 5,
+    embargo_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Purged chronological K-fold assignment for time-series
+    cross-validation (the de Prado purged-CV discipline, folded into the
+    engine's zero-temporal-leakage contract): the corpus time span is cut
+    into ``k`` equal-duration folds, and each row additionally carries
+    whether it sits inside the ``embargo_us`` window right AFTER its
+    fold's start boundary — when fold ``f`` is the test fold, the leakage
+    -free train set is ``fold != f AND NOT (fold == f+1 AND in_embargo)``
+    (rows whose features could overlap the test fold's tail through
+    trailing windows are purged).
+
+    Scale shape: ONE 1-row min/max partial aggregate broadcast back
+    (bounded broadcast-NL by design, as in ``quantize.corpus_dim_stats``)
+    and pure per-row integer arithmetic after it — no corpus shuffle, no
+    sort, no rank. Duration-equal folds (not row-equal) are the point:
+    row-equal folds need a global sort/rank; duration-equal folds need
+    two scalars. All boundary math is exact integer microseconds:
+    ``fold = (off * k) div span``, ``fold_start_off = ceil(f*span/k)``
+    via ``(f*span + k - 1) div k`` — replays bit-for-bit in any engine.
+
+    Returns input columns + ``fold`` (0..k-1), ``fold_start_us`` (the
+    fold's inclusive start, epoch microseconds), ``in_embargo``.
+    """
+    from fs2_data_spark.functions.timeutil import epoch_us
+
+    eus = epoch_us(F.col(ts))
+    stats = df.agg(F.min(eus).alias("_mn"), F.max(eus).alias("_mx"))
+    j = (df.crossJoin(F.broadcast(stats))
+         .withColumn("_off", eus - F.col("_mn"))
+         .withColumn("_span", F.col("_mx") - F.col("_mn") + F.lit(1)))
+    fold = F.expr(f"CAST((_off * {k}) DIV _span AS INT)")
+    j = j.withColumn("fold", fold)
+    start_off = F.expr(f"(fold * _span + {k} - 1) DIV {k}")
+    j = (j.withColumn("fold_start_us",
+                      (F.col("_mn") + start_off).cast("bigint"))
+         .withColumn("in_embargo",
+                     (F.col("fold") > 0)
+                     & (F.col("_off") - start_off < F.lit(embargo_us))))
+    return j.drop("_mn", "_mx", "_off", "_span")

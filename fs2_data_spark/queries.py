@@ -2479,6 +2479,67 @@ def time_bucket_cascade(spark, sf_dir):
     return out
 
 
+@_q("winsorize_events", """
+WITH r AS (
+  SELECT event_id, user_id, value,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY value NULLS LAST, event_id) AS rn,
+    count(value) OVER (PARTITION BY user_id) AS n
+  FROM events),
+b AS (SELECT *, (1 * n + 19) // 20 AS lo_r, (19 * n + 19) // 20 AS hi_r
+      FROM r),
+v AS (SELECT *,
+        max(CASE WHEN rn = lo_r THEN value END)
+          OVER (PARTITION BY user_id) AS lo_v,
+        max(CASE WHEN rn = hi_r THEN value END)
+          OVER (PARTITION BY user_id) AS hi_v
+      FROM b)
+SELECT event_id, lo_v AS p_lo, hi_v AS p_hi,
+       CASE WHEN value IS NOT NULL
+            THEN least(greatest(value, lo_v), hi_v) END AS value_w
+FROM v
+""")
+def winsorize_events(spark, sf_dir):
+    """Group-wise winsorization at exact p05/p95 (``operators/encoding.py
+    winsorize``): per-user rank-based percentile bounds (exact-integer
+    ceil ranks, no interpolation, no approximate sketch) and the clipped
+    value. Both window passes share one hash exchange on the group key
+    (plan-pinned single shuffle); the clip is pure comparison, so the
+    oracle needs no rounding anywhere."""
+    from fs2_data_spark.operators.encoding import winsorize
+    ev = _t(spark, sf_dir, "events")
+    out = winsorize(ev, value="value", key="user_id", tiebreak="event_id")
+    return out.select("event_id", "p_lo", "p_hi", "value_w")
+
+
+@_q("time_folds_events", """
+WITH s AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+           FROM events),
+e AS (SELECT event_id, epoch_us(ts) - s.mn AS off,
+             s.mx - s.mn + 1 AS span, s.mn AS mn
+      FROM events, s),
+f AS (SELECT event_id, mn, off, span,
+             CAST((off * 5) // span AS INT) AS fold FROM e)
+SELECT event_id, fold,
+       CAST(mn + (fold * span + 4) // 5 AS BIGINT) AS fold_start_us,
+       (fold > 0 AND off - (fold * span + 4) // 5 < 3600000000)
+         AS in_embargo
+FROM f
+""")
+def time_folds_events(spark, sf_dir):
+    """Purged chronological 5-fold CV assignment (``operators/mixing.py
+    time_folds``): duration-equal folds from ONE broadcast min/max row +
+    per-row exact-integer boundary math (row-equal folds would need a
+    global sort; duration-equal folds need two scalars), with the
+    de Prado embargo flag marking rows whose trailing-window features
+    could leak across the previous fold's boundary. Zero corpus shuffle;
+    the oracle replays the identical integer arithmetic."""
+    from fs2_data_spark.operators.mixing import time_folds
+    ev = _t(spark, sf_dir, "events")
+    out = time_folds(ev, ts="ts", k=5, embargo_us=3_600_000_000)
+    return out.select("event_id", "fold", "fold_start_us", "in_embargo")
+
+
 @_q("pit_zscore_events", """
 WITH w AS (
   SELECT event_id, value AS v,

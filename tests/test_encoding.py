@@ -12,7 +12,8 @@ import pytest
 from pyspark.sql import Window, functions as F
 
 from fs2_data_spark.operators.encoding import (expanding_zscore,
-                                               pit_target_encode)
+                                               pit_target_encode,
+                                               winsorize)
 
 
 def _ts(m):
@@ -115,3 +116,48 @@ def test_target_encode_tiny_buckets_still_exact(spark):
         assert got[i].n_past == i
         assert got[i].target_enc == round(run / (i + 2.0), 9)
         run += float(i)
+
+
+# ---------------------------------------------------------------------------
+# group-wise winsorization
+# ---------------------------------------------------------------------------
+
+def test_winsorize_hand_computed(spark):
+    # 20 values 1..20 in one group: p05 rank = ceil(20/20) = 1 -> 1.0,
+    # p95 rank = ceil(19*20/20) = 19 -> 19.0
+    d = _events(spark, [(i, 1, "a", _ts(i), float(i)) for i in range(1, 21)])
+    got = {r.event_id: r for r in winsorize(d).collect()}
+    assert got[1].p_lo == 1.0 and got[1].p_hi == 19.0
+    assert got[1].value_w == 1.0          # 1 stays at the low bound
+    assert got[20].value_w == 19.0        # 20 clipped down
+    assert got[10].value_w == 10.0        # interior untouched
+
+
+def test_winsorize_small_group_ranks(spark):
+    # n=3: lo rank ceil(3/20)=1, hi rank ceil(57/20)=3 -> bounds = min/max
+    d = _events(spark, [(1, 1, "a", _ts(0), 5.0),
+                        (2, 1, "a", _ts(1), -2.0),
+                        (3, 1, "a", _ts(2), 100.0)])
+    r = winsorize(d).collect()[0]
+    assert r.p_lo == -2.0 and r.p_hi == 100.0
+
+
+def test_winsorize_null_passthrough_and_rank_exclusion(spark):
+    d = _events(spark, [(1, 1, "a", _ts(0), 1.0),
+                        (2, 1, "a", _ts(1), None),
+                        (3, 1, "a", _ts(2), 3.0),
+                        (4, 1, "a", _ts(3), 2.0)])
+    got = {r.event_id: r for r in winsorize(d).collect()}
+    assert got[2].value_w is None
+    # ranks over the 3 non-null values only: bounds = 1.0 / 3.0
+    assert got[1].p_lo == 1.0 and got[1].p_hi == 3.0
+
+
+def test_winsorize_partitioning_invariance(spark):
+    d = _events(spark, [(i, i % 3, "a", _ts(i % 7), float((i * 17) % 50))
+                        for i in range(60)])
+    a = sorted(map(tuple, winsorize(d).select(
+        "event_id", "p_lo", "p_hi", "value_w").collect()))
+    b = sorted(map(tuple, winsorize(d.repartition(13)).select(
+        "event_id", "p_lo", "p_hi", "value_w").collect()))
+    assert a == b

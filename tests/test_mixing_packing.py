@@ -372,3 +372,64 @@ def test_negative_pairs_lonely_bucket_yields_none(spark):
     from fs2_data_spark.operators.mixing import negative_pairs
     d = spark.createDataFrame([(1,)], "doc_id bigint")
     assert negative_pairs(d, k=3, n_buckets=4).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# purged chronological time folds
+# ---------------------------------------------------------------------------
+
+def _fold_events(spark, us_list):
+    import datetime as dt
+    rows = [(i, dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us))
+            for i, us in enumerate(us_list)]
+    return spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+
+
+def test_time_folds_boundaries_exact(spark):
+    from fs2_data_spark.operators.mixing import time_folds
+    # span = 100 us across [1000, 1099]; k=5 -> folds of exactly 20 us
+    d = _fold_events(spark, list(range(1000, 1100)))
+    got = {r.event_id: r for r in
+           time_folds(d, k=5, embargo_us=3).collect()}
+    for i in range(100):
+        assert got[i].fold == i // 20
+        assert got[i].fold_start_us == 1000 + (i // 20) * 20
+    # embargo: first 3 us of folds 1..4 flagged, fold 0 never
+    for i in range(100):
+        expect = (i // 20 > 0) and (i % 20 < 3)
+        assert got[i].in_embargo == expect, i
+
+
+def test_time_folds_first_last_pinned(spark):
+    from fs2_data_spark.operators.mixing import time_folds
+    d = _fold_events(spark, [10, 17, 500, 900, 1234])
+    got = sorted(time_folds(d, k=3, embargo_us=0).collect(),
+                 key=lambda r: r.event_id)
+    assert got[0].fold == 0           # min ts always fold 0
+    assert got[-1].fold == 2          # max ts always fold k-1
+    assert all(0 <= r.fold <= 2 for r in got)
+
+
+def test_time_folds_purged_train_set_no_leakage(spark):
+    """For test fold f, the standard purged train set excludes every row
+    whose trailing window (length = embargo) could reach back into f."""
+    from fs2_data_spark.operators.mixing import time_folds
+    us = list(range(0, 1000, 7))
+    d = _fold_events(spark, us)
+    emb = 50
+    rows = time_folds(d, k=4, embargo_us=emb).collect()
+    by_fold = {}
+    for r in rows:
+        by_fold.setdefault(r.fold, []).append(r)
+    for f in range(3):                       # test folds with a successor
+        test_end = max(x.event_id * 7 for x in by_fold[f])
+        train = [r for r in rows
+                 if r.fold != f and not (r.fold == f + 1 and r.in_embargo)]
+        for r in train:
+            t = r.event_id * 7
+            # no train row in (test_end, test_end + emb - slack]: the
+            # embargo window is anchored at the NEXT fold boundary, which
+            # is >= test_end, so everything closer than emb after the
+            # boundary is gone
+            if r.fold == f + 1:
+                assert t - r.fold_start_us >= emb

@@ -116,6 +116,12 @@ AUDITED = [
     # projection is zero-shuffle per-row; the consecutive-id audit pair
     # join is an equi-join (broadcast at this SF, hash at scale)
     ("emb_jl_project", ["no_python", "no_cartesian", "pruned_scan"]),
+    # the 1-row min/max stats side is a bounded broadcast-NL by design;
+    # zero hash exchanges otherwise
+    ("time_folds_events", ["no_python", "pruned_scan"]),
+    # rank pass + bound-pickup pass share the one group-key exchange
+    ("winsorize_events", ["no_python", "single_group_shuffle",
+                          "pruned_scan"]),
 ]
 
 

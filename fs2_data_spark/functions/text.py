@@ -282,3 +282,24 @@ def bpe_token_count(text: Column | str) -> Column:
     estimate a training pipeline bins documents by."""
     return F.size(F.filter(bpe_pretokenize(text),
                            lambda t: t.rlike(r"\S"))).cast("bigint")
+
+
+def hashed_bow(wh: Column, dim: int = 32) -> Column:
+    """Hashing-trick bag-of-words vector (``array<bigint>`` of length
+    ``dim``): bucket ``d`` counts the words whose portable hash lands in
+    ``hash % dim`` — the fixed-width featurizer (Weinberger et al. 2009)
+    that turns unbounded vocabularies into constant-size vectors with no
+    vocabulary table, no fit step, and no shuffle (a CountVectorizer
+    needs a corpus pass + broadcast; the hashing trick needs neither).
+
+    Per-row O(dim * n_words) Catalyst (one ``filter`` per bucket) — the
+    right trade at feature dims (16-256); pass a MATERIALIZED word-hash
+    column (``withColumn("wh", word_hashes(...))``), not the raw
+    expression tree: interpreted HOFs have no common-subexpression
+    elimination, so an inline tree would be re-evaluated per bucket
+    (the ``shingle_hashes_from`` caller rule).
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.size(F.filter(wh, lambda x: F.pmod(x, F.lit(dim)) == d))
+        .cast("bigint"))

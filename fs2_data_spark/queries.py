@@ -2479,6 +2479,63 @@ def time_bucket_cascade(spark, sf_dir):
     return out
 
 
+@_q("hashed_bow_docs", f"""
+WITH wh AS (SELECT doc_id, {_WH_SQL} AS w FROM documents),
+v AS (SELECT doc_id, w,
+        list_transform(generate_series(0, 31),
+                       d -> CAST(len(list_filter(w, x -> x % 32 = d))
+                                 AS BIGINT)) AS vec
+      FROM wh)
+SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       CAST(len(list_filter(vec, c -> c > 0)) AS INTEGER) AS nnz,
+       vec
+FROM v
+""")
+def hashed_bow_docs(spark, sf_dir):
+    """Hashing-trick bag-of-words featurizer (``functions/text.py
+    hashed_bow``): 32-bucket word-count vectors with no vocabulary table,
+    no fit pass, zero shuffle (vs CountVectorizer's corpus pass +
+    broadcast). The word-hash array is materialized once per row (the
+    interpreted-HOF CSE rule); the oracle rebuilds every bucket count by
+    brute force."""
+    from fs2_data_spark.functions.text import hashed_bow, word_hashes
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", word_hashes("text").alias("wh")))
+    vec = hashed_bow(F.col("wh"), dim=32)
+    out = d.select("doc_id", F.size("wh").cast("bigint").alias("n_words"),
+                   vec.alias("vec"))
+    return out.select(
+        "doc_id", "n_words",
+        F.size(F.filter(F.col("vec"), lambda c: c > 0)).alias("nnz"),
+        "vec")
+
+
+@_q("scd2_intervals_events", """
+SELECT event_id, user_id, event_type, value,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                ORDER BY epoch_us(ts), event_id)
+         AS valid_to_us,
+       (lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY epoch_us(ts), event_id) IS NULL)
+         AS is_current
+FROM events
+""")
+def scd2_intervals_events(spark, sf_dir):
+    """SCD-type-2 validity-interval compaction (``operators/asof.py
+    scd2_intervals``): the offline feature-store table layout where a
+    point-in-time lookup becomes ``valid_from <= t < valid_to`` — proven
+    equivalent to the as-of join in tests (same tie rule: duplicates at
+    one ts collapse to zero-length intervals, last writer wins). One
+    Exchange + one Sort on the key (plan-pinned single shuffle)."""
+    from fs2_data_spark.operators.asof import scd2_intervals
+    ev = _t(spark, sf_dir, "events")
+    out = scd2_intervals(ev, key=["user_id", "event_type"], ts="ts",
+                         tiebreak="event_id")
+    return out.select("event_id", "user_id", "event_type", "value",
+                      "valid_from_us", "valid_to_us", "is_current")
+
+
 @_q("winsorize_events", """
 WITH r AS (
   SELECT event_id, user_id, value,

@@ -301,3 +301,79 @@ def test_direction_adversarial_sweep(spark):
                 assert got == exp, (strategy, direction, allow_exact, tol_min,
                                     {s: (got[s], exp[s]) for s in exp
                                      if got.get(s) != exp[s]})
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity intervals
+# ---------------------------------------------------------------------------
+
+def _scd_events(spark, rows):
+    import datetime as dt
+    return spark.createDataFrame(
+        [(i, k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), v)
+         for i, k, s, v in rows],
+        "event_id bigint, user_id bigint, ts timestamp, value double")
+
+
+def test_scd2_interval_chain(spark):
+    from fs2_data_spark.operators.asof import scd2_intervals
+    d = _scd_events(spark, [(1, 7, 10, 1.0), (2, 7, 20, 2.0),
+                            (3, 7, 30, 3.0), (4, 9, 5, 9.0)])
+    got = {r.event_id: r for r in
+           scd2_intervals(d, key="user_id", ts="ts").collect()}
+    base = 1_704_067_200_000_000  # 2024-01-01 epoch us
+    assert got[1].valid_to_us == base + 20_000_000
+    assert got[2].valid_to_us == base + 30_000_000
+    assert got[3].valid_to_us is None and got[3].is_current
+    assert got[4].valid_to_us is None and got[4].is_current
+    # half-open chain: consecutive intervals tile the timeline
+    assert got[1].valid_to_us == got[2].valid_from_us
+
+
+def test_scd2_tie_collapses_to_zero_length(spark):
+    from fs2_data_spark.operators.asof import scd2_intervals
+    d = _scd_events(spark, [(1, 7, 10, 1.0), (2, 7, 10, 2.0)])
+    got = {r.event_id: r for r in
+           scd2_intervals(d, key="user_id", ts="ts").collect()}
+    # earlier event_id at the tied ts gets [t, t): unpickable by lookup
+    assert got[1].valid_from_us == got[1].valid_to_us
+    assert got[2].is_current
+
+
+def test_scd2_lookup_equals_asof_join(spark):
+    """PIT lookup through the interval table == as-of join (backward,
+    allow_exact, last-writer tie rule) on a probe set with exact hits,
+    misses-before-first, and tied observation times."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fs2_data_spark.operators.asof import asof_join, scd2_intervals
+    obs = _scd_events(spark, [(1, 7, 10, 1.0), (2, 7, 10, 1.5),
+                              (3, 7, 20, 2.0), (4, 9, 15, 9.0)])
+    probes = spark.createDataFrame(
+        [(101, 7, 5), (102, 7, 10), (103, 7, 19), (104, 7, 20),
+         (105, 7, 99), (106, 9, 15), (107, 8, 50)],
+        "probe_id bigint, user_id bigint, s int").select(
+        "probe_id", "user_id",
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(secs=F.col("s"))).alias("pts"))
+    iv = scd2_intervals(obs, key="user_id", ts="ts")
+    pt = F.unix_micros(F.col("pts").cast("timestamp"))
+    via_iv = (probes.join(
+        iv, (probes.user_id == iv.user_id)
+            & (iv.valid_from_us <= pt)
+            & (pt < F.coalesce(iv.valid_to_us, F.lit(1 << 62))),
+        "left")
+        .select("probe_id", iv.value.alias("v_iv")))
+    via_asof = asof_join(
+        probes, obs.select("user_id", "ts", "value"),
+        on="user_id", left_ts="pts", right_ts="ts",
+        right_cols=["value"]).select(
+        "probe_id", F.col("value").alias("v_asof"))
+    a = {r.probe_id: r.v_iv for r in via_iv.collect()}
+    b = {r.probe_id: r.v_asof for r in via_asof.collect()}
+    assert a == b
+    assert a[101] is None        # before first observation
+    assert a[102] == 1.5         # tied obs: last writer wins both paths
+    assert a[105] == 2.0         # open current interval

@@ -161,3 +161,37 @@ def test_bpe_roundtrip_and_duckdb_parity_sweep(spark):
     exp = dict(con.execute(
         f"SELECT i, regexp_extract_all(s, '{pat}', 0) FROM t").fetchall())
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick bag of words
+# ---------------------------------------------------------------------------
+
+def test_hashed_bow_counts_and_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from fs2_data_spark.functions.text import hashed_bow, word_hash, word_hashes
+    d = spark.createDataFrame(
+        [(1, "red red blue"), (2, ""), (3, "red blue green")],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r.vec for r in
+           d.select("doc_id", word_hashes("text").alias("wh"))
+            .select("doc_id", hashed_bow(F.col("wh"), dim=8).alias("vec"))
+            .collect()}
+    # bucket of a word via the same portable hash
+    h = {w: r[0] % 8 for w, r in
+         ((w, spark.range(1).select(
+             word_hash(F.lit(w))).collect()[0]) for w in
+          ("red", "blue", "green"))}
+    assert len(out[1]) == 8 and sum(out[1]) == 3
+    assert out[1][h["red"]] >= 2          # both "red" occurrences counted
+    assert out[2] == [0] * 8
+    assert sum(out[3]) == 3
+    # L1 preservation: total counts == word count regardless of collisions
+    big = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100)))],
+        "doc_id bigint, text string")
+    v = (big.select(word_hashes("text").alias("wh"))
+         .select(hashed_bow(F.col("wh"), dim=16).alias("v"))
+         .collect()[0].v)
+    assert sum(v) == 100

@@ -122,6 +122,9 @@ AUDITED = [
     # rank pass + bound-pickup pass share the one group-key exchange
     ("winsorize_events", ["no_python", "single_group_shuffle",
                           "pruned_scan"]),
+    ("scd2_intervals_events", ["no_python", "single_group_shuffle",
+                               "pruned_scan"]),
+    ("hashed_bow_docs", ["no_python", "no_exchange", "pruned_scan"]),
 ]
 
 

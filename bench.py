@@ -260,7 +260,15 @@ def main() -> None:
              "semantic_dedup_emb", "w_multi_horizon_events",
              "time_bucket_cascade_events", "length_buckets_docs",
              "negative_pairs_docs", "asof_join_events_forward",
-             "asof_join_events_nearest", "cdc_dedup_stats_docs"]
+             "asof_join_events_nearest", "cdc_dedup_stats_docs",
+             # r5 late batch 3: PIT feature encoders, sketches, projection
+             "vocab_merge_docs", "resample_docs", "ann_quantized_topk",
+             "hll_distinct_docs", "source_jaccard_docs",
+             "hll_trailing_users_events", "top_ngram_docs",
+             "pit_zscore_events", "pit_target_encode_events",
+             "hist_quantiles_docs", "emb_jl_project", "time_folds_events",
+             "winsorize_events", "scd2_intervals_events",
+             "hashed_bow_docs"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

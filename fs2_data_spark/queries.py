@@ -2479,6 +2479,74 @@ def time_bucket_cascade(spark, sf_dir):
     return out
 
 
+@_q("loss_mask_docs", f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tok FROM documents),
+p AS (SELECT doc_id, tok,
+             COALESCE(list_position(tok, 884), 0) AS pos FROM t),
+m AS (SELECT doc_id, tok, pos,
+        list_transform(generate_series(1, len(tok)),
+          i -> CASE WHEN pos > 0 AND i > pos THEN 1 ELSE 0 END) AS mask
+      FROM p)
+SELECT doc_id, CAST(len(tok) AS INTEGER) AS n_tok,
+       CAST(len(list_filter(mask, v -> v = 1)) AS BIGINT) AS n_train,
+       COALESCE(array_to_string(mask, ','), '') AS mask_str
+FROM m
+""")
+def loss_mask_docs(spark, sf_dir):
+    """Completion loss-masking for instruction tuning
+    (``operators/seqops.py loss_mask``): positions through the first
+    delimiter token (here 884 = the tokenizer's code for "the", standing
+    in for a chat separator) are mask-0 prompt, the rest mask-1
+    completion; delimiter-free sequences are all-0 (an unpaired document
+    must not silently train as a completion). Pure per-row projection —
+    zero Exchange, zero Python."""
+    from fs2_data_spark.operators.seqops import loss_mask
+    d = _doc_tokens(spark, sf_dir).select("doc_id", "tokens")
+    out = loss_mask(d, tokens="tokens", delim=884)
+    return out.select("doc_id", F.size("tokens").alias("n_tok"),
+                      "n_train", _arr_str(F.col("mask")).alias("mask_str"))
+
+
+@_q("fim_docs", f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tok FROM documents),
+c AS (SELECT doc_id, tok, len(tok) AS n,
+        ((doc_id * 2654435761 + 1) % 1000003 * 40503 + 17) % 999983 AS h1,
+        ((doc_id * 2654435761 + 2) % 1000003 * 40503 + 17) % 999983 AS h2
+      FROM t),
+k AS (SELECT doc_id, tok, n,
+        CAST(h1 % greatest(n - 1, 1) + 1 AS INTEGER) AS c1,
+        CAST(h2 % greatest(n - 1, 1) + 1 AS INTEGER) AS c2
+      FROM c),
+s AS (SELECT doc_id, tok, n, least(c1, c2) AS lo, greatest(c1, c2) AS hi,
+             n >= 4 AS applied
+      FROM k)
+SELECT doc_id, CAST(n AS INTEGER) AS n_tok,
+       CASE WHEN applied THEN lo ELSE 0 END AS cut_lo,
+       CASE WHEN applied THEN hi ELSE 0 END AS cut_hi,
+       applied AS fim_applied,
+       COALESCE(array_to_string(
+         CASE WHEN applied THEN
+           [50281] || tok[1:lo] || [50282] || tok[hi+1:n]
+                   || [50283] || tok[lo+1:hi]
+         ELSE tok END, ','), '') AS fim_str
+FROM s
+""")
+def fim_docs(spark, sf_dir):
+    """Fill-in-the-middle restructuring (``operators/seqops.py
+    fim_transform``, PSM form): deterministic arithmetic-hash cut points
+    split each sequence into prefix/middle/suffix, emitted as
+    ``[PRE] prefix [SUF] suffix [MID] middle`` so infilling trains
+    left-to-right. Short sequences pass through flagged. Per-row
+    zero-shuffle; the oracle replays the identical hash and 1-based
+    slice arithmetic."""
+    from fs2_data_spark.operators.seqops import fim_transform
+    d = _doc_tokens(spark, sf_dir).select("doc_id", "tokens")
+    out = fim_transform(d, id_col="doc_id", tokens="tokens")
+    return out.select("doc_id", F.size("tokens").alias("n_tok"),
+                      "cut_lo", "cut_hi", "fim_applied",
+                      _arr_str(F.col("fim_tokens")).alias("fim_str"))
+
+
 @_q("hashed_bow_docs", f"""
 WITH wh AS (SELECT doc_id, {_WH_SQL} AS w FROM documents),
 v AS (SELECT doc_id, w,
@@ -2488,7 +2556,7 @@ v AS (SELECT doc_id, w,
       FROM wh)
 SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
        CAST(len(list_filter(vec, c -> c > 0)) AS INTEGER) AS nnz,
-       vec
+       COALESCE(array_to_string(vec, ','), '') AS vec_str
 FROM v
 """)
 def hashed_bow_docs(spark, sf_dir):
@@ -2507,7 +2575,7 @@ def hashed_bow_docs(spark, sf_dir):
     return out.select(
         "doc_id", "n_words",
         F.size(F.filter(F.col("vec"), lambda c: c > 0)).alias("nnz"),
-        "vec")
+        _arr_str(F.col("vec")).alias("vec_str"))
 
 
 @_q("scd2_intervals_events", """

@@ -125,6 +125,8 @@ AUDITED = [
     ("scd2_intervals_events", ["no_python", "single_group_shuffle",
                                "pruned_scan"]),
     ("hashed_bow_docs", ["no_python", "no_exchange", "pruned_scan"]),
+    ("loss_mask_docs", ["no_python", "no_exchange", "pruned_scan"]),
+    ("fim_docs", ["no_python", "no_exchange", "pruned_scan"]),
 ]
 
 

@@ -268,7 +268,8 @@ def main() -> None:
              "pit_zscore_events", "pit_target_encode_events",
              "hist_quantiles_docs", "emb_jl_project", "time_folds_events",
              "winsorize_events", "scd2_intervals_events",
-             "hashed_bow_docs"]
+             "hashed_bow_docs", "loss_mask_docs", "fim_docs",
+             "asof_multi_events"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

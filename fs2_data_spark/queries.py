@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from fs2_data_spark.functions import text as TXT
 from fs2_data_spark.functions import tokens as TOK
 from fs2_data_spark.functions.timeutil import epoch_us
-from fs2_data_spark.operators.asof import asof_join
+from fs2_data_spark.operators.asof import asof_join, asof_join_multi
 from fs2_data_spark.operators.sessionize import sessionize
 from fs2_data_spark.operators.windows import with_lag_lead, with_rolling
 from fs2_data_spark.tables import TOKENS_SQL, tokens_col
@@ -458,6 +458,52 @@ def asof_events_nearest(spark, sf_dir):
                     right_cols=["pvalue"], allow_exact=True, strategy="union",
                     direction="nearest")
     return out.select("event_id", F.col("pvalue").alias("nearest_purchase_value"))
+
+
+@_q("asof_multi_events", """
+WITH p AS (SELECT user_id, ts, max(value) AS pvalue
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+v AS (SELECT user_id, ts, max(value) AS vvalue
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+s AS (SELECT user_id, ts, max(value) AS svalue
+           FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id,
+       p.pvalue AS last_purchase_value,
+       v.vvalue AS last_view_value,
+       s.svalue AS last_signup_value
+FROM c
+ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+ASOF LEFT JOIN s ON c.user_id = s.user_id AND c.ts >= s.ts
+""")
+def asof_multi_events(spark, sf_dir):
+    """Multi-table point-in-time join: each click row gets the latest
+    state from THREE dimension streams (purchase / view / signup) in ONE
+    shuffle + ONE sort — ``operators/asof.py asof_join_multi`` tags all
+    sides into a single union and computes every backward LOCF carry in
+    the same window frame, so Spark fuses the N carries into a single
+    WindowExec (plan-pinned).  Three separate as-of joins would shuffle
+    the fact side three times; at 100 TB that difference IS the job. The
+    oracle chains three DuckDB ASOF JOINs over identically-deduped
+    dimension CTEs."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    def _dim(et, name):
+        return (ev.filter(F.col("event_type") == et)
+                .select("user_id", "ts", F.col("value").alias(name)))
+    out = asof_join_multi(
+        clicks,
+        [{"df": _dim("purchase", "pvalue"), "ts": "ts", "suffix": ""},
+         {"df": _dim("view", "vvalue"), "ts": "ts", "suffix": ""},
+         {"df": _dim("signup", "svalue"), "ts": "ts", "suffix": ""}],
+        on="user_id", left_ts="ts")
+    return out.select(
+        "event_id",
+        F.col("pvalue").alias("last_purchase_value"),
+        F.col("vvalue").alias("last_view_value"),
+        F.col("svalue").alias("last_signup_value"))
 
 
 # ---------------------------------------------------------------------------

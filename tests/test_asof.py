@@ -377,3 +377,76 @@ def test_scd2_lookup_equals_asof_join(spark):
     assert a[101] is None        # before first observation
     assert a[102] == 1.5         # tied obs: last writer wins both paths
     assert a[105] == 2.0         # open current interval
+
+
+# ---------------------------------------------------------------------------
+# asof_join_multi: N PIT attachments fused into one shuffle + one sort
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def multi(spark):
+    left = spark.createDataFrame(
+        [("a", ts(0), 1), ("a", ts(10), 2), ("a", ts(21), 3),
+         ("b", ts(5), 4), ("c", ts(9), 5)],
+        "doc_id string, event_time timestamp, seq int")
+    r1 = spark.createDataFrame(
+        [("a", ts(0), 100.0), ("a", ts(15), 115.0), ("b", ts(6), 206.0)],
+        "doc_id string, obs_time timestamp, f1 double")
+    r2 = spark.createDataFrame(
+        [("a", ts(9), 9.0), ("a", ts(9), 11.0),  # dup (key, ts): max wins
+         ("b", ts(5), 55.0), ("c", ts(30), 77.0)],
+        "doc_id string, obs_time timestamp, f2 double")
+    return left, r1, r2
+
+
+def test_multi_matches_n_single_joins(spark, multi):
+    from fs2_data_spark.operators.asof import asof_join_multi
+    left, r1, r2 = multi
+    fused = asof_join_multi(
+        left,
+        [{"df": r1, "ts": "obs_time", "suffix": ""},
+         {"df": r2, "ts": "obs_time", "suffix": ""}],
+        on="doc_id", left_ts="event_time")
+    seq = asof_join(
+        asof_join(left, r1, on="doc_id", left_ts="event_time",
+                  right_ts="obs_time", right_cols=["f1"]),
+        r2, on="doc_id", left_ts="event_time", right_ts="obs_time",
+        right_cols=["f2"])
+    key = lambda t: str(t)  # noqa: E731
+    cols = ["doc_id", "event_time", "seq", "f1", "f2"]
+    assert sorted(map(tuple, fused.select(*cols).collect()), key=key) == \
+        sorted(map(tuple, seq.select(*cols).collect()), key=key)
+
+
+def test_multi_strict_excludes_equal_ts(spark, multi):
+    from fs2_data_spark.operators.asof import asof_join_multi
+    left, r1, r2 = multi
+    out = asof_join_multi(
+        left, [{"df": r1, "ts": "obs_time", "suffix": ""}],
+        on="doc_id", left_ts="event_time", allow_exact=False)
+    rows = {r.seq: r.f1 for r in out.collect()}
+    assert rows[1] is None          # strict: the ts(0) tie is invisible
+    assert rows[2] == 100.0         # the earlier row still carries
+    assert rows[5] is None          # key "c" has no earlier r1 row
+
+
+def test_multi_single_window_node(spark, multi):
+    """The N LOCF carries share one (partition, order, frame) spec and must
+    fuse into exactly one WindowExec over one fact-side sort."""
+    import io
+    from contextlib import redirect_stdout
+    from fs2_data_spark.operators.asof import asof_join_multi
+    left, r1, r2 = multi
+    out = asof_join_multi(
+        left,
+        [{"df": r1, "ts": "obs_time", "suffix": ""},
+         {"df": r2, "ts": "obs_time", "suffix": ""}],
+        on="doc_id", left_ts="event_time", dedup_right=False)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    import re as _re
+    assert len(_re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert len(_re.findall(r"\(\d+\) Sort\b", plan)) == 1  # no dedup aggs
+    assert "hashpartitioning(doc_id" in plan

@@ -127,6 +127,10 @@ AUDITED = [
     ("hashed_bow_docs", ["no_python", "no_exchange", "pruned_scan"]),
     ("loss_mask_docs", ["no_python", "no_exchange", "pruned_scan"]),
     ("fim_docs", ["no_python", "no_exchange", "pruned_scan"]),
+    # three point-in-time dimension attachments fused into ONE WindowExec
+    # over one sort (the dedup pre-aggs add their own exchanges by design)
+    ("asof_multi_events", ["no_python", "single_fused_window",
+                           "no_cartesian", "pruned_scan"]),
 ]
 
 
@@ -173,6 +177,14 @@ def check(name: str, plan: str, props: list[str]) -> list[str]:
     if "top_k_not_sort" in props and "TakeOrderedAndProject" not in plan:
         problems.append("top-k planned as a global sort, not "
                         "TakeOrderedAndProject")
+    if "single_fused_window" in props:
+        # N window carries over one (partition, order, frame) spec must
+        # plan as exactly ONE WindowExec (the dimension-side struct-max
+        # dedup pre-aggs plan as SortAggregates with their own local
+        # sorts — bounded sides, not the fact-side cost)
+        n_w = len(re.findall(r"\(\d+\) Window\b", plan))
+        if n_w != 1:
+            problems.append(f"{n_w} Window nodes (expected exactly 1)")
     if "single_group_shuffle" in props:
         n_ex = plan.count("hashpartitioning(")
         if n_ex != 1:

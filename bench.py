@@ -269,7 +269,8 @@ def main() -> None:
              "hist_quantiles_docs", "emb_jl_project", "time_folds_events",
              "winsorize_events", "scd2_intervals_events",
              "hashed_bow_docs", "loss_mask_docs", "fim_docs",
-             "asof_multi_events"]
+             "asof_multi_events", "gapfill_locf_events",
+             "gapfill_interp_events", "twa_events"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

@@ -277,3 +277,53 @@ def grouped_median(
         return float(v.median())
 
     return df.groupBy(*key).agg(_median(F.col(value)).alias(out_col))
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    out_col: str = "twa",
+) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled signal per key:
+    the left-Riemann integral of the step function (each observation
+    holds until the next one — the LOCF/as-of state contract) divided by
+    the observed span, i.e. ``sum(v_i * (t_{i+1} - t_i)) / (t_n - t_0)``.
+    A plain ``avg()`` over irregular samples over-weights bursts; the
+    time-weighted form is the one hypertable/feature-store ``time_weight``
+    semantics.
+
+    Physical shape: one hash Exchange on the key shared by the ``lead``
+    window and the final aggregation (same partitioning — no second
+    shuffle), exact integer microsecond gaps, and the per-key sum runs
+    over DECIMAL(38,6)-cast terms so the result is order-independent
+    bit-for-bit across engines (the canonical-oracle pattern; a double
+    sum would depend on combine order). Keys with a single observation
+    (zero span) get ``twa = value`` — the degenerate integral.
+
+    Returns one row per key: ``n_obs``, ``span_us``, ``out_col``
+    (rounded 4 dp).
+    """
+    from fs2_data_spark.functions.timeutil import epoch_us
+
+    key = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*key).orderBy("_eus", "_v")
+    d = (df.select(*key, epoch_us(F.col(ts)).alias("_eus"),
+                   F.col(value).cast("double").alias("_v"))
+         .withColumn("_next", F.lead("_eus").over(w)))
+    term = ((F.col("_next") - F.col("_eus")).cast("double") * F.col("_v"))
+    agg = d.groupBy(*key).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.max("_eus") - F.min("_eus")).alias("span_us"),
+        F.sum(term.cast("decimal(38,6)")).alias("_num"),
+        F.min(F.struct("_eus", "_v")).alias("_first"),
+    )
+    # quotient as double/double (identical IEEE shape in any engine) —
+    # decimal/bigint division rules differ between engines, double ones
+    # don't; _num -> double is deterministic, span < 2^53 is exact
+    twa = (F.when(F.col("span_us") == 0, F.col("_first._v"))
+           .otherwise(F.col("_num").cast("double")
+                      / F.col("span_us").cast("double")))
+    return agg.select(*key, "n_obs", "span_us",
+                      F.round(twa, 4).alias(out_col))

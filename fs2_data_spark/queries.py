@@ -506,6 +506,115 @@ def asof_multi_events(spark, sf_dir):
         F.col("svalue").alias("last_signup_value"))
 
 
+_GF_STEP = 21_600_000_000  # 6 h in microseconds
+
+_GF_PRELUDE = f"""
+WITH o AS (SELECT user_id, epoch_us(ts) AS t, max(value) AS value
+           FROM events GROUP BY user_id, epoch_us(ts)),
+b AS (SELECT user_id, min(t) AS mn, max(t) AS mx FROM o GROUP BY user_id),
+g AS (SELECT user_id,
+             unnest(generate_series((mn + {_GF_STEP} - 1) // {_GF_STEP}
+                                    * {_GF_STEP}, mx, {_GF_STEP})) AS tt
+      FROM b),
+u AS (SELECT user_id, t AS tt, 0 AS side, value FROM o
+      UNION ALL SELECT user_id, tt, 1, NULL FROM g),
+w AS (SELECT *,
+        last_value(value IGNORE NULLS) OVER win AS pv,
+        last_value(CASE WHEN value IS NOT NULL THEN tt END IGNORE NULLS)
+          OVER win AS prev_us,
+        first_value(value IGNORE NULLS) OVER fwin AS nv,
+        first_value(CASE WHEN value IS NOT NULL THEN tt END IGNORE NULLS)
+          OVER fwin AS next_us
+      FROM u
+      WINDOW win AS (PARTITION BY user_id ORDER BY tt, side
+                     ROWS UNBOUNDED PRECEDING),
+             fwin AS (PARTITION BY user_id ORDER BY tt, side
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+"""
+
+
+@_q("gapfill_locf_events", _GF_PRELUDE + """
+SELECT user_id, tt AS grid_us, pv AS filled, prev_us
+FROM w WHERE side = 1
+""")
+def gapfill_locf_events(spark, sf_dir):
+    """Regular-grid resampling with LOCF (``operators/gapfill.py``):
+    every user's irregular event stream becomes one row per 6-hour grid
+    point carrying the latest observation at that instant — the
+    hypertable ``time_bucket_gapfill + locf()`` operation, and the batch
+    mirror of the reference's emit-default-until-later-value stream
+    semantics (``esp/ESP.scala:150-167``). Grid generated executor-side
+    with ``sequence()``; one hash Exchange shared by the union and the
+    carry window."""
+    from fs2_data_spark.operators.gapfill import time_grid_fill
+    ev = (_t(spark, sf_dir, "events")
+          .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    out = time_grid_fill(ev, on="user_id", ts="ts", value="value",
+                         step_us=_GF_STEP, method="locf")
+    return out.select("user_id", "grid_us", "filled", "prev_us")
+
+
+@_q("gapfill_interp_events", _GF_PRELUDE + """
+SELECT user_id, tt AS grid_us,
+       ROUND(CASE WHEN next_us IS NULL THEN pv
+                  WHEN next_us - prev_us = 0 THEN pv
+                  ELSE pv + (nv - pv) * (CAST(tt - prev_us AS DOUBLE)
+                                         / CAST(next_us - prev_us AS DOUBLE))
+             END, 4) AS filled4,
+       prev_us, next_us
+FROM w WHERE side = 1
+""")
+def gapfill_interp_events(spark, sf_dir):
+    """Linear interpolation onto the same 6-hour grid: each grid point
+    blends the surrounding observations by exact-integer time fraction
+    (trailing points degrade to LOCF; leading points are impossible by
+    the aligned-range construction). The forward carry runs as a
+    backward frame over a DESCENDING sort — two linear Sorts on one
+    Exchange, never Spark's quadratic unboundedFollowing evaluation.
+    The oracle replays the identical IEEE expression shape, rounded 4dp."""
+    from fs2_data_spark.operators.gapfill import time_grid_fill
+    ev = (_t(spark, sf_dir, "events")
+          .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    out = time_grid_fill(ev, on="user_id", ts="ts", value="value",
+                         step_us=_GF_STEP, method="interp")
+    return out.select("user_id", "grid_us",
+                      F.round("filled", 4).alias("filled4"),
+                      "prev_us", "next_us")
+
+
+@_q("twa_events", """
+WITH o AS (SELECT user_id, epoch_us(ts) AS t, max(value) AS value
+           FROM events GROUP BY user_id, epoch_us(ts)),
+l AS (SELECT user_id, t, value,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, value) AS nt
+      FROM o),
+a AS (SELECT user_id, count(*) AS n_obs,
+             max(t) - min(t) AS span_us,
+             sum(CAST(CAST(nt - t AS DOUBLE) * value AS DECIMAL(38,6)))
+               AS num,
+             min(value) AS v0
+      FROM l GROUP BY user_id)
+SELECT user_id, n_obs, span_us,
+       ROUND(CASE WHEN span_us = 0 THEN v0
+                  ELSE CAST(num AS DOUBLE) / CAST(span_us AS DOUBLE)
+             END, 4) AS twa
+FROM a
+""")
+def twa_events(spark, sf_dir):
+    """Time-weighted average per user (``operators/windows.py
+    time_weighted_avg``): the left-Riemann integral of the
+    hold-until-next step signal over the observed span — the
+    ``time_weight`` semantics of hypertable feature stores, and the
+    aggregate dual of the LOCF carry. One Exchange shared by the lead
+    window and the aggregation; per-key sums run over DECIMAL(38,6)
+    terms so the result is combine-order-independent bit-for-bit (the
+    canonical-oracle pattern)."""
+    from fs2_data_spark.operators.windows import time_weighted_avg
+    ev = (_t(spark, sf_dir, "events")
+          .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    return time_weighted_avg(ev, key="user_id", ts="ts", value="value")
+
+
 # ---------------------------------------------------------------------------
 # Token-array operators over the tokenized documents table (input_hint payload)
 # ---------------------------------------------------------------------------

@@ -131,6 +131,11 @@ AUDITED = [
     # over one sort (the dedup pre-aggs add their own exchanges by design)
     ("asof_multi_events", ["no_python", "single_fused_window",
                            "no_cartesian", "pruned_scan"]),
+    # grid union + LOCF carry share one hash Exchange; 2 exchanges total
+    # (the per-key bounds agg is the other); never a following frame
+    ("gapfill_locf_events", ["no_python", "no_cartesian", "pruned_scan"]),
+    ("gapfill_interp_events", ["no_python", "no_cartesian", "pruned_scan"]),
+    ("twa_events", ["no_python", "no_cartesian", "pruned_scan"]),
 ]
 
 

@@ -270,7 +270,8 @@ def main() -> None:
              "winsorize_events", "scd2_intervals_events",
              "hashed_bow_docs", "loss_mask_docs", "fim_docs",
              "asof_multi_events", "gapfill_locf_events",
-             "gapfill_interp_events", "twa_events"]
+             "gapfill_interp_events", "twa_events", "tok_entropy_docs",
+             "snm_pairs_docs"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

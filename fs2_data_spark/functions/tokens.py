@@ -124,3 +124,26 @@ def tok_ngrams(tokens: Column | str, n: int = 3) -> Column:
     return F.when(F.size(t) >= n, F.transform(idx, shingle)).otherwise(
         F.array().cast("array<bigint>")
     )
+
+
+def token_entropy(tokens: Column | str) -> Column:
+    """Shannon entropy (nats) of the token unigram distribution of one
+    sequence: ``-sum_d (c_d/n) ln(c_d/n)`` over the distinct tokens —
+    a standard repetition/diversity quality signal (a low-entropy
+    sequence is boilerplate or a degenerate repetition loop; compare the
+    reference's duplicate-run detection, ``operators/dedup.py``
+    repetition signals).
+
+    Pure per-row Catalyst (O(n·d) counting over the distinct list — the
+    honest per-row cost; n is a training sequence, not a corpus).  The
+    distinct list is SORTED before the fold so the double summation order
+    is engine-independent: any SQL mirror that sorts the same way
+    reproduces the same IEEE bits.
+    """
+    t = _c(tokens)
+    n = F.size(t).cast("double")
+    d = F.array_sort(F.array_distinct(t))
+    cnt = lambda x: F.size(F.filter(t, lambda v: v == x)).cast("double")  # noqa: E731
+    term = lambda x: (cnt(x) / n) * F.log(n / cnt(x))  # noqa: E731
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(d, F.lit(0.0), lambda acc, x: acc + term(x)))

@@ -690,6 +690,42 @@ def tok_stats_docs(spark, sf_dir):
     )
 
 
+@_q("tok_entropy_docs", f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tok FROM documents),
+d AS (SELECT doc_id, tok, CAST(len(tok) AS DOUBLE) AS n,
+             list_sort(list_distinct(tok)) AS dt
+      FROM t)
+SELECT doc_id, CAST(len(tok) AS INTEGER) AS n_tok,
+       CAST(len(dt) AS INTEGER) AS n_distinct,
+       CAST(list_max(list_transform(dt,
+         x -> len(list_filter(tok, v -> v = x)))) AS INTEGER) AS max_freq,
+       ROUND(CASE WHEN n = 0 THEN 0.0 ELSE list_sum(list_transform(dt,
+         x -> (CAST(len(list_filter(tok, v -> v = x)) AS DOUBLE) / n)
+              * ln(n / CAST(len(list_filter(tok, v -> v = x)) AS DOUBLE))))
+       END, 4) AS entropy4,
+       ROUND(CAST(len(dt) AS DOUBLE) / n, 4) AS distinct_ratio4
+FROM d
+""")
+def tok_entropy_docs(spark, sf_dir):
+    """Unigram-entropy quality features per tokenized sequence
+    (``functions/tokens.py token_entropy``): Shannon entropy in nats,
+    distinct ratio, and modal-token frequency — the standard
+    repetition/diversity triplet for LLM corpus filtering. Per-row
+    Catalyst fold over the SORTED distinct list (summation order pinned,
+    so the DuckDB mirror reproduces the same IEEE bits); zero shuffle."""
+    from fs2_data_spark.functions.tokens import token_entropy
+    d = _doc_tokens(spark, sf_dir)
+    t, n = F.col("tokens"), F.size("tokens").cast("double")
+    dt = F.array_distinct(t)
+    cnt = lambda x: F.size(F.filter(t, lambda v: v == x))  # noqa: E731
+    return d.select(
+        "doc_id", F.size(t).alias("n_tok"),
+        F.size(dt).alias("n_distinct"),
+        F.array_max(F.transform(dt, cnt)).alias("max_freq"),
+        F.round(token_entropy(t), 4).alias("entropy4"),
+        F.round(F.size(dt).cast("double") / n, 4).alias("distinct_ratio4"))
+
+
 @_q("tok_fingerprint_docs", f"""
 WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents)
 SELECT doc_id,
@@ -971,6 +1007,47 @@ def jaccard_pairs(spark, sf_dir):
     from fs2_data_spark.operators.dedup import jaccard_lsh_pairs
     d = _t(spark, sf_dir, "documents")
     return jaccard_lsh_pairs(d, threshold=0.3, k=8)
+
+
+@_q("snm_pairs_docs", f"""
+WITH r AS (SELECT doc_id, substring(text, 1, 24) AS k,
+                  list_distinct({_WS_SQL}) AS ws
+           FROM documents),
+rk AS (SELECT doc_id, ws,
+              row_number() OVER (ORDER BY k, doc_id) AS rnk FROM r),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             b.rnk - a.rnk AS gap,
+             len(list_intersect(a.ws, b.ws)) AS ni,
+             len(a.ws) AS na, len(b.ws) AS nb
+      FROM rk a JOIN rk b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4)
+SELECT id_a, id_b, gap,
+       ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jacc
+FROM p
+""")
+def snm_pairs_docs(spark, sf_dir):
+    """Sorted-neighborhood blocking (``operators/dedup.py
+    sorted_neighborhood_pairs``): sort by a 24-char text-prefix key,
+    emit every pair within rank distance 4, verify with exact word-set
+    Jaccard — the key-adjacency complement to MinHash-LSH blocking
+    (O(n·w) candidates, one equi-join). The global rank is a
+    range-partitioned parallel sort + partition-offset shift, never a
+    single-partition window; the oracle replays the identical rank and
+    rank-distance predicate (binary string order matches on the ASCII
+    corpus)."""
+    from fs2_data_spark.operators.dedup import sorted_neighborhood_pairs
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 24).alias("snm_key"),
+        F.array_distinct(TXT.words("text")).alias("ws"))
+    pairs = sorted_neighborhood_pairs(d.select("doc_id", "snm_key"),
+                                      window=4)
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("wa"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("wb"))
+    ni = F.size(F.array_intersect("wa", "wb"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", "gap",
+                    F.round(ni.cast("double")
+                            / (F.size("wa") + F.size("wb") - ni), 6)
+                    .alias("jacc")))
 
 
 # ---------------------------------------------------------------------------

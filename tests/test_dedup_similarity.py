@@ -445,3 +445,42 @@ def test_cdc_single_chunk_short_docs(spark):
     # a doc of exactly k tokens never cuts (cut after last pos is useless)
     assert len(by_doc.get(2, [])) == 1 and by_doc[2][0].chunk_len == 4
     assert 3 not in by_doc  # empty docs produce no chunks
+
+
+# ---------------------------------------------------------------------------
+# global_rank + sorted-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+def test_global_rank_matches_single_partition_sort(spark):
+    from fs2_data_spark.operators.dedup import global_rank
+    import random
+    rng = random.Random(7)
+    rows = [(i, f"k{rng.randrange(100):03d}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, k string")
+    for p in (3, 7, 16):
+        got = {r.doc_id: r.rnk
+               for r in global_rank(df, ["k", "doc_id"],
+                                    num_partitions=p).collect()}
+        ref = {doc: i + 1
+               for i, (doc, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))}
+        assert got == ref, f"rank mismatch at num_partitions={p}"
+
+
+def test_snm_pairs_exactly_once_and_complete(spark):
+    from fs2_data_spark.operators.dedup import sorted_neighborhood_pairs
+    import random
+    rng = random.Random(11)
+    rows = [(i, f"k{rng.randrange(40):02d}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, snm_key string")
+    w = 5
+    pairs = sorted_neighborhood_pairs(df, window=w, num_partitions=6).collect()
+    got = sorted((r.id_a, r.id_b) for r in pairs)
+    assert len(got) == len(set(got)), "a pair was emitted more than once"
+    order = [doc for doc, _ in sorted(rows, key=lambda t: (t[1], t[0]))]
+    want = sorted((min(order[i], order[j]), max(order[i], order[j]))
+                  for i in range(len(order))
+                  for j in range(i + 1, min(i + w, len(order))))
+    # id_a/id_b are ordered by RANK, want by id — compare as unordered pairs
+    got_unordered = sorted((min(a, b), max(a, b)) for a, b in got)
+    assert got_unordered == want
+    assert all(0 < r.gap < w for r in pairs)

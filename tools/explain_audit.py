@@ -136,6 +136,11 @@ AUDITED = [
     ("gapfill_locf_events", ["no_python", "no_cartesian", "pruned_scan"]),
     ("gapfill_interp_events", ["no_python", "no_cartesian", "pruned_scan"]),
     ("twa_events", ["no_python", "no_cartesian", "pruned_scan"]),
+    ("tok_entropy_docs", ["no_python", "no_exchange", "pruned_scan"]),
+    # SNM: rank-distance pairs via bucket equi-join (never a range join);
+    # the P-row offset table broadcasts
+    ("snm_pairs_docs", ["no_python", "no_cartesian", "broadcast",
+                        "pruned_scan"]),
 ]
 
 

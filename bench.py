@@ -271,7 +271,8 @@ def main() -> None:
              "hashed_bow_docs", "loss_mask_docs", "fim_docs",
              "asof_multi_events", "gapfill_locf_events",
              "gapfill_interp_events", "twa_events", "tok_entropy_docs",
-             "snm_pairs_docs"]
+             "snm_pairs_docs", "bloom_prune_docs", "epoch_shuffle_docs",
+             "key_skew_audit_events"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

@@ -403,3 +403,33 @@ def time_folds(
                      (F.col("fold") > 0)
                      & (F.col("_off") - start_off < F.lit(embargo_us))))
     return j.drop("_mn", "_mx", "_off", "_span")
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    pos_col: str = "shuffle_pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic per-epoch training-order assignment: every row gets
+    a dense 1-based position in a pseudo-random permutation keyed by
+    ``hash(id, epoch)`` — different epochs see genuinely different
+    orders, yet the permutation is a pure function of (id, epoch): a
+    retried task, a resharded cluster, or a re-run of the pipeline can
+    NEVER change what the model trains on (the same no-RNG discipline as
+    the FIM cut points and the stratified samplers in this module).
+
+    The rank is :func:`fs2_data_spark.operators.dedup.global_rank` — a
+    range-partitioned parallel sort, not a single-partition window — so
+    the permutation materializes with full parallelism at any scale; a
+    consumer that only needs a shuffled ORDER (not the explicit
+    position) can skip the rank and ``repartitionByRange`` +
+    ``sortWithinPartitions`` on the same hash for one shuffle total.
+    """
+    from fs2_data_spark.operators.dedup import global_rank
+
+    h = portable_unit_hash(F.col(id_col), seed=1000 + epoch)
+    out = global_rank(df.withColumn("__eh", h), ["__eh", id_col],
+                      rank_col=pos_col, num_partitions=num_partitions)
+    return out.drop("__eh")

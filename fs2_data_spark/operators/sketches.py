@@ -555,3 +555,97 @@ def hist_quantiles(sketch: DataFrame, group_col: str = "source",
                                         f"DIV {den} AS BIGINT)"), ub))
                     .alias(f"{label}_ub"))
     return cum.groupBy(group_col).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter (join pruning)
+# ---------------------------------------------------------------------------
+
+_BLOOM_A, _BLOOM_B, _BLOOM_C = 2_654_435_761, 40_503, 17
+_BLOOM_P = 999_999_937  # prime < 2^30: key*A stays under 2^63 for key < 1e9
+
+
+def _bloom_pos(key: Column, j: int, m: int) -> Column:
+    """Probe position j in [0, m): exact-bigint double-mod of the engine's
+    arithmetic-hash family — replayable in any SQL engine."""
+    return F.pmod(
+        F.pmod(key * F.lit(_BLOOM_A) + F.lit(j * _BLOOM_B + _BLOOM_C),
+               F.lit(_BLOOM_P)), F.lit(m))
+
+
+def bloom_pos_sql(key_expr: str, j: int, m: int) -> str:
+    """The DuckDB mirror of :func:`_bloom_pos` (same exact arithmetic)."""
+    return (f"(((({key_expr}) * {_BLOOM_A} + {j * _BLOOM_B + _BLOOM_C})"
+            f" % {_BLOOM_P}) % {m})")
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str = "fp",
+    words: int = 8,
+    k: int = 2,
+    bits_per_word: int = 62,
+) -> DataFrame:
+    """Build a Bloom filter over a bigint key column as a SPARSE word
+    table ``(word_idx, w)`` — ``w`` is the bit-OR of ``1 << bit`` for
+    every probe landing in that 62-bit word (62, not 64: bit 63 is the
+    sign and bit-62 shifts overflow differently across engines; staying
+    under 62 keeps every word value positive and portable).
+
+    One map-side-combined ``bit_or`` aggregation over k·n probe rows; the
+    result is at most ``words`` rows — broadcastable no matter how large
+    the key set was.  This is the classic pre-join pruning structure: at
+    100 TB you broadcast the O(words) filter instead of the O(n) distinct
+    key set, take the (deterministic, replayable) false-positive hits,
+    and run the expensive exact join only on the survivors.
+    """
+    m = words * bits_per_word
+    probes = keys.select(
+        F.explode(F.array(*[_bloom_pos(F.col(key_col), j, m)
+                            for j in range(k)])).alias("__pos"))
+    return (probes
+            .select(F.expr(f"__pos div {bits_per_word}").alias("word_idx"),
+                    F.expr(f"shiftleft(1L, CAST(__pos % {bits_per_word}"
+                           " AS INT))").alias("__bit"))
+            .groupBy("word_idx").agg(F.expr("bit_or(__bit)").alias("w")))
+
+
+def bloom_probe(
+    df: DataFrame,
+    filt: DataFrame,
+    key_col: str = "fp",
+    words: int = 8,
+    k: int = 2,
+    bits_per_word: int = 62,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Test every row's key against a :func:`bloom_build` table: the row
+    is a candidate iff ALL k probe bits are set.  The filter side is
+    explicitly broadcast (<= ``words`` rows); the probe explodes k rows
+    per input, joins on the word index, and folds back with
+    ``min(bit set)`` — one broadcast hash join, no shuffle of ``df``
+    beyond the fold's partial aggregation.
+
+    False positives are inherent to the structure and exactly
+    reproducible: the probe arithmetic is the same exact-bigint family
+    as the build, so any engine replaying it flags the identical
+    candidate set.
+    """
+    m = words * bits_per_word
+    probes = df.select(
+        key_col,
+        F.explode(F.array(*[_bloom_pos(F.col(key_col), j, m)
+                            for j in range(k)])).alias("__pos"))
+    probes = probes.select(
+        key_col,
+        F.expr(f"__pos div {bits_per_word}").alias("word_idx"),
+        F.expr(f"shiftleft(1L, CAST(__pos % {bits_per_word} AS INT))")
+        .alias("__bit"))
+    j = probes.join(F.broadcast(filt), "word_idx", "left")
+    hit = ((F.col("w").isNotNull())
+           & (F.col("w").bitwiseAND(F.col("__bit")) != 0)).cast("int")
+    agg = (j.groupBy(key_col)
+           .agg(F.min(hit).alias("__all_set")))
+    return df.join(agg, key_col, "left").withColumn(
+        out_col, F.coalesce(F.col("__all_set") == 1, F.lit(False))
+    ).drop("__all_set")

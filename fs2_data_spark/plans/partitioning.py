@@ -98,3 +98,40 @@ def broadcast_if_small(df: DataFrame, max_sample_rows: int = 1_000_000) -> DataF
     if probed <= max_sample_rows:
         return F.broadcast(df)
     return df
+
+
+def key_skew_audit(
+    df: DataFrame,
+    key: str | Sequence[str] = "user_id",
+    group: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact, fully-distributed skew diagnosis of a prospective shuffle
+    key: per ``group`` (or globally), the row total, distinct-key count,
+    hottest-key row count, the hottest key's share, the skew factor
+    (hottest / average — 1.0 means perfectly uniform), and the salt
+    count that would level the hottest key down to the average
+    (``ceil(max * n_keys / total)``, exact bigint arithmetic — what
+    :func:`add_salt`/:func:`salted_agg` should be called with).
+
+    Two map-side-combined aggregations (key counts, then the per-group
+    rollup of those counts) — the audit itself never materializes more
+    than one row per key, so it is safe to run against the full 100 TB
+    input before committing to a partitioning strategy.  Complements the
+    sample-based :func:`key_skew_stats` probe (fast, approximate,
+    driver-side) with the exact, plan-shaped answer.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    group = ([group] if isinstance(group, str) else list(group or []))
+    counts = df.groupBy(*group, *key).agg(F.count(F.lit(1)).alias("__c"))
+    agg = counts.groupBy(*group).agg(
+        F.sum("__c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__c").alias("max_key_rows"))
+    return agg.select(
+        *group, "n_rows", "n_keys", "max_key_rows",
+        F.round(F.col("max_key_rows").cast("double")
+                / F.col("n_rows").cast("double"), 6).alias("top1_share"),
+        F.round(F.col("max_key_rows").cast("double") * F.col("n_keys")
+                / F.col("n_rows").cast("double"), 4).alias("skew_factor"),
+        F.expr("(max_key_rows * n_keys + n_rows - 1) div n_rows")
+        .alias("recommended_salts"))

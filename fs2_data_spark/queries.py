@@ -843,6 +843,114 @@ def doc_fp(spark, sf_dir):
     return d.select("doc_id", TXT.doc_fingerprint("text").alias("fp"))
 
 
+_FP_SQL = (f"CASE WHEN len({_WS_SQL}) > 0 "
+           f"THEN list_reduce({_WC_SQL}, (a, x) -> (a * 31 + x) % 1000000007) "
+           f"ELSE 0 END")
+
+
+def _bloom_prune_sql() -> str:
+    from fs2_data_spark.operators.sketches import bloom_pos_sql
+    m, bpw = 8 * 62, 62
+    p0, p1 = bloom_pos_sql("fp", 0, m), bloom_pos_sql("fp", 1, m)
+    return f"""
+WITH f AS (SELECT doc_id, {_FP_SQL} AS fp FROM documents),
+bk AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0),
+pos AS (SELECT {p0} AS p FROM bk UNION ALL SELECT {p1} FROM bk),
+wt AS (SELECT p // {bpw} AS word_idx,
+              bit_or(1::BIGINT << CAST(p % {bpw} AS INTEGER)) AS w
+       FROM pos GROUP BY 1),
+pp AS (SELECT doc_id, fp, {p0} AS p FROM f
+       UNION ALL SELECT doc_id, fp, {p1} FROM f),
+pj AS (SELECT doc_id, fp,
+              CASE WHEN wt.w IS NOT NULL
+                    AND (wt.w & (1::BIGINT << CAST(p % {bpw} AS INTEGER))) <> 0
+                   THEN 1 ELSE 0 END AS ok
+       FROM pp LEFT JOIN wt ON wt.word_idx = p // {bpw}),
+agg AS (SELECT doc_id, min(fp) AS fp, min(ok) AS all_set
+        FROM pj GROUP BY doc_id)
+SELECT a.doc_id, a.fp, a.all_set = 1 AS bloom_hit,
+       bk.fp IS NOT NULL AS exact_hit
+FROM agg a LEFT JOIN bk ON a.fp = bk.fp
+"""
+
+
+@_q("bloom_prune_docs", _bloom_prune_sql())
+def bloom_prune_docs(spark, sf_dir):
+    """Bloom-filter join pruning (``operators/sketches.py bloom_build /
+    bloom_probe``): a deliberately small 496-bit filter over the
+    benchmark fingerprint set flags candidate corpus rows — including
+    exactly-reproducible false positives (the probe family is the
+    engine's exact-bigint arithmetic hash, so DuckDB replays the
+    identical candidate set bit-for-bit).  The scale pattern: broadcast
+    O(words) instead of the O(n) key set, then run the expensive exact
+    join only on the survivors; `exact_hit` is that verify stage."""
+    from fs2_data_spark.operators.sketches import bloom_build, bloom_probe
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", TXT.doc_fingerprint("text").alias("fp"))
+    bench = (docs.filter(F.col("doc_id") % 3 == 0)
+             .select("fp").distinct())
+    filt = bloom_build(bench, "fp", words=8, k=2)
+    probed = bloom_probe(docs, filt, "fp", words=8, k=2)
+    exact = bench.withColumn("__e", F.lit(True))
+    return (probed.join(F.broadcast(exact), "fp", "left")
+            .select("doc_id", "fp", "bloom_hit",
+                    F.coalesce(F.col("__e"), F.lit(False)).alias("exact_hit")))
+
+
+def _epoch_shuffle_sql() -> str:
+    from fs2_data_spark.operators.mixing import portable_unit_hash_sql
+    h = portable_unit_hash_sql("doc_id", seed=1001)
+    return f"""
+WITH h AS (SELECT doc_id, {h} AS eh FROM documents)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY eh, doc_id) AS BIGINT) AS shuffle_pos
+FROM h
+"""
+
+
+@_q("epoch_shuffle_docs", _epoch_shuffle_sql())
+def epoch_shuffle_docs(spark, sf_dir):
+    """Deterministic epoch-1 training order (``operators/mixing.py
+    epoch_shuffle``): every row's position in a permutation keyed by
+    hash(doc_id, epoch) — reshuffling between epochs without RNG, so
+    task retries / resharding / re-runs can never alter the training
+    set order. Materialized via the range-partitioned parallel
+    global_rank (never a single-partition window); the oracle replays
+    the hash and a plain row_number."""
+    from fs2_data_spark.operators.mixing import epoch_shuffle
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(d, id_col="doc_id", epoch=1).select(
+        "doc_id", "shuffle_pos")
+
+
+@_q("key_skew_audit_events", """
+WITH c AS (SELECT event_type, user_id, count(*) AS c
+           FROM events GROUP BY 1, 2),
+a AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_rows,
+             count(*) AS n_keys, max(c) AS max_key_rows
+      FROM c GROUP BY 1)
+SELECT event_type, n_rows, n_keys, max_key_rows,
+       ROUND(CAST(max_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+         AS top1_share,
+       ROUND(CAST(max_key_rows AS DOUBLE) * n_keys
+             / CAST(n_rows AS DOUBLE), 4) AS skew_factor,
+       CAST((max_key_rows * n_keys + n_rows - 1) // n_rows AS BIGINT)
+         AS recommended_salts
+FROM a
+""")
+def key_skew_audit_events(spark, sf_dir):
+    """Exact shuffle-key skew diagnosis per event_type
+    (``plans/partitioning.py key_skew_audit``): row totals, distinct
+    keys, hottest-key share, skew factor (hottest/average), and the
+    exact-bigint salt count that levels the hottest key — the number
+    you hand to ``salted_agg`` before committing a 100 TB shuffle. Two
+    map-side-combined aggregations; never more than one row per key in
+    flight."""
+    from fs2_data_spark.plans.partitioning import key_skew_audit
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_audit(ev, key="user_id", group="event_type")
+
+
 # ---------------------------------------------------------------------------
 # Deduplication (exact / MinHash-LSH / SimHash / Jaccard)
 # ---------------------------------------------------------------------------

@@ -433,3 +433,30 @@ def test_time_folds_purged_train_set_no_leakage(spark):
             # boundary is gone
             if r.fold == f + 1:
                 assert t - r.fold_start_us >= emb
+
+
+def test_epoch_shuffle_permutation_and_epoch_divergence(spark):
+    from fs2_data_spark.operators.mixing import epoch_shuffle
+    d = spark.createDataFrame([(i,) for i in range(300)], "doc_id bigint")
+    p0 = {r.doc_id: r.shuffle_pos
+          for r in epoch_shuffle(d, epoch=0, num_partitions=5).collect()}
+    p1 = {r.doc_id: r.shuffle_pos
+          for r in epoch_shuffle(d, epoch=1, num_partitions=5).collect()}
+    assert sorted(p0.values()) == list(range(1, 301))  # dense permutation
+    assert sorted(p1.values()) == list(range(1, 301))
+    assert p0 != p1                      # epochs genuinely reorder
+    # determinism across partitioning choices
+    p0b = {r.doc_id: r.shuffle_pos
+           for r in epoch_shuffle(d, epoch=0, num_partitions=11).collect()}
+    assert p0 == p0b
+
+
+def test_key_skew_audit_exact(spark):
+    from fs2_data_spark.plans.partitioning import key_skew_audit
+    rows = ([("g", "hot") ] * 60 + [("g", f"k{i}") for i in range(40)])
+    df = spark.createDataFrame(rows, "grp string, user_id string")
+    out = key_skew_audit(df, key="user_id", group="grp").collect()[0]
+    assert out.n_rows == 100 and out.n_keys == 41 and out.max_key_rows == 60
+    assert out.top1_share == 0.6
+    assert out.skew_factor == round(60 * 41 / 100, 4)
+    assert out.recommended_salts == (60 * 41 + 99) // 100

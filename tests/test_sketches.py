@@ -530,3 +530,48 @@ def test_hist_merge_monoid_law(spark):
     qa = hist_quantiles(merged).collect()[0]
     qb = hist_quantiles(whole).collect()[0]
     assert qa == qb
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_deterministic(spark):
+    from fs2_data_spark.operators.sketches import bloom_build, bloom_probe
+    keys = spark.createDataFrame([(i * 977 + 13,) for i in range(80)],
+                                 "fp bigint")
+    filt = bloom_build(keys, "fp", words=8, k=2)
+    probe = spark.createDataFrame([(i * 977 + 13,) for i in range(200)],
+                                  "fp bigint")
+    out = {r.fp: r.bloom_hit for r in
+           bloom_probe(probe, filt, "fp", words=8, k=2).collect()}
+    member = {i * 977 + 13 for i in range(80)}
+    # Bloom contract: every member hits (no false negatives)
+    assert all(out[k] for k in member)
+    # determinism: a second build+probe flags the identical set
+    out2 = {r.fp: r.bloom_hit for r in
+            bloom_probe(probe, bloom_build(keys, "fp", words=8, k=2),
+                        "fp", words=8, k=2).collect()}
+    assert out == out2
+
+
+def test_bloom_words_bounded_and_positive(spark):
+    from fs2_data_spark.operators.sketches import bloom_build
+    keys = spark.createDataFrame([(i,) for i in range(5000)], "fp bigint")
+    rows = bloom_build(keys, "fp", words=8, k=2).collect()
+    assert len(rows) <= 8                      # broadcastable no matter n
+    assert all(r.w > 0 for r in rows)          # 62-bit discipline: no sign bit
+    assert all(0 <= r.word_idx < 8 for r in rows)
+
+
+def test_bloom_fp_rate_sane_at_size(spark):
+    """A filter sized ~10 bits/key must prune most non-members."""
+    from fs2_data_spark.operators.sketches import bloom_build, bloom_probe
+    keys = spark.createDataFrame([(i * 31 + 7,) for i in range(300)],
+                                 "fp bigint")
+    filt = bloom_build(keys, "fp", words=64, k=3)   # 3968 bits / 300 keys
+    others = spark.createDataFrame(
+        [(10_000_000 + i * 53,) for i in range(500)], "fp bigint")
+    hits = sum(r.bloom_hit for r in
+               bloom_probe(others, filt, "fp", words=64, k=3).collect())
+    assert hits < 100  # theoretical fp ~ 4%; generous bound for the hash family

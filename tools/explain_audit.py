@@ -141,6 +141,11 @@ AUDITED = [
     # the P-row offset table broadcasts
     ("snm_pairs_docs", ["no_python", "no_cartesian", "broadcast",
                         "pruned_scan"]),
+    # the <=8-row word table broadcasts into the probe join
+    ("bloom_prune_docs", ["no_python", "broadcast", "no_cartesian",
+                          "pruned_scan"]),
+    ("epoch_shuffle_docs", ["no_python", "broadcast", "pruned_scan"]),
+    ("key_skew_audit_events", ["no_python", "no_cartesian", "pruned_scan"]),
 ]
 
 

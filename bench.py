@@ -272,7 +272,8 @@ def main() -> None:
              "asof_multi_events", "gapfill_locf_events",
              "gapfill_interp_events", "twa_events", "tok_entropy_docs",
              "snm_pairs_docs", "bloom_prune_docs", "epoch_shuffle_docs",
-             "key_skew_audit_events"]
+             "key_skew_audit_events", "ohlc_events",
+             "rank_normalize_events", "exact_split_docs"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

@@ -212,3 +212,26 @@ def winsorize(
                      F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi")))
     return (out.withColumn("value_w", clipped)
             .drop("_rn", "_n", "_lo_r", "_hi_r"))
+
+
+def rank_normalize(
+    df: DataFrame,
+    group: str | Sequence[str] = "event_type",
+    value: str = "value",
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Quantile (rank) normalization of a feature within each group:
+    ``percent_rank()`` maps values onto [0, 1] by their order statistics
+    — the distribution-free normalizer (robust to outliers and to any
+    monotone transform of the raw feature, unlike z-scoring).  Tied raw
+    values share a rank, so the output is a pure function of the value
+    multiset — no tie-break column is needed or wanted.
+
+    NOTE this is the in-sample transform (each row sees the whole
+    group): fitting scalers point-in-time belongs to
+    :func:`expanding_zscore` / :func:`pit_target_encode`, which only
+    look backward.  One hash Exchange + one sort on the group key.
+    """
+    group = [group] if isinstance(group, str) else list(group)
+    w = Window.partitionBy(*group).orderBy(F.col(value))
+    return df.withColumn(out_col, F.percent_rank().over(w))

@@ -433,3 +433,40 @@ def epoch_shuffle(
     out = global_rank(df.withColumn("__eh", h), ["__eh", id_col],
                       rank_col=pos_col, num_partitions=num_partitions)
     return out.drop("__eh")
+
+
+def exact_stratified_split(
+    df: DataFrame,
+    strata: str | Sequence[str] = "source",
+    id_col: str = "doc_id",
+    fractions: tuple[int, int] = (8, 1),
+    denom: int = 10,
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment with EXACT per-stratum proportions:
+    rank every row inside its stratum by the portable id hash (a
+    deterministic pseudo-random order), then cut at exact-integer rank
+    thresholds — ``rank * denom <= n * frac`` — so an 80/10/10 split of
+    1,000 rows is exactly 800/100/100, not the binomially-noisy counts a
+    per-row hash threshold gives (:func:`stratified_sample`'s
+    ``split_assign`` trades that exactness for zero shuffles; this
+    operator is the exact-count tier, one window shuffle on the
+    stratum).
+
+    Deterministic and leakage-free by construction: membership is a pure
+    function of (id multiset, stratum) — re-runs, retries and resharding
+    reproduce the identical split; adding NEW rows can reassign old ones
+    (exact proportions are a property of the whole stratum), which is
+    the documented trade against the append-stable hash-threshold tier.
+    """
+    strata = [strata] if isinstance(strata, str) else list(strata)
+    tr, va = fractions
+    h = portable_unit_hash(F.col(id_col), seed=271)
+    w = Window.partitionBy(*strata).orderBy(h, F.col(id_col))
+    n = Window.partitionBy(*strata)
+    out = (df.withColumn("__rk", F.row_number().over(w))
+           .withColumn("__n", F.count(F.lit(1)).over(n)))
+    split = (F.when(F.col("__rk") * denom <= F.col("__n") * tr, "train")
+             .when(F.col("__rk") * denom <= F.col("__n") * (tr + va), "val")
+             .otherwise("test"))
+    return out.withColumn(out_col, split).drop("__rk", "__n")

@@ -327,3 +327,44 @@ def time_weighted_avg(
                       / F.col("span_us").cast("double")))
     return agg.select(*key, "n_obs", "span_us",
                       F.round(twa, 4).alias(out_col))
+
+
+def ohlc_candles(
+    df: DataFrame,
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Time-bucketed open/high/low/close downsampling (the M4 aggregation
+    plus mean): one row per (key, bucket) with the first/last/extreme
+    values of the bucket — the standard lossless-for-rendering reduction
+    of a dense series, and the canonical pre-aggregation for candle
+    features.  ONE map-side-combined aggregation; ``min_by/max_by`` on
+    the (deduplicated) event time picks open/close without a sort.
+
+    Callers must ensure (key, ts) is unique (dedup upstream) — open and
+    close are defined by time order and a duplicate timestamp would make
+    them ambiguous; the engine's dedup rule (lexicographic max payload)
+    is the documented resolution.
+
+    The mean runs over DECIMAL(38,6)-cast values: combine-order-
+    independent bit-for-bit (the canonical-oracle pattern).
+    """
+    from fs2_data_spark.functions.timeutil import epoch_us
+
+    key = [key] if isinstance(key, str) else list(key)
+    d = df.select(*key, epoch_us(F.col(ts)).alias("_eus"),
+                  F.col(value).cast("double").alias("_v"))
+    d = d.withColumn("bucket_us",
+                     F.expr(f"(_eus div {int(bucket_us)}) * {int(bucket_us)}"))
+    return (d.groupBy(*key, "bucket_us").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min_by("_v", "_eus").alias("open"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.max_by("_v", "_eus").alias("close"),
+        F.sum(F.col("_v").cast("decimal(38,6)")).alias("__sum"))
+        .withColumn("mean4", F.round(
+            (F.col("__sum").cast("double") / F.col("n").cast("double")), 4))
+        .drop("__sum"))

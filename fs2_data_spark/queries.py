@@ -897,6 +897,81 @@ def bloom_prune_docs(spark, sf_dir):
                     F.coalesce(F.col("__e"), F.lit(False)).alias("exact_hit")))
 
 
+@_q("ohlc_events", """
+WITH o AS (SELECT user_id, epoch_us(ts) AS t, max(value) AS v
+           FROM events GROUP BY 1, 2)
+SELECT user_id, (t // 86400000000) * 86400000000 AS bucket_us,
+       count(*) AS n,
+       arg_min(v, t) AS open, max(v) AS high, min(v) AS low,
+       arg_max(v, t) AS close,
+       ROUND(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS mean4
+FROM o GROUP BY 1, 2
+""")
+def ohlc_events(spark, sf_dir):
+    """Daily OHLC candles per user (``operators/windows.py
+    ohlc_candles``): the M4 downsampling aggregation — open/close picked
+    by ``min_by/max_by`` on the deduplicated event time (no sort, one
+    map-side-combined shuffle), extremes and a DECIMAL-exact mean.
+    The standard lossless-for-rendering series reduction and candle
+    feature block."""
+    from fs2_data_spark.operators.windows import ohlc_candles
+    ev = (_t(spark, sf_dir, "events")
+          .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    return ohlc_candles(ev, key="user_id", ts="ts", value="value",
+                        bucket_us=86_400_000_000)
+
+
+@_q("rank_normalize_events", """
+SELECT event_id, event_type, value,
+       ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value),
+             6) AS pr6
+FROM events
+""")
+def rank_normalize_events(spark, sf_dir):
+    """Within-group quantile normalization (``operators/encoding.py
+    rank_normalize``): percent_rank maps each value onto [0,1] by order
+    statistics — the distribution-free scaler (outlier-robust, invariant
+    to monotone transforms). Ties share a rank, so the output is a pure
+    function of the value multiset; one Exchange + one Sort on the
+    group key. In-sample tier — the PIT tier is expanding_zscore."""
+    from fs2_data_spark.operators.encoding import rank_normalize
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = rank_normalize(ev, group="event_type", value="value")
+    return out.select("event_id", "event_type", "value",
+                      F.round("pct_rank", 6).alias("pr6"))
+
+
+def _exact_split_sql() -> str:
+    from fs2_data_spark.operators.mixing import portable_unit_hash_sql
+    h = portable_unit_hash_sql("doc_id", seed=271)
+    return f"""
+WITH r AS (SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY {h}, doc_id) AS rk,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM documents)
+SELECT doc_id, source,
+       CASE WHEN rk * 10 <= n * 8 THEN 'train'
+            WHEN rk * 10 <= n * 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""
+
+
+@_q("exact_split_docs", _exact_split_sql())
+def exact_split_docs(spark, sf_dir):
+    """Exact-proportion stratified split (``operators/mixing.py
+    exact_stratified_split``): rank rows inside each source stratum by
+    the portable id hash, cut at exact-integer rank thresholds — an
+    80/10/10 of 1,000 rows is exactly 800/100/100, not the binomially
+    noisy counts of the zero-shuffle hash-threshold tier
+    (`split_assign_docs`); deterministic, no RNG, one window shuffle."""
+    from fs2_data_spark.operators.mixing import exact_stratified_split
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return exact_stratified_split(d, strata="source", id_col="doc_id")
+
+
 def _epoch_shuffle_sql() -> str:
     from fs2_data_spark.operators.mixing import portable_unit_hash_sql
     h = portable_unit_hash_sql("doc_id", seed=1001)

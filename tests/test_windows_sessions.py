@@ -203,3 +203,51 @@ def test_cascade_rollup_validates_multiples(spark, events):
     import pytest as _pt
     with _pt.raises(ValueError, match="multiple"):
         cascade_rollup(events, levels_us=(300_000_000, 700_000_000))
+
+
+def test_ohlc_hand_computed(spark):
+    import datetime as dt
+    from fs2_data_spark.operators.windows import ohlc_candles
+    T0 = dt.datetime(2024, 1, 5)
+    rows = [("u", T0 + dt.timedelta(hours=h), v)
+            for h, v in [(1, 5.0), (3, 9.0), (7, 2.0), (20, 6.0),
+                         (25, 100.0)]]  # last lands in the next day
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    out = {r.bucket_us: r for r in ohlc_candles(df).collect()}
+    day = 86_400_000_000
+    d0 = int(T0.timestamp() * 1_000_000) // day * day
+    c = out[d0]
+    assert (c.open, c.high, c.low, c.close, c.n) == (5.0, 9.0, 2.0, 6.0, 4)
+    assert c.mean4 == round((5 + 9 + 2 + 6) / 4, 4)
+    assert out[d0 + day].open == 100.0 and out[d0 + day].n == 1
+
+
+def test_rank_normalize_ties_and_range(spark):
+    import pytest
+    from fs2_data_spark.operators.encoding import rank_normalize
+    df = spark.createDataFrame(
+        [("g", 1, 10.0), ("g", 2, 20.0), ("g", 3, 20.0), ("g", 4, 40.0),
+         ("h", 5, 7.0)],
+        "event_type string, event_id bigint, value double")
+    got = {r.event_id: r.pct_rank
+           for r in rank_normalize(df, group="event_type").collect()}
+    assert got[1] == 0.0 and got[4] == 1.0
+    assert got[2] == got[3] == pytest.approx(1 / 3)  # ties share a rank
+    assert got[5] == 0.0  # singleton group
+
+
+def test_exact_split_proportions_and_determinism(spark):
+    from fs2_data_spark.operators.mixing import exact_stratified_split
+    rows = [(i, "s%d" % (i % 3)) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = exact_stratified_split(df, strata="source", id_col="doc_id")
+    counts = {(r.source, r.split): r["count"]
+              for r in out.groupBy("source", "split").count().collect()}
+    for s in ("s0", "s1", "s2"):  # 200 per stratum -> exactly 160/20/20
+        assert counts[(s, "train")] == 160
+        assert counts[(s, "val")] == 20
+        assert counts[(s, "test")] == 20
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, exact_stratified_split(
+        df.repartition(13), strata="source", id_col="doc_id").collect()))
+    assert a == b  # partitioning-invariant assignment

@@ -146,6 +146,12 @@ AUDITED = [
                           "pruned_scan"]),
     ("epoch_shuffle_docs", ["no_python", "broadcast", "pruned_scan"]),
     ("key_skew_audit_events", ["no_python", "no_cartesian", "pruned_scan"]),
+    # dedup agg + candle agg share the (user_id, ...) key: 2 exchanges
+    ("ohlc_events", ["no_python", "no_cartesian", "pruned_scan"]),
+    ("rank_normalize_events", ["no_python", "single_group_shuffle",
+                               "pruned_scan"]),
+    ("exact_split_docs", ["no_python", "single_group_shuffle",
+                          "pruned_scan"]),
 ]
 
 

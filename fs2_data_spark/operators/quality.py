@@ -510,9 +510,16 @@ def top_ngram_fraction(
     from fs2_data_spark.functions.text import word_hashes
 
     P = F.lit(1_000_000_007).cast("long")
-    w = words(text_col)
+    # projection barrier (the module's staging discipline): the word-hash
+    # array must be a BOUND column before the per-gram slices touch it —
+    # inlined, interpreted HOF evaluation re-derives split+hash for every
+    # slice, turning the O(n log n) fold into O(n^2) work per document
+    # (measured 105 s -> ~2 s at sf0.1)
+    docs = docs.select(F.col(id_col),
+                       word_hashes(text_col).alias("__wc"))
+    w = F.col("__wc")
     out_cols = [F.col(id_col), F.size(w).alias("n_words")]
-    wc = word_hashes(text_col)
+    wc = F.col("__wc")
     def _gram_at(n):
         # Closure factory, NOT a `n=n` keyword default: a two-parameter
         # lambda would be compiled by Spark as transform's (element, index)

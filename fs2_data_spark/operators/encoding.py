@@ -235,3 +235,74 @@ def rank_normalize(
     group = [group] if isinstance(group, str) else list(group)
     w = Window.partitionBy(*group).orderBy(F.col(value))
     return df.withColumn(out_col, F.percent_rank().over(w))
+
+
+def robust_scale(
+    df: DataFrame,
+    value: str = "value",
+    key: str | Sequence[str] = "event_type",
+    tiebreak: str = "event_id",
+    out_col: str = "robust_z",
+) -> DataFrame:
+    """Group-wise robust scaling: ``(x - median) / (1.4826 * MAD)`` — the
+    outlier-proof alternative to z-scoring (mean and stddev are both
+    unbounded-influence statistics; median and MAD have breakdown point
+    0.5).  1.4826 is the standard consistency constant that makes MAD
+    estimate sigma under normality.
+
+    EXACT medians by rank (the :func:`winsorize` discipline, not an
+    interpolated percentile and not a sketch): the group median is the
+    value at rank ``(n+1) div 2`` in ``(value, tiebreak)`` order — the
+    lower median, exact integer arithmetic, bit-replayable in any
+    engine; the MAD repeats the same rank pick over ``|x - median|``.
+
+    Scale shape: ONE hash exchange on the group key feeds all four
+    window passes (two ordered ranks + two unbounded bound-pickups share
+    the partitioning; the second rank is a re-sort of the same
+    partitions, never a new shuffle).  ``value`` must be non-null
+    (filter upstream); groups with MAD = 0 (more than half the values
+    identical) yield NULL — an honest "scale undefined", not a division
+    blow-up.
+
+    Adds ``med``, ``mad`` and ``out_col`` (all exact; callers round).
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    v = F.col(value)
+    wg = Window.partitionBy(*key)
+    w1 = wg.orderBy(v, F.col(tiebreak))
+    n = F.count(F.lit(1)).over(wg)
+    rk1 = F.row_number().over(w1)
+    d = (df.withColumn("__rk1", rk1).withColumn("__n", n)
+         .withColumn("__mid", F.expr("(__n + 1) div 2")))
+    med = F.max(F.when(F.col("__rk1") == F.col("__mid"), v)).over(wg)
+    d = d.withColumn("med", med).withColumn("__dev", F.abs(v - F.col("med")))
+    w2 = wg.orderBy(F.col("__dev"), F.col(tiebreak))
+    d = d.withColumn("__rk2", F.row_number().over(w2))
+    mad = F.max(F.when(F.col("__rk2") == F.col("__mid"),
+                       F.col("__dev"))).over(wg)
+    d = d.withColumn("mad", mad)
+    z = F.when(F.col("mad") > 0,
+               (v - F.col("med")) / (F.lit(1.4826) * F.col("mad")))
+    return d.withColumn(out_col, z).drop("__rk1", "__rk2", "__mid", "__n",
+                                         "__dev")
+
+
+def equidepth_bins(
+    df: DataFrame,
+    value: str = "value",
+    key: str | Sequence[str] = "event_type",
+    tiebreak: str = "event_id",
+    k: int = 10,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Equi-depth discretization: ``ntile(k)`` over the group's value
+    order — every bin gets ``n div k`` or ``n div k + 1`` rows by
+    construction (the quantile-bucket feature encoding; equal-WIDTH
+    binning is a per-row projection and needs no operator).  The order
+    is made total with ``tiebreak``, so the assignment is deterministic
+    and any engine's NTILE reproduces it exactly.  One Exchange + one
+    Sort on the group key.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*key).orderBy(F.col(value), F.col(tiebreak))
+    return df.withColumn(out_col, F.ntile(k).over(w))

@@ -922,6 +922,60 @@ def ohlc_events(spark, sf_dir):
                         bucket_us=86_400_000_000)
 
 
+@_q("robust_scale_events", """
+WITH r AS (SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk1,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+m AS (SELECT *, (n + 1) // 2 AS mid FROM r),
+md AS (SELECT *, max(CASE WHEN rk1 = mid THEN value END)
+                   OVER (PARTITION BY event_type) AS med
+       FROM m),
+dv AS (SELECT *, abs(value - med) AS dev,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY abs(value - med), event_id) AS rk2
+       FROM md),
+mm AS (SELECT *, max(CASE WHEN rk2 = mid THEN dev END)
+                   OVER (PARTITION BY event_type) AS mad
+       FROM dv)
+SELECT event_id, event_type, value, med, mad,
+       ROUND(CASE WHEN mad > 0
+                  THEN (value - med) / (1.4826 * mad) END, 4) AS robust_z4
+FROM mm
+""")
+def robust_scale_events(spark, sf_dir):
+    """Group-wise robust scaling (``operators/encoding.py
+    robust_scale``): (x - median) / (1.4826 * MAD) — breakdown-point-0.5
+    outlier-proof normalization. EXACT rank-picked medians (the
+    winsorize discipline: value at rank (n+1) div 2, never interpolation
+    or a sketch), so the oracle replays them bit-for-bit; four window
+    passes share ONE hash exchange on the group key (plan-pinned)."""
+    from fs2_data_spark.operators.encoding import robust_scale
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = robust_scale(ev, value="value", key="event_type",
+                       tiebreak="event_id")
+    return out.select("event_id", "event_type", "value", "med", "mad",
+                      F.round("robust_z", 4).alias("robust_z4"))
+
+
+@_q("equidepth_bins_events", """
+SELECT event_id, event_type, value,
+       ntile(10) OVER (PARTITION BY event_type
+                       ORDER BY value, event_id) AS bin
+FROM events
+""")
+def equidepth_bins_events(spark, sf_dir):
+    """Equi-depth discretization (``operators/encoding.py
+    equidepth_bins``): ntile(10) quantile buckets per event_type with a
+    total tiebroken order — deterministic bins of size n div 10 or +1,
+    the quantile-bucket categorical encoding; one Exchange + one Sort."""
+    from fs2_data_spark.operators.encoding import equidepth_bins
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return equidepth_bins(ev, value="value", key="event_type",
+                          tiebreak="event_id", k=10)
+
+
 @_q("rank_normalize_events", """
 SELECT event_id, event_type, value,
        ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value),

@@ -161,3 +161,58 @@ def test_winsorize_partitioning_invariance(spark):
     b = sorted(map(tuple, winsorize(d.repartition(13)).select(
         "event_id", "p_lo", "p_hi", "value_w").collect()))
     assert a == b
+
+
+def test_robust_scale_hand_computed(spark):
+    from fs2_data_spark.operators.encoding import robust_scale
+    # values 1..7 with an outlier: med=4 (rank (7+1)//2=4), devs
+    # {3,2,1,0,1,2,996} sorted -> lower median dev = 2 -> mad=2
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 5.0, 6.0,
+                                            1000.0])],
+        "event_type string, event_id bigint, value double")
+    rows = {r.event_id: r for r in robust_scale(df).collect()}
+    assert rows[0].med == 4.0 and rows[0].mad == 2.0
+    assert rows[3].robust_z == 0.0
+    assert rows[6].robust_z == (1000.0 - 4.0) / (1.4826 * 2.0)
+    # outlier-resistance: the z of the non-outliers is unaffected by the
+    # outlier's magnitude
+    df2 = df.replace(1000.0, 9e9, subset=["value"])
+    rows2 = {r.event_id: r for r in robust_scale(df2).collect()}
+    assert rows2[1].robust_z == rows[1].robust_z
+
+
+def test_robust_scale_mad_zero_is_null(spark):
+    from fs2_data_spark.operators.encoding import robust_scale
+    df = spark.createDataFrame(
+        [("g", i, 5.0) for i in range(4)] + [("g", 9, 100.0)],
+        "event_type string, event_id bigint, value double")
+    rows = robust_scale(df).collect()
+    assert all(r.robust_z is None for r in rows)      # >half identical
+    assert all(r.mad == 0.0 for r in rows)
+
+
+def test_robust_scale_single_exchange(spark):
+    import io
+    import re
+    from contextlib import redirect_stdout
+    from fs2_data_spark.operators.encoding import robust_scale
+    df = spark.createDataFrame(
+        [("g", 1, 1.0), ("g", 2, 2.0)],
+        "event_type string, event_id bigint, value double")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        robust_scale(df).explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"hashpartitioning\(event_type", plan)) == 1
+
+
+def test_equidepth_bins_sizes(spark):
+    from fs2_data_spark.operators.encoding import equidepth_bins
+    df = spark.createDataFrame(
+        [("g", i, float(i % 37)) for i in range(103)],
+        "event_type string, event_id bigint, value double")
+    out = equidepth_bins(df, k=10).groupBy("bin").count().collect()
+    sizes = sorted(r["count"] for r in out)
+    assert len(sizes) == 10
+    assert sizes == sorted([11, 11, 11, 10, 10, 10, 10, 10, 10, 10])

@@ -152,6 +152,11 @@ AUDITED = [
                                "pruned_scan"]),
     ("exact_split_docs", ["no_python", "single_group_shuffle",
                           "pruned_scan"]),
+    # four window passes (2 ranks + 2 bound-pickups) on one exchange
+    ("robust_scale_events", ["no_python", "single_group_shuffle",
+                             "pruned_scan"]),
+    ("equidepth_bins_events", ["no_python", "single_group_shuffle",
+                               "pruned_scan"]),
 ]
 
 

@@ -343,10 +343,12 @@ def ohlc_candles(
     features.  ONE map-side-combined aggregation; ``min_by/max_by`` on
     the (deduplicated) event time picks open/close without a sort.
 
-    Callers must ensure (key, ts) is unique (dedup upstream) — open and
-    close are defined by time order and a duplicate timestamp would make
-    them ambiguous; the engine's dedup rule (lexicographic max payload)
-    is the documented resolution.
+    Open/close carry the full ``(event_us, value)`` pair through a
+    struct min/max, so duplicate timestamps resolve by the lexicographic
+    (ts, value) rule — deterministic without requiring upstream dedup,
+    and the exact accumulator the streaming twin
+    (``streaming/windows.streaming_candles``) uses, which is what makes
+    the batch/streaming parity test exact.
 
     The mean runs over DECIMAL(38,6)-cast values: combine-order-
     independent bit-for-bit (the canonical-oracle pattern).
@@ -360,10 +362,12 @@ def ohlc_candles(
                      F.expr(f"(_eus div {int(bucket_us)}) * {int(bucket_us)}"))
     return (d.groupBy(*key, "bucket_us").agg(
         F.count(F.lit(1)).alias("n"),
-        F.min_by("_v", "_eus").alias("open"),
+        F.min(F.struct(F.col("_eus").alias("t"),
+                       F.col("_v").alias("v"))).getField("v").alias("open"),
         F.max("_v").alias("high"),
         F.min("_v").alias("low"),
-        F.max_by("_v", "_eus").alias("close"),
+        F.max(F.struct(F.col("_eus").alias("t"),
+                       F.col("_v").alias("v"))).getField("v").alias("close"),
         F.sum(F.col("_v").cast("decimal(38,6)")).alias("__sum"))
         .withColumn("mean4", F.round(
             (F.col("__sum").cast("double") / F.col("n").cast("double")), 4))

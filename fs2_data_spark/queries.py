@@ -3605,6 +3605,46 @@ def streaming_tumbling_smoke(spark, sf_dir):
         "user_id", "win_start_us", "win_end_us", "n", "sum_v_us")
 
 
+@_q("streaming_candles_smoke", """
+WITH b AS (SELECT user_id, (epoch_us(ts) // 86400000000) * 86400000000
+                    AS win_start_us, epoch_us(ts) AS t, value
+           FROM events WHERE user_id < 50)
+SELECT user_id, win_start_us,
+       (min(row(t, value)))[2] AS open,
+       max(value) AS high, min(value) AS low,
+       (max(row(t, value)))[2] AS close,
+       count(*) AS n,
+       SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS sum_v_us
+FROM b GROUP BY user_id, win_start_us
+""")
+def streaming_candles_smoke(spark, sf_dir):
+    """Streaming daily OHLC candles (``streaming/windows.py
+    streaming_candles``) driven to completion with availableNow. Open
+    and close ride (event_us, value) struct min/max — associative, so
+    the finalized windows are batch-boundary- and arrival-order-
+    independent, and the DuckDB batch GROUP BY (struct min/max + index
+    extract) replays them exactly — the streaming twin of
+    `ohlc_events`."""
+    import os  # noqa: PLC0415
+
+    from fs2_data_spark.streaming.windows import streaming_candles
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50).select(
+        "user_id", "ts", "value")
+    src = f"/tmp/fs2_stream_src_oc_{abs(hash(sf_dir)) % 10**9}"
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = streaming_candles(stream, key="user_id", ts="ts", value="value",
+                            width="1 day", watermark="10000 days")
+    name = _stream_query_name(spark, "fs2ds_stream_oc_smoke")
+    q = (out.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", "win_start_us", "open", "high", "low", "close",
+        "n", "sum_v_us")
+
+
 @_q("cbor_transcode_roundtrip", """
 SELECT doc_id, text AS t, lang AS l, CAST(TRUE AS BOOLEAN) AS ok FROM documents
 """)

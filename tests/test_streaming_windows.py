@@ -59,3 +59,31 @@ def test_sliding_each_event_in_two_windows(spark, tmp_path):
     for r in rows:
         assert r.win_end_us - r.win_start_us == 600_000_000
         assert r.win_start_us % 300_000_000 == 0
+
+
+def test_candles_equal_batch_operator_across_batch_sizes(spark, tmp_path):
+    """Finalized streaming candles must equal the batch ohlc_candles
+    (parity) REGARDLESS of micro-batch slicing — the struct-min/max
+    accumulators are associative, so maxFilesPerTrigger=1 over many part
+    files (forced multi-batch, arbitrary file order) cannot change them."""
+    from fs2_data_spark.operators.windows import ohlc_candles
+    from fs2_data_spark.streaming.windows import streaming_candles
+
+    df, _ = _events(spark, tmp_path, n=400)
+    src = str(tmp_path / "ev_many")
+    df.repartition(7).write.mode("overwrite").parquet(src)  # 7 part files
+
+    batch = {(r.user_id, r.bucket_us): (r.open, r.high, r.low, r.close, r.n)
+             for r in ohlc_candles(df, key="user_id", ts="ts",
+                                   value="value",
+                                   bucket_us=300_000_000).collect()}
+    for trigger_files in (None, 1):
+        reader = spark.readStream.schema(df.schema)
+        if trigger_files:
+            reader = reader.option("maxFilesPerTrigger", trigger_files)
+        stream = reader.parquet(src)
+        got = _drain(spark, streaming_candles(
+            stream, width="5 minutes"), f"t_candle_{trigger_files}")
+        s = {(r.user_id, r.win_start_us): (r.open, r.high, r.low, r.close,
+                                           r.n) for r in got.collect()}
+        assert s == batch, f"parity broke at maxFilesPerTrigger={trigger_files}"

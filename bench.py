@@ -274,7 +274,8 @@ def main() -> None:
              "snm_pairs_docs", "bloom_prune_docs", "epoch_shuffle_docs",
              "key_skew_audit_events", "ohlc_events",
              "rank_normalize_events", "exact_split_docs",
-             "robust_scale_events", "equidepth_bins_events"]
+             "robust_scale_events", "equidepth_bins_events",
+             "oov_rate_docs", "w_trailing_distinct_events"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

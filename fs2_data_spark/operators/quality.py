@@ -552,3 +552,39 @@ def top_ngram_fraction(
         out_cols.append(top.alias(f"top{n}_count"))
         out_cols.append(F.round(frac, 9).alias(f"top{n}_frac"))
     return docs.select(*out_cols)
+
+
+def oov_rate(
+    docs: DataFrame,
+    tokens: str = "tokens",
+    id_col: str = "doc_id",
+    vocab_size: int = 100,
+) -> DataFrame:
+    """Out-of-vocabulary rate per sequence against the corpus's own top-K
+    token vocabulary — the tokenizer-coverage audit of a training
+    pipeline (a high OOV share marks domain drift, encoding corruption,
+    or a tokenizer/corpus mismatch BEFORE the GPUs find out).
+
+    Two stages, both scale-shaped: (1) the vocabulary = one
+    map-side-combined token count + ``TakeOrderedAndProject`` top-K with
+    the total (count DESC, token) order, collected to a K-entry literal
+    — a bounded planning read, same class as the IVF seeds; (2) a pure
+    per-row membership scan of each sequence against the sorted literal
+    (``array_contains`` over a K-element broadcast value — zero shuffle,
+    zero Python).
+
+    Returns ``(id_col, n_tok, n_oov, oov_rate)`` with rate rounded 6 dp.
+    """
+    t = docs.select(F.explode(F.col(tokens)).alias("__t"))
+    top = (t.groupBy("__t").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.desc("n"), "__t").limit(vocab_size).collect())
+    vocab = sorted(r["__t"] for r in top)
+    vlit = F.array(*[F.lit(v) for v in vocab])
+    tok = F.col(tokens)
+    n_oov = F.size(F.filter(tok, lambda x: ~F.array_contains(vlit, x)))
+    return docs.select(
+        F.col(id_col), F.size(tok).alias("n_tok"),
+        n_oov.alias("n_oov"),
+        F.round(F.when(F.size(tok) > 0,
+                       n_oov.cast("double") / F.size(tok).cast("double"))
+                .otherwise(F.lit(0.0)), 6).alias("oov_rate"))

@@ -1630,6 +1630,56 @@ def tok_vocab_topk(spark, sf_dir):
             .orderBy(F.desc("n"), "token").limit(100))
 
 
+@_q("oov_rate_docs", f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tok FROM documents),
+u AS (SELECT unnest(tok) AS token FROM t),
+vk AS (SELECT token FROM (SELECT token, count(*) AS n FROM u
+                          GROUP BY token ORDER BY n DESC, token LIMIT 100)),
+vl AS (SELECT list(token ORDER BY token) AS v FROM vk)
+SELECT doc_id, CAST(len(tok) AS INTEGER) AS n_tok,
+       CAST(len(list_filter(tok, x -> NOT list_contains(v, x)))
+            AS INTEGER) AS n_oov,
+       ROUND(CASE WHEN len(tok) > 0
+                  THEN CAST(len(list_filter(tok, x -> NOT list_contains(v, x)))
+                            AS DOUBLE) / len(tok)
+                  ELSE 0.0 END, 6) AS oov_rate
+FROM t, vl
+""")
+def oov_rate_docs(spark, sf_dir):
+    """Tokenizer-coverage audit (``operators/quality.py oov_rate``): the
+    per-sequence out-of-vocabulary rate against the corpus's own top-100
+    token vocabulary (total (count DESC, token) order — no cut ties).
+    The vocab is a bounded top-K planning read turned into a K-entry
+    broadcast literal; the scan itself is pure per-row membership, zero
+    shuffle, zero Python."""
+    from fs2_data_spark.operators.quality import oov_rate
+    return oov_rate(_doc_tokens(spark, sf_dir), tokens="tokens",
+                    id_col="doc_id", vocab_size=100)
+
+
+@_q("w_trailing_distinct_events", """
+SELECT event_id, event_type,
+       count(DISTINCT user_id) OVER (PARTITION BY event_type
+             ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         AS trailing_distinct
+FROM events
+""")
+def w_trailing_distinct_events(spark, sf_dir):
+    """EXACT trailing-hour distinct-user count per event
+    (``operators/windows.py trailing_distinct``) — the precise tier
+    beside the mergeable-HLL approximation (`hll_trailing_users_events`):
+    ``collect_set`` over a RANGE frame, O(distinct-per-horizon) state per
+    row — the honest cost of exactness, correct when horizons are
+    bounded; one Exchange + one Sort, zero Python."""
+    from fs2_data_spark.operators.windows import trailing_distinct
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type",
+                                            "ts", "user_id")
+    out = trailing_distinct(ev, key="event_type", ts="ts", of="user_id",
+                            horizon_us=3_600_000_000)
+    return out.select("event_id", "event_type", "trailing_distinct")
+
+
 def _chunk_oracle_sql() -> str:
     from fs2_data_spark.operators.chunking import chunk_tokens_sql
     return chunk_tokens_sql("documents", TOKENS_SQL, window=32, stride=24,

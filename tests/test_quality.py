@@ -296,3 +296,30 @@ def test_top_ngram_shuffle_insensitive_unigrams_not(spark):
            top_ngram_fraction(d, ns=(2,)).collect()}
     assert got[1] == 20       # "spam mail" 20x
     assert got[2] == 19       # "spam spam" 19x (or "mail mail")
+
+
+def test_oov_rate_known_vocab(spark):
+    from fs2_data_spark.operators.quality import oov_rate
+    # tokens 1..4 frequent, 99 rare: with vocab_size=4 the vocab is {1,2,3,4}
+    rows = [(1, [1, 2, 3, 99]), (2, [1, 1, 2, 2]), (3, [99, 98, 1, 2]),
+            (4, [3, 4, 3, 4]), (5, [])]
+    df = spark.createDataFrame(rows, "doc_id bigint, tokens array<int>")
+    got = {r.doc_id: (r.n_oov, r.oov_rate)
+           for r in oov_rate(df, vocab_size=4).collect()}
+    assert got[1] == (1, 0.25)
+    assert got[2] == (0, 0.0)
+    assert got[3] == (2, 0.5)
+    assert got[5] == (0, 0.0)          # empty sequence: defined, not null
+
+
+def test_oov_vocab_cut_deterministic(spark):
+    """Ties at the vocab cut must resolve by the (count DESC, token) total
+    order, so re-runs give the identical vocabulary."""
+    from fs2_data_spark.operators.quality import oov_rate
+    rows = [(i, [10, 20, 30, 40]) for i in range(6)]  # all counts equal
+    df = spark.createDataFrame(rows, "doc_id bigint, tokens array<int>")
+    a = sorted(map(tuple, oov_rate(df, vocab_size=2).collect()))
+    b = sorted(map(tuple, oov_rate(df.repartition(5), vocab_size=2).collect()))
+    assert a == b
+    # vocab must be {10, 20} (smallest tokens win the tie) -> 2 oov each
+    assert all(t[2] == 2 for t in a)

@@ -251,3 +251,21 @@ def test_exact_split_proportions_and_determinism(spark):
     b = sorted(map(tuple, exact_stratified_split(
         df.repartition(13), strata="source", id_col="doc_id").collect()))
     assert a == b  # partitioning-invariant assignment
+
+
+def test_trailing_distinct_exact(spark):
+    import datetime as dt
+    from fs2_data_spark.operators.windows import trailing_distinct
+    T = dt.datetime(2024, 3, 1)
+    rows = [("g", T + dt.timedelta(minutes=m), u, i)
+            for i, (m, u) in enumerate(
+                [(0, 1), (10, 2), (30, 1), (70, 3), (200, 9)])]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, user_id bigint, event_id bigint")
+    got = {r.event_id: r.trailing_distinct
+           for r in trailing_distinct(df, horizon_us=3_600_000_000).collect()}
+    assert got[0] == 1          # {1}
+    assert got[1] == 2          # {1,2}
+    assert got[2] == 2          # {1,2} (dup user)
+    assert got[3] == 3          # 70m: 10,30,70 in window -> {2,1,3}
+    assert got[4] == 1          # everything else expired

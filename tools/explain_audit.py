@@ -157,6 +157,10 @@ AUDITED = [
                              "pruned_scan"]),
     ("equidepth_bins_events", ["no_python", "single_group_shuffle",
                                "pruned_scan"]),
+    # vocab is a collected top-K literal: per-row membership, no join
+    ("oov_rate_docs", ["no_python", "no_exchange", "pruned_scan"]),
+    ("w_trailing_distinct_events", ["no_python", "single_group_shuffle",
+                                    "pruned_scan"]),
 ]
 
 

@@ -275,7 +275,9 @@ def main() -> None:
              "key_skew_audit_events", "ohlc_events",
              "rank_normalize_events", "exact_split_docs",
              "robust_scale_events", "equidepth_bins_events",
-             "oov_rate_docs", "w_trailing_distinct_events"]
+             "oov_rate_docs", "w_trailing_distinct_events",
+             "pit_robust_z_events", "seasonal_baseline_events",
+             "interarrival_events"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

@@ -306,3 +306,114 @@ def equidepth_bins(
     key = [key] if isinstance(key, str) else list(key)
     w = Window.partitionBy(*key).orderBy(F.col(value), F.col(tiebreak))
     return df.withColumn(out_col, F.ntile(k).over(w))
+
+
+def pit_robust_z(
+    df: DataFrame,
+    value: str = "value",
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    out_col: str = "pit_robust_z",
+) -> DataFrame:
+    """POINT-IN-TIME robust normalization: each row scaled by the median
+    and IQR of its key's history UP TO AND INCLUDING itself — the
+    leakage-free tier beside the in-sample :func:`robust_scale` (which
+    lets early rows see late statistics; this one never does, the same
+    ``t' <= t`` contract as the as-of join and :func:`expanding_zscore`).
+
+    ``z = (x - expanding_median) / (expanding_q3 - expanding_q1)`` —
+    IQR, not MAD: an expanding MAD re-centers every deviation on each
+    row's own median, which is inherently O(n^2); expanding quantiles
+    are one frame scan each, and Spark's interpolated ``percentile``
+    window equals DuckDB's ``quantile_cont`` definition exactly
+    ((n-1)*q rank, linear interpolation — parity pinned by the oracle).
+
+    All three quantiles share ONE (key, order, frame) spec — a single
+    WindowExec behind one Exchange + Sort.  Rows whose history has zero
+    IQR (first row, or constant history) yield NULL — scale undefined,
+    stated honestly.  Adds ``med_pit``, ``iqr_pit``, ``out_col``.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    v = F.col(value)
+    w = (Window.partitionBy(*key).orderBy(F.col(ts), F.col(tiebreak))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = df.select(
+        "*",
+        F.percentile(v, 0.5).over(w).alias("med_pit"),
+        (F.percentile(v, 0.75).over(w)
+         - F.percentile(v, 0.25).over(w)).alias("iqr_pit"))
+    z = F.when(F.col("iqr_pit") > 0, (v - F.col("med_pit"))
+               / F.col("iqr_pit"))
+    return out.withColumn(out_col, z)
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    value: str = "value",
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Point-in-time seasonal baseline + residual: each row's expected
+    value is the expanding mean of its key's PAST observations in the
+    same hour-of-week cell (the classic traffic/activity seasonality
+    feature), and the residual is the deseasonalized signal the model
+    should actually learn.  STRICTLY past (frame ends at -1): the row's
+    own value never leaks into its baseline; a first-in-cell row has a
+    NULL baseline, not a self-reference.
+
+    One Exchange on (key, hour-of-week) — the seasonality cell IS the
+    partition key, so at 100 TB the state per task is one running
+    (decimal sum, count) per cell; sums are DECIMAL(27,6), combine-order
+    independent.  Adds ``how`` (0-167), ``seasonal_mean`` (double) and
+    ``seasonal_resid``.
+    """
+    from fs2_data_spark.functions.timeutil import epoch_us
+
+    key = [key] if isinstance(key, str) else list(key)
+    v = F.col(value)
+    # hour-of-week from the epoch (Thursday-anchored like Unix): exact
+    # integer arithmetic, identical in any engine
+    how = F.expr(f"(unix_micros(CAST({ts} AS TIMESTAMP)) div 3600000000) % 168")
+    d = df.withColumn("how", how.cast("int"))
+    w = (Window.partitionBy(*key, "how")
+         .orderBy(epoch_us(F.col(ts)), F.col(tiebreak))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    base = (F.sum(v.cast("decimal(27,6)")).over(w).cast("double")
+            / F.count(v).over(w).cast("double"))
+    d = d.withColumn("seasonal_mean", base)
+    return d.withColumn("seasonal_resid", v - F.col("seasonal_mean"))
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-event inter-arrival features: the gap to the previous event
+    (``dt_us``), the expanding mean gap, and their ratio (``burst`` < 1
+    = arriving faster than this key's history — the burstiness signal
+    behind rate-limit/anomaly features).  Strictly PIT: every statistic
+    is a pure function of rows at ``t' <= t``.
+
+    One Exchange + one Sort; the expanding mean sums exact int64
+    microsecond gaps (no decimal needed — 2^63 us is ~292 k years).
+    First events have NULL dt/ratio, honestly undefined.
+    """
+    from fs2_data_spark.functions.timeutil import epoch_us
+
+    key = [key] if isinstance(key, str) else list(key)
+    wo = Window.partitionBy(*key).orderBy("_eus", F.col(tiebreak))
+    we = wo.rowsBetween(Window.unboundedPreceding, 0)
+    d = (df.withColumn("_eus", epoch_us(F.col(ts)))
+         .withColumn("dt_us", F.col("_eus") - F.lag("_eus").over(wo)))
+    mean_dt = (F.sum("dt_us").over(we).cast("double")
+               / F.count("dt_us").over(we).cast("double"))
+    d = d.withColumn("mean_dt_us", mean_dt)
+    return (d.withColumn(
+        "burst",
+        F.when(F.col("mean_dt_us") > 0,
+               F.col("dt_us").cast("double") / F.col("mean_dt_us")))
+        .drop("_eus"))

@@ -976,6 +976,101 @@ def equidepth_bins_events(spark, sf_dir):
                           tiebreak="event_id", k=10)
 
 
+@_q("pit_robust_z_events", """
+WITH q AS (SELECT event_id, user_id, value,
+             quantile_cont(value, 0.5) OVER w AS med,
+             quantile_cont(value, 0.75) OVER w
+               - quantile_cont(value, 0.25) OVER w AS iqr
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id
+                        ROWS UNBOUNDED PRECEDING))
+SELECT event_id, user_id, value,
+       ROUND(med, 4) AS med4, ROUND(iqr, 4) AS iqr4,
+       ROUND(CASE WHEN iqr > 0 THEN (value - med) / iqr END, 4) AS z4
+FROM q
+""")
+def pit_robust_z_events(spark, sf_dir):
+    """Point-in-time ROBUST normalization (``operators/encoding.py
+    pit_robust_z``): each event scaled by the median and IQR of its
+    key's history up to itself — the leakage-free tier beside the
+    in-sample `robust_scale_events`. Spark's interpolated windowed
+    ``percentile`` equals DuckDB's ``quantile_cont`` definition
+    ((n-1)*q rank, linear interpolation) — the oracle IS that parity
+    claim. Three expanding quantiles share one WindowExec."""
+    from fs2_data_spark.operators.encoding import pit_robust_z
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id",
+                                            "ts", "value")
+    out = pit_robust_z(ev, value="value", key="user_id", ts="ts",
+                       tiebreak="event_id")
+    return out.select("event_id", "user_id", "value",
+                      F.round("med_pit", 4).alias("med4"),
+                      F.round("iqr_pit", 4).alias("iqr4"),
+                      F.round("pit_robust_z", 4).alias("z4"))
+
+
+@_q("seasonal_baseline_events", """
+WITH d AS (SELECT event_id, user_id, epoch_us(ts) AS eus, value,
+                  CAST((epoch_us(ts) // 3600000000) % 168 AS INTEGER) AS how
+           FROM events)
+SELECT event_id, user_id, how, value,
+       ROUND(CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+             / CAST(count(value) OVER w AS DOUBLE), 4) AS seasonal_mean4,
+       ROUND(value - CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+                     / CAST(count(value) OVER w AS DOUBLE), 4)
+         AS seasonal_resid4
+FROM d
+WINDOW w AS (PARTITION BY user_id, how ORDER BY eus, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+""")
+def seasonal_baseline_events(spark, sf_dir):
+    """PIT seasonal baseline (``operators/encoding.py
+    seasonal_baseline``): each event's expected value = expanding mean
+    of its key's STRICTLY PRIOR events in the same hour-of-week cell
+    (frame ends at -1 — the row never sees itself), residual =
+    deseasonalized signal. The (key, cell) pair is the partition key, so
+    state per task is one running (decimal sum, count); DECIMAL(27,6)
+    sums keep the mean combine-order-independent."""
+    from fs2_data_spark.operators.encoding import seasonal_baseline
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id",
+                                            "ts", "value")
+    out = seasonal_baseline(ev, value="value", key="user_id", ts="ts",
+                            tiebreak="event_id")
+    return out.select("event_id", "user_id", "how", "value",
+                      F.round("seasonal_mean", 4).alias("seasonal_mean4"),
+                      F.round("seasonal_resid", 4).alias("seasonal_resid4"))
+
+
+@_q("interarrival_events", """
+WITH d AS (SELECT event_id, user_id, epoch_us(ts) AS eus FROM events),
+l AS (SELECT event_id, user_id, eus,
+             eus - lag(eus) OVER (PARTITION BY user_id
+                                  ORDER BY eus, event_id) AS dt_us
+      FROM d)
+SELECT event_id, user_id, dt_us,
+       ROUND(CAST(sum(dt_us) OVER w AS DOUBLE)
+             / CAST(count(dt_us) OVER w AS DOUBLE), 4) AS mean_dt4,
+       ROUND(CAST(dt_us AS DOUBLE)
+             / (CAST(sum(dt_us) OVER w AS DOUBLE)
+                / CAST(count(dt_us) OVER w AS DOUBLE)), 4) AS burst4
+FROM l
+WINDOW w AS (PARTITION BY user_id ORDER BY eus, event_id
+             ROWS UNBOUNDED PRECEDING)
+""")
+def interarrival_events(spark, sf_dir):
+    """Inter-arrival burstiness features (``operators/encoding.py
+    interarrival_stats``): gap to the previous event, PIT expanding mean
+    gap (exact int64 microsecond sums), and their ratio — the
+    rate-anomaly signal. One Exchange + one Sort; first events NULL."""
+    from fs2_data_spark.operators.encoding import interarrival_stats
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = interarrival_stats(ev, key="user_id", ts="ts",
+                             tiebreak="event_id")
+    return out.select("event_id", "user_id", "dt_us",
+                      F.round("mean_dt_us", 4).alias("mean_dt4"),
+                      F.round("burst", 4).alias("burst4"))
+
+
 @_q("rank_normalize_events", """
 SELECT event_id, event_type, value,
        ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value),

@@ -216,3 +216,61 @@ def test_equidepth_bins_sizes(spark):
     sizes = sorted(r["count"] for r in out)
     assert len(sizes) == 10
     assert sizes == sorted([11, 11, 11, 10, 10, 10, 10, 10, 10, 10])
+
+
+def test_pit_robust_z_zero_leakage(spark):
+    """Perturbing a FUTURE value must not move any earlier row's PIT
+    statistics — the same leakage probe as the as-of join's."""
+    import datetime as dt
+    from fs2_data_spark.operators.encoding import pit_robust_z
+    T = dt.datetime(2024, 2, 1)
+    mk = lambda vals: spark.createDataFrame(  # noqa: E731
+        [("u", i, T + dt.timedelta(minutes=i), v)
+         for i, v in enumerate(vals)],
+        "user_id string, event_id bigint, ts timestamp, value double")
+    base = [5.0, 1.0, 9.0, 4.0, 7.0]
+    a = {r.event_id: (r.med_pit, r.iqr_pit, r.pit_robust_z)
+         for r in pit_robust_z(mk(base)).collect()}
+    b = {r.event_id: (r.med_pit, r.iqr_pit, r.pit_robust_z)
+         for r in pit_robust_z(mk(base[:-1] + [1e9])).collect()}
+    for i in range(4):
+        assert a[i] == b[i], f"future value leaked into row {i}"
+    # hand check row 2: history {5,1,9}: med 5, q1 3, q3 7 -> z = (9-5)/4
+    assert a[2] == (5.0, 4.0, 1.0)
+    assert a[0][2] is None  # single-row history: IQR 0 -> undefined
+
+
+def test_seasonal_baseline_strictly_prior(spark):
+    import datetime as dt
+    from fs2_data_spark.operators.encoding import seasonal_baseline
+    T = dt.datetime(2024, 2, 5)  # Monday
+    week = dt.timedelta(days=7)
+    rows = [("u", 1, T, 10.0), ("u", 2, T + week, 20.0),
+            ("u", 3, T + 2 * week, 99.0),
+            ("u", 4, T + dt.timedelta(hours=1), 7.0)]  # different cell
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id bigint, ts timestamp, value double")
+    got = {r.event_id: r for r in seasonal_baseline(df).collect()}
+    assert got[1].seasonal_mean is None          # first in cell: no self
+    assert got[2].seasonal_mean == 10.0          # only the prior week
+    assert got[3].seasonal_mean == 15.0          # mean(10, 20), not 99
+    assert got[3].seasonal_resid == 99.0 - 15.0
+    assert got[4].seasonal_mean is None          # other hour-of-week cell
+    assert got[1].how == got[2].how == got[3].how != got[4].how
+
+
+def test_interarrival_hand_computed(spark):
+    import datetime as dt
+    from fs2_data_spark.operators.encoding import interarrival_stats
+    T = dt.datetime(2024, 2, 1)
+    rows = [("u", i, T + dt.timedelta(minutes=m))
+            for i, m in enumerate([0, 10, 20, 21])]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id bigint, ts timestamp")
+    got = {r.event_id: r for r in interarrival_stats(df).collect()}
+    m = 60_000_000
+    assert got[0].dt_us is None and got[0].burst is None
+    assert got[1].dt_us == 10 * m and got[1].burst == 1.0
+    assert got[2].burst == 1.0                       # 10m vs mean 10m
+    assert got[3].dt_us == 1 * m
+    assert got[3].burst == (1 * m) / ((10 + 10 + 1) * m / 3)

@@ -161,6 +161,13 @@ AUDITED = [
     ("oov_rate_docs", ["no_python", "no_exchange", "pruned_scan"]),
     ("w_trailing_distinct_events", ["no_python", "single_group_shuffle",
                                     "pruned_scan"]),
+    # three expanding quantiles fused into one WindowExec on one exchange
+    ("pit_robust_z_events", ["no_python", "single_group_shuffle",
+                             "single_fused_window", "pruned_scan"]),
+    ("seasonal_baseline_events", ["no_python", "single_group_shuffle",
+                                  "pruned_scan"]),
+    ("interarrival_events", ["no_python", "single_group_shuffle",
+                             "pruned_scan"]),
 ]
 
 

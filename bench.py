@@ -277,7 +277,8 @@ def main() -> None:
              "robust_scale_events", "equidepth_bins_events",
              "oov_rate_docs", "w_trailing_distinct_events",
              "pit_robust_z_events", "seasonal_baseline_events",
-             "interarrival_events"]
+             "interarrival_events", "psi_drift_events", "cusum_events",
+             "kl_source_docs"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

@@ -1,0 +1,228 @@
+"""Distribution-drift monitoring operators: PSI, CUSUM, and per-source
+KL divergence — the data-quality observability tier of a training-data
+pipeline (detect when a feature or a corpus source drifts away from the
+distribution the model was trained on).
+
+Reference heritage: fs2-data's transforms are *pure functions of the
+stream prefix* (each parser step sees only what has arrived —
+``json/src/main/scala/fs2/data/json/internals/TokenParser.scala`` pulls
+strictly left-to-right), so every monitor here is likewise either a pure
+aggregate over a declared window of the stream (PSI, KL) or a prefix-only
+recurrence (CUSUM).  No operator looks into the future of the stream it
+scores.
+
+Determinism contract (canonical-oracle pattern shared with
+``operators/encoding.py``): counts and min/max are exact; per-row double
+arithmetic (div/ln) is IEEE-identical across engines; every multi-row sum
+of double terms is made order-independent by rounding each term to a fixed
+number of decimals and accumulating in DECIMAL(38,12), which is exact and
+associative.  A DuckDB replay of the same SQL is then bit-identical.
+
+Scale notes (100 TB): every stage is a map-side-combinable aggregation on
+a bounded key space (groups x bins, vocab x sources) or a single
+range-partitioned window pass; the only joins are broadcasts of tiny
+per-group statistic tables.  Nothing is quadratic in the corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from fs2_data_spark.functions.timeutil import epoch_us
+
+_DEC = "decimal(38,12)"
+
+
+def psi_drift(
+    df: DataFrame,
+    value: str = "value",
+    group: str | Sequence[str] = "event_type",
+    ts: str = "ts",
+    split: str = "2024-01-16 00:00:00",
+    k: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Population Stability Index of ``value`` per ``group`` between the
+    baseline period (``ts < split``) and the current period
+    (``ts >= split``)::
+
+        PSI = sum_i (p_i - q_i) * ln(p_i / q_i)
+
+    over ``k`` equal-width bins whose edges come from the BASELINE
+    period's per-group [min, max] (the deployed-scorecard convention:
+    bins are frozen at fit time; current-period outliers clamp into the
+    edge bins).  Proportions are Laplace-smoothed,
+    ``p_i = (c_i + 1/2) / (N + k/2)``, so empty bins never divide by
+    zero and the full bin grid (including bins empty in BOTH periods)
+    contributes its exact smoothed term — the grid is materialized
+    explicitly (groups x k rows) rather than relying on observed
+    (group, bin) pairs, which would silently drop nonzero terms
+    whenever the two periods have different totals.
+
+    Rule of thumb: PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25
+    action required.
+
+    Scale shape: one scan -> (group, bin, period) counts (map-side
+    combined, key space = |groups| x k x 2); baseline min/max is an
+    exact per-group aggregate broadcast back; the final fold is over k
+    rows per group.  Zero window functions, zero big-table joins.
+
+    Determinism: bin index is ``floor((v - lo) / (hi - lo) * k)``
+    clamped to [0, k-1] — double division is IEEE-identical per row
+    given the exact lo/hi; per-bin terms are rounded to 9 dp and summed
+    in DECIMAL(38,12) (order-free), final PSI rounded to ``round_dp``.
+
+    Returns one row per group: ``n_base``, ``n_cur``, ``lo``, ``hi``,
+    ``psi`` — groups with no baseline rows or a degenerate range
+    (lo == hi) are dropped (PSI undefined; stated honestly).
+    """
+    group = [group] if isinstance(group, str) else list(group)
+    v = F.col(value)
+    cur = (F.col(ts) >= F.lit(split)).cast("int")
+
+    stats = (df.filter(F.col(ts) < F.lit(split))
+             .groupBy(*group)
+             .agg(F.min(v).alias("lo"), F.max(v).alias("hi"),
+                  F.count(v).alias("n_base"))
+             .filter(F.col("lo") < F.col("hi")))
+
+    ev = df.join(F.broadcast(stats), on=group, how="inner")
+    binx = F.least(
+        F.lit(k - 1),
+        F.greatest(F.lit(0), F.floor(
+            (v - F.col("lo")) / (F.col("hi") - F.col("lo")) * F.lit(k)
+        ).cast("int")))
+    counts = (ev.select(*group, "lo", "hi", "n_base",
+                        binx.alias("_bin"), cur.alias("_cur"))
+              .groupBy(*group, "lo", "hi", "n_base", "_bin")
+              .agg(F.sum(F.when(F.col("_cur") == 0, 1).otherwise(0))
+                    .alias("_cb"),
+                   F.sum(F.when(F.col("_cur") == 1, 1).otherwise(0))
+                    .alias("_cc")))
+
+    # materialize the full bin grid so empty bins keep their smoothed term
+    grid = (stats.select(*group, "lo", "hi", "n_base",
+                         F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+                          .alias("_bin")))
+    full = (grid.join(counts, on=[*group, "lo", "hi", "n_base", "_bin"],
+                      how="left")
+            .fillna({"_cb": 0, "_cc": 0}))
+
+    wg = Window.partitionBy(*group)
+    n_cur = F.sum("_cc").over(wg)
+    pb = ((F.col("_cb").cast("double") + F.lit(0.5))
+          / (F.col("n_base").cast("double") + F.lit(k / 2.0)))
+    pc = ((F.col("_cc").cast("double") + F.lit(0.5))
+          / (n_cur.cast("double") + F.lit(k / 2.0)))
+    term = F.round((pb - pc) * F.log(pb / pc), 9)
+    out = (full.withColumn("n_cur", n_cur)
+           .withColumn("_term", term)
+           .groupBy(*group, "lo", "hi", "n_base", "n_cur")
+           .agg(F.round(F.sum(F.col("_term").cast(_DEC)).cast("double"),
+                        round_dp).alias("psi")))
+    return out
+
+
+def cusum_drift(
+    df: DataFrame,
+    value: str = "value",
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    target: float = 50.0,
+    slack: float = 5.0,
+    h: float = 500.0,
+) -> DataFrame:
+    """One-sided CUSUM change detection per key: the classic sequential
+    drift statistic ``S_i = max(0, S_{i-1} + (x_i - target - slack))``
+    with alarm when ``S_i > h`` — flags a persistent upward shift of the
+    mean while a zero-mean process keeps S pinned near 0.  Strictly
+    point-in-time: ``S_i`` is a pure function of rows at ``t' <= t``.
+
+    The recurrence looks inherently sequential, but it has the exact
+    prefix closed form
+
+        ``S_i = P_i - min(0, min_{j<=i} P_j)``,  ``P_i = sum_{j<=i} d_j``
+
+    (induction: ``max(0, P_{i-1} - m_{i-1} + d_i) = P_i - min(P_i,
+    m_{i-1})``), so the whole per-key series is two expanding window
+    aggregates over ONE partition sort — no sequential kernel, no
+    ``applyInPandas``, and any engine replays it exactly: deviations are
+    quantized to DECIMAL(27,6) per row (exact), prefix sums and the
+    running minimum stay in decimal (associative), and only the final
+    statistic is cast to double.
+
+    Scale shape: one Exchange + one Sort on the key; both window passes
+    reuse the sorted partitions.  Adds ``cusum`` (double, 6 dp) and
+    ``alarm`` (boolean).
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    d = (F.col(value) - F.lit(float(target)) - F.lit(float(slack))
+         ).cast("decimal(27,6)")
+    wo = Window.partitionBy(*key).orderBy("_eus", F.col(tiebreak))
+    we = wo.rowsBetween(Window.unboundedPreceding, 0)
+    out = (df.withColumn("_eus", epoch_us(F.col(ts)))
+           .withColumn("_p", F.sum(d).over(we))
+           .withColumn("_m", F.least(F.lit(0).cast("decimal(38,6)"),
+                                     F.min("_p").over(we))))
+    s = (F.col("_p").cast("decimal(38,6)") - F.col("_m")).cast("double")
+    return (out.withColumn("cusum", F.round(s, 6))
+            .withColumn("alarm", F.col("cusum") > F.lit(float(h)))
+            .drop("_eus", "_p", "_m"))
+
+
+def kl_source_divergence(
+    docs: DataFrame,
+    tokens: str = "tokens",
+    source: str = "source",
+    alpha: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-source token-distribution divergence: ``KL(P_source ||
+    P_corpus)`` over unigram distributions with add-``alpha`` smoothing
+    on the corpus-wide vocabulary — the standard "which ingest source
+    has drifted away from the mixture" monitor (and, symmetrically, a
+    domain-similarity weight for mixture re-balancing).
+
+    ``p_s(t) = (c_st + a) / (N_s + a*V)``, ``p_c(t) = (c_t + a) /
+    (N + a*V)``; both are proper distributions over the same support, so
+    KL >= 0 (Gibbs) with equality iff the source matches the corpus.
+    The full vocab x source grid is materialized (tokens the source
+    never emitted still carry smoothed mass) — vocab-bounded, not
+    corpus-bounded, so the grid stays tiny at any corpus size.
+
+    Scale shape: one explode -> (source, token) counts (map-side
+    combined, the only corpus-sized pass); corpus marginals derive from
+    those partials (re-aggregation of the small table, NOT a second
+    corpus scan); the grid join is |V| x |sources|.  Per-term doubles
+    are rounded to 9 dp and accumulated in DECIMAL(38,12).
+
+    Returns one row per source: ``n_tok_src``, ``vocab_src``, ``kl``.
+    """
+    tok = (docs.select(source, F.explode(F.col(tokens)).alias("_t"))
+           .groupBy(source, "_t").agg(F.count(F.lit(1)).alias("_cst")))
+    tok = tok.persist()
+    corpus = tok.groupBy("_t").agg(F.sum("_cst").alias("_ct"))
+    totals = (tok.groupBy(source)
+              .agg(F.sum("_cst").alias("_ns"),
+                   F.count(F.lit(1)).alias("vocab_src")))
+    nv = corpus.agg(F.sum("_ct").alias("_n"),
+                    F.count(F.lit(1)).alias("_v"))
+
+    grid = (totals.crossJoin(F.broadcast(corpus))
+            .crossJoin(F.broadcast(nv))
+            .join(tok, on=[source, "_t"], how="left")
+            .fillna({"_cst": 0}))
+    a = F.lit(float(alpha))
+    ps = ((F.col("_cst").cast("double") + a)
+          / (F.col("_ns").cast("double") + a * F.col("_v").cast("double")))
+    pc = ((F.col("_ct").cast("double") + a)
+          / (F.col("_n").cast("double") + a * F.col("_v").cast("double")))
+    term = F.round(ps * F.log(ps / pc), 9)
+    return (grid.withColumn("_term", term)
+            .groupBy(source, "_ns", "vocab_src")
+            .agg(F.round(F.sum(F.col("_term").cast(_DEC)).cast("double"),
+                         round_dp).alias("kl"))
+            .withColumnRenamed("_ns", "n_tok_src"))

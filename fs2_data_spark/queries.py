@@ -1071,6 +1071,121 @@ def interarrival_events(spark, sf_dir):
                       F.round("burst", 4).alias("burst4"))
 
 
+@_q("psi_drift_events", """
+WITH stats AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi,
+         count(value) AS n_base
+  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+  GROUP BY event_type HAVING min(value) < max(value)),
+binned AS (
+  SELECT e.event_type, s.lo, s.hi, s.n_base,
+         LEAST(9, GREATEST(0, CAST(FLOOR((e.value - s.lo) / (s.hi - s.lo)
+                                         * 10) AS INTEGER))) AS bin,
+         CASE WHEN e.ts >= TIMESTAMP '2024-01-16 00:00:00'
+              THEN 1 ELSE 0 END AS cur
+  FROM events e JOIN stats s USING (event_type)),
+counts AS (
+  SELECT event_type, lo, hi, n_base, bin,
+         SUM(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS cb,
+         SUM(CASE WHEN cur = 1 THEN 1 ELSE 0 END) AS cc
+  FROM binned GROUP BY event_type, lo, hi, n_base, bin),
+grid AS (
+  SELECT s.event_type, s.lo, s.hi, s.n_base, g.bin
+  FROM stats s CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) g),
+filled AS (
+  SELECT g.event_type, g.lo, g.hi, g.n_base, g.bin,
+         COALESCE(c.cb, 0) AS cb, COALESCE(c.cc, 0) AS cc
+  FROM grid g LEFT JOIN counts c
+    ON c.event_type = g.event_type AND c.bin = g.bin),
+w AS (SELECT *, SUM(cc) OVER (PARTITION BY event_type) AS n_cur FROM filled)
+SELECT event_type, lo, hi, n_base, CAST(n_cur AS BIGINT) AS n_cur,
+       ROUND(CAST(SUM(CAST(ROUND(
+         ((cb + 0.5) / (n_base + 5.0) - (cc + 0.5) / (n_cur + 5.0))
+         * ln(((cb + 0.5) / (n_base + 5.0))
+              / ((cc + 0.5) / (n_cur + 5.0))), 9)
+         AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
+FROM w GROUP BY event_type, lo, hi, n_base, n_cur
+""")
+def psi_drift_events(spark, sf_dir):
+    """Population Stability Index per event_type between the first and
+    second half of the stream (``operators/drift.py psi_drift``): 10
+    equal-width bins frozen on the BASELINE period's exact per-group
+    [min, max], Laplace-smoothed proportions, full bin grid materialized
+    so empty bins keep their smoothed term. One corpus scan -> bounded
+    (group, bin, period) counts; per-bin terms rounded to 9 dp and
+    summed in DECIMAL(38,12) (order-free)."""
+    from fs2_data_spark.operators.drift import psi_drift
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return psi_drift(ev, value="value", group="event_type", ts="ts",
+                     split="2024-01-16 00:00:00", k=10)
+
+
+@_q("cusum_events", """
+WITH d AS (SELECT event_id, user_id, value, epoch_us(ts) AS eus,
+                  CAST(value - 55.0 AS DECIMAL(27,6)) AS dev
+           FROM events),
+p AS (SELECT *, SUM(dev) OVER (PARTITION BY user_id ORDER BY eus, event_id
+                               ROWS UNBOUNDED PRECEDING) AS pf
+      FROM d),
+m AS (SELECT *, LEAST(CAST(0 AS DECIMAL(38,6)),
+                      MIN(pf) OVER (PARTITION BY user_id
+                                    ORDER BY eus, event_id
+                                    ROWS UNBOUNDED PRECEDING)) AS mn
+      FROM p)
+SELECT event_id, user_id, value,
+       ROUND(CAST(CAST(pf AS DECIMAL(38,6)) - mn AS DOUBLE), 6) AS cusum,
+       (CAST(CAST(pf AS DECIMAL(38,6)) - mn AS DOUBLE) > 500.0) AS alarm
+FROM m
+""")
+def cusum_events(spark, sf_dir):
+    """One-sided CUSUM drift statistic per user (``operators/drift.py
+    cusum_drift``): S_i = max(0, S_{i-1} + (value - 55)) with alarm at
+    S > 500, computed via the exact prefix closed form S_i = P_i -
+    min(0, min_{j<=i} P_j) — two expanding window aggregates over ONE
+    partition sort instead of a sequential kernel. Deviations quantized
+    to DECIMAL(27,6); prefix sums and running min stay decimal (exact,
+    associative), so the DuckDB replay is bit-identical."""
+    from fs2_data_spark.operators.drift import cusum_drift
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts",
+                                            "value")
+    out = cusum_drift(ev, value="value", key="user_id", ts="ts",
+                      tiebreak="event_id", target=50.0, slack=5.0, h=500.0)
+    return out.select("event_id", "user_id", "value", "cusum", "alarm")
+
+
+@_q("kl_source_docs", f"""
+WITH tok AS (SELECT source, unnest({TOKENS_SQL}) AS t FROM documents),
+cst AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t),
+ct AS (SELECT t, CAST(SUM(c) AS BIGINT) AS ct FROM cst GROUP BY t),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns,
+               count(*) AS vocab FROM cst GROUP BY source),
+nv AS (SELECT CAST(SUM(ct) AS BIGINT) AS n, count(*) AS v FROM ct),
+grid AS (
+  SELECT tot.source, tot.ns, tot.vocab, ct.t, ct.ct, nv.n, nv.v,
+         COALESCE(cst.c, 0) AS c
+  FROM tot CROSS JOIN ct CROSS JOIN nv
+  LEFT JOIN cst ON cst.source = tot.source AND cst.t = ct.t)
+SELECT source, ns AS n_tok_src, CAST(vocab AS BIGINT) AS vocab_src,
+       ROUND(CAST(SUM(CAST(ROUND(
+         ((c + 0.5) / (ns + 0.5 * v))
+         * ln(((c + 0.5) / (ns + 0.5 * v)) / ((ct + 0.5) / (n + 0.5 * v))),
+         9) AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl
+FROM grid GROUP BY source, ns, vocab
+""")
+def kl_source_docs(spark, sf_dir):
+    """Per-source token-distribution divergence (``operators/drift.py
+    kl_source_divergence``): KL(P_source || P_corpus) over add-1/2
+    smoothed unigram distributions on the corpus vocabulary — the
+    source-drift / mixture-rebalancing monitor. One corpus-sized
+    explode+count; corpus marginals re-aggregate the small count table;
+    the vocab x source grid keeps smoothed mass for unseen tokens.
+    Terms rounded to 9 dp, DECIMAL(38,12) sum (order-free)."""
+    from fs2_data_spark.operators.drift import kl_source_divergence
+    docs = _doc_tokens(spark, sf_dir)
+    return kl_source_divergence(docs, tokens="tokens", source="source",
+                                alpha=0.5)
+
+
 @_q("rank_normalize_events", """
 SELECT event_id, event_type, value,
        ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value),

@@ -168,6 +168,16 @@ AUDITED = [
                                   "pruned_scan"]),
     ("interarrival_events", ["no_python", "single_group_shuffle",
                              "pruned_scan"]),
+    # drift monitors: PSI's baseline-stats side broadcasts back onto the
+    # stream; the bin grid is groups x k rows
+    ("psi_drift_events", ["no_python", "broadcast", "no_cartesian",
+                          "pruned_scan"]),
+    # both expanding window passes (prefix sum + running min) share the
+    # one user_id exchange
+    ("cusum_events", ["no_python", "single_group_shuffle", "pruned_scan"]),
+    # the vocab x source grid builds from bounded broadcast-NL crosses by
+    # design (vocab-bounded sides), so no_cartesian does not apply
+    ("kl_source_docs", ["no_python", "broadcast", "pruned_scan"]),
 ]
 
 

@@ -278,7 +278,9 @@ def main() -> None:
              "oov_rate_docs", "w_trailing_distinct_events",
              "pit_robust_z_events", "seasonal_baseline_events",
              "interarrival_events", "psi_drift_events", "cusum_events",
-             "kl_source_docs"]
+             "kl_source_docs", "edit_pairs_docs", "skipgram_pairs_docs",
+             "k_anonymity_events", "session_transitions_events",
+             "trend_slope_events", "mi_features_events"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

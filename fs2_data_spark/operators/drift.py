@@ -226,3 +226,62 @@ def kl_source_divergence(
             .agg(F.round(F.sum(F.col("_term").cast(_DEC)).cast("double"),
                          round_dp).alias("kl"))
             .withColumnRenamed("_ns", "n_tok_src"))
+
+
+def mutual_information(
+    df: DataFrame,
+    cat: str = "event_type",
+    value: str = "value",
+    k: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Mutual information between a categorical column and a binned
+    numeric feature — the model-free feature-relevance score (MI = 0
+    iff independent; higher = the feature carries more information
+    about the class)::
+
+        MI = sum_{t,b} p(t,b) * ln( p(t,b) / (p(t) * p(b)) )
+
+    over ``k`` equal-width bins on the GLOBAL exact [min, max] of
+    ``value``.  Every probability is a ratio of exact counts, each term
+    is one chain of IEEE ops on identical operands in any engine
+    (rounded to 9 dp), and the MI total is their DECIMAL(38,12) sum —
+    the module's standard order-free discipline.
+
+    Returns the full contingency table (one row per observed (cat,
+    bin) cell): ``n_tb``, ``n_t``, ``n_b``, ``n``, ``term`` (9 dp) and
+    the repeated scalar ``mi`` (``round_dp``) — emitting the cells
+    makes the oracle check every marginal, not just one number.
+    Unobserved cells contribute exactly 0 to MI (p(t,b) = 0), so the
+    observed table IS the complete sum — no grid materialization needed
+    (unlike the smoothed PSI/KL, where empty cells carry mass).
+
+    Scale shape: one exact global min/max (1-row broadcast), one
+    map-side-combined (cat, bin) count, windows over the tiny
+    |cats| x k table.  Nothing downstream of the first agg scales with
+    the corpus.
+    """
+    v = F.col(value)
+    mm = df.agg(F.min(v).alias("_lo"), F.max(v).alias("_hi"))
+    d = df.crossJoin(F.broadcast(mm)).filter(F.col("_lo") < F.col("_hi"))
+    binx = F.least(
+        F.lit(k - 1),
+        F.greatest(F.lit(0), F.floor(
+            (v - F.col("_lo")) / (F.col("_hi") - F.col("_lo")) * F.lit(k)
+        ).cast("int")))
+    cells = (d.select(F.col(cat).alias("cat"), binx.alias("bin"))
+             .groupBy("cat", "bin").agg(F.count(F.lit(1)).alias("n_tb")))
+    wt = Window.partitionBy("cat")
+    wb = Window.partitionBy("bin")
+    wall = Window.partitionBy()
+    cells = (cells
+             .withColumn("n_t", F.sum("n_tb").over(wt))
+             .withColumn("n_b", F.sum("n_tb").over(wb))
+             .withColumn("n", F.sum("n_tb").over(wall)))
+    p_tb = F.col("n_tb").cast("double") / F.col("n").cast("double")
+    lift = (F.col("n_tb").cast("double") * F.col("n").cast("double")
+            / (F.col("n_t").cast("double") * F.col("n_b").cast("double")))
+    cells = cells.withColumn("term", F.round(p_tb * F.log(lift), 9))
+    mi = F.round(F.sum(F.col("term").cast(_DEC)).over(wall)
+                 .cast("double"), round_dp)
+    return cells.withColumn("mi", mi)

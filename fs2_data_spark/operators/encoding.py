@@ -417,3 +417,64 @@ def interarrival_stats(
         F.when(F.col("mean_dt_us") > 0,
                F.col("dt_us").cast("double") / F.col("mean_dt_us")))
         .drop("_eus"))
+
+
+def trend_slope(
+    df: DataFrame,
+    value: str = "value",
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Per-key OLS trend: slope and intercept of ``value`` regressed on
+    time — the classic "is this entity drifting up or down" feature
+    (activity trend, burn rate, sensor drift).
+
+    ``x`` is integer seconds since the KEY'S OWN first event (exact:
+    microsecond epoch diff div 10^6), which both conditions the
+    numerics (small x, no 10^15 epoch magnitudes) and makes the
+    intercept meaningful (fitted value at the key's first event).
+
+    Closed form over exact sufficient statistics::
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+        intercept = (Sy - slope*Sx) / n
+
+    ``n, Sx, Sxx`` are exact int64, ``Sy, Sxy`` exact DECIMAL — all five
+    are combine-order independent, so the one map-side-combined
+    aggregation is deterministic at any parallelism; the closed form is
+    then evaluated in double on identical operands in any engine
+    (bit-identical, the ``expanding_zscore`` discipline).  Keys with
+    n < 2 or zero time-variance yield NULL slope/intercept (honest
+    "trend undefined").
+
+    Scale shape: one window pass for the per-key epoch minimum and the
+    final groupBy share the SAME hash partitioning — Spark plans ONE
+    Exchange.  Output: key, ``n``, ``slope`` (10 dp), ``intercept``
+    (6 dp).
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    wk = Window.partitionBy(*key)
+    d = (df.withColumn("_eus", epoch_us(F.col(ts)))
+         .withColumn("_dus", F.col("_eus") - F.min("_eus").over(wk))
+         # exact integer division (a double `/` + cast could truncate
+         # one low; SQL `div` is exact in both engines)
+         .withColumn("_x", F.expr("_dus div 1000000")))
+    y = F.col(value)
+    agg = (d.groupBy(*key).agg(
+        F.count(value).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(y.cast("decimal(27,6)")).alias("_sy"),
+        F.sum((F.col("_x").cast("decimal(15,0)")
+               * y.cast("decimal(15,6)")).cast(_DEC)).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx")))
+    nd = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    den = nd * sxx - sx * sx
+    slope = F.when(den > 0, (nd * sxy - sx * sy) / den)
+    intercept = F.when(den > 0, (sy - slope * sx) / nd)
+    return (agg.withColumn("slope", F.round(slope, 10))
+            .withColumn("intercept", F.round(intercept, 6))
+            .drop("_sx", "_sy", "_sxy", "_sxx"))

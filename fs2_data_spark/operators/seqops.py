@@ -99,3 +99,45 @@ def fim_transform(
             .withColumn("cut_hi", F.when(applied, hi).otherwise(F.lit(0)))
             .withColumn("fim_applied", applied)
             .withColumn("fim_tokens", F.when(applied, fim).otherwise(t)))
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    tokens: str = "tokens",
+    window: int = 2,
+) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts — the
+    training-pair generator behind word2vec-style embedding pretraining
+    and the raw material for PMI/co-occurrence matrices.
+
+    For every position ``p`` in every sequence, each token at distance
+    ``1..window`` on either side contributes one ``(center, context)``
+    pair; pairs are then count-aggregated corpus-wide.
+
+    Scale design: the naive formulation is a positional self-join
+    (corpus x corpus within doc) — two shuffles of the exploded corpus.
+    This operator instead builds each position's context list with pure
+    array HOFs (two O(window) slices per element, ``O(n * window)`` per
+    document, zero joins), explodes once, and feeds ONE map-side-
+    combined count aggregation whose key space is bounded by observed
+    vocab^2, not by corpus size.  No Python anywhere.
+
+    Output: ``center int, context int, cnt bigint``.
+    """
+    t = F.col(tokens)
+    n = F.size(t)
+    # p is the 1-based position of the center; neighbors are the window
+    # positions left and right of p, clamped to the sequence bounds
+    pairs = F.flatten(F.transform(
+        t,
+        lambda c, i: F.transform(
+            F.concat(
+                F.slice(t, F.greatest(F.lit(1), i + 1 - window),
+                        (i + 1) - F.greatest(F.lit(1), i + 1 - window)),
+                F.slice(t, i + 2,
+                        F.least(n, i + 1 + window) - (i + 1))),
+            lambda ctx: F.struct(c.alias("center"), ctx.alias("context")))))
+    return (docs.select(F.explode(pairs).alias("_pr"))
+            .select("_pr.center", "_pr.context")
+            .groupBy("center", "context")
+            .agg(F.count(F.lit(1)).alias("cnt")))

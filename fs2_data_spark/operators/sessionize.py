@@ -64,3 +64,42 @@ def session_aggregate(
     if value is not None:
         aggs.append(F.sum(value).alias(f"sum_{value}"))
     return s.groupBy(*key, "session_seq").agg(*aggs)
+
+
+def session_transitions(
+    df: DataFrame,
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    state: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix of the ``state`` column:
+    count and conditional probability of each ``(from_state, to_state)``
+    step over every key's time-ordered event sequence — the behavioral
+    "what follows what" feature behind next-action models and
+    anomalous-flow detection.
+
+    ``p = cnt(from, to) / sum_to cnt(from, ·)`` — a single division of
+    two exact bigints (IEEE-identical in any engine; no accumulation
+    of floats anywhere).
+
+    Scale shape: one Exchange + one Sort on the key for the lag, one
+    map-side-combined count aggregation on the |states|^2-bounded pair
+    key, and a window over the tiny count table for the row marginal.
+    Sequences never cross keys: the first event of each key has no
+    transition (lag is NULL there and the row is dropped).
+
+    Output: ``from_state, to_state, cnt bigint, p double (6 dp)``.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    wo = Window.partitionBy(*key).orderBy("_eus", F.col(tiebreak))
+    prev = F.lag(state).over(wo)
+    pairs = (df.withColumn("_eus", epoch_us(F.col(ts)))
+             .select(prev.alias("from_state"), F.col(state).alias("to_state"))
+             .filter(F.col("from_state").isNotNull()))
+    counts = (pairs.groupBy("from_state", "to_state")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    wrow = Window.partitionBy("from_state")
+    return counts.withColumn(
+        "p", F.round(F.col("cnt").cast("double")
+                     / F.sum("cnt").over(wrow).cast("double"), 6))

@@ -1186,6 +1186,188 @@ def kl_source_docs(spark, sf_dir):
                                 alpha=0.5)
 
 
+@_q("edit_pairs_docs", """
+WITH n AS (SELECT doc_id AS id, text AS tx,
+                  CAST(length(text) AS INTEGER) AS len,
+                  substr(text, 1, 16) AS blk
+           FROM documents)
+SELECT a.id AS id_a, b.id AS id_b, a.len AS len_a, b.len AS len_b,
+       CAST(levenshtein(a.tx, b.tx) AS INTEGER) AS lev
+FROM n a JOIN n b
+  ON a.blk = b.blk AND a.id < b.id AND abs(a.len - b.len) <= 16
+WHERE levenshtein(a.tx, b.tx) <= 16
+""")
+def edit_pairs_docs(spark, sf_dir):
+    """Blocked edit-distance record linkage (``operators/linkage.py
+    blocked_edit_pairs``): pairs sharing a 16-char prefix block within
+    Levenshtein distance 16 — the character-level fuzzy-match tier
+    between exact dedup and MinHash. Spark side uses the banded
+    ``levenshtein(l, r, threshold)`` (abandons the DP past the band,
+    O(d*len) per pair); the oracle computes the full distance and
+    filters — identical surviving pairs and values. Block equi-join +
+    length-diff prefilter fence the n^2."""
+    from fs2_data_spark.operators.linkage import blocked_edit_pairs
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return blocked_edit_pairs(docs, text="text", id_col="doc_id",
+                              prefix_len=16, max_dist=16)
+
+
+@_q("skipgram_pairs_docs", f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tok FROM documents),
+u AS (SELECT doc_id, unnest(tok) AS c,
+             generate_subscripts(tok, 1) AS p
+      FROM t)
+SELECT a.c AS center, b.c AS context, count(*) AS cnt
+FROM u a JOIN u b
+  ON a.doc_id = b.doc_id AND a.p <> b.p AND abs(a.p - b.p) <= 2
+GROUP BY a.c, b.c
+""")
+def skipgram_pairs_docs(spark, sf_dir):
+    """Skip-gram (center, context) co-occurrence counts, window 2
+    (``operators/seqops.py skipgram_pairs``) — word2vec-style training
+    pairs. Spark side builds each position's context with two O(window)
+    array slices per element (zero joins, one map-side-combined count
+    agg on a vocab^2-bounded key space); the oracle states the naive
+    positional self-join — a value match certifies the HOF
+    decomposition."""
+    from fs2_data_spark.operators.seqops import skipgram_pairs
+    docs = _doc_tokens(spark, sf_dir)
+    return skipgram_pairs(docs, tokens="tokens", window=2)
+
+
+@_q("k_anonymity_events", """
+SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_sensitive,
+       count(*) < 80 AS k_violation,
+       count(DISTINCT user_id) < 30 AS l_violation
+FROM events GROUP BY event_type, hr
+""")
+def k_anonymity_events(spark, sf_dir):
+    """k-anonymity / l-diversity audit (``operators/governance.py
+    k_anonymity_audit``) on the quasi-identifier (event_type,
+    hour-of-day) with user_id as the sensitive attribute: exact class
+    sizes, exact distinct-sensitive counts (a compliance gate, not a
+    sketch), and both violation flags. One map-side-combined
+    aggregation on the bounded quasi-identifier key."""
+    from fs2_data_spark.operators.governance import k_anonymity_audit
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type", F.hour("ts").alias("hr"), "user_id"))
+    return k_anonymity_audit(ev, quasi=["event_type", "hr"],
+                             sensitive="user_id", k=80, ell=30)
+
+
+@_q("session_transitions_events", """
+WITH d AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS eus
+           FROM events),
+l AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY eus, event_id) AS from_state,
+             event_type AS to_state
+      FROM d),
+c AS (SELECT from_state, to_state, count(*) AS cnt
+      FROM l WHERE from_state IS NOT NULL
+      GROUP BY from_state, to_state)
+SELECT from_state, to_state, cnt,
+       ROUND(CAST(cnt AS DOUBLE)
+             / CAST(SUM(cnt) OVER (PARTITION BY from_state) AS DOUBLE),
+             6) AS p
+FROM c
+""")
+def session_transitions_events(spark, sf_dir):
+    """First-order Markov transition matrix of event_type per user
+    (``operators/sessionize.py session_transitions``): count and
+    conditional probability of each (from, to) step over time-ordered
+    per-key sequences; transitions never cross keys. One key-sorted lag
+    pass + one |states|^2-bounded count agg; p is one exact
+    bigint/bigint division."""
+    from fs2_data_spark.operators.sessionize import session_transitions
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts",
+                                            "event_type")
+    return session_transitions(ev, key="user_id", ts="ts",
+                               tiebreak="event_id", state="event_type")
+
+
+@_q("trend_slope_events", """
+WITH d AS (SELECT user_id, value, epoch_us(ts) AS eus FROM events),
+x AS (SELECT user_id, value,
+             (eus - min(eus) OVER (PARTITION BY user_id)) // 1000000 AS xs
+      FROM d),
+s AS (SELECT user_id,
+             count(value) AS n,
+             SUM(xs) AS sx,
+             SUM(CAST(value AS DECIMAL(27,6))) AS sy,
+             SUM(CAST(CAST(xs AS DECIMAL(15,0))
+                      * CAST(value AS DECIMAL(15,6))
+                      AS DECIMAL(38,12))) AS sxy,
+             SUM(xs * xs) AS sxx
+      FROM x GROUP BY user_id)
+SELECT user_id, n,
+       ROUND(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+         THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END,
+             10) AS slope,
+       ROUND(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+         THEN (CAST(sy AS DOUBLE)
+               - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * CAST(sx AS DOUBLE))
+              / CAST(n AS DOUBLE) END,
+             6) AS intercept
+FROM s
+""")
+def trend_slope_events(spark, sf_dir):
+    """Per-user OLS trend of value over time (``operators/encoding.py
+    trend_slope``): slope/intercept from five exact sufficient
+    statistics (int64 n/Sx/Sxx, DECIMAL Sy/Sxy — combine-order
+    independent), closed form evaluated in double on identical operands
+    in both engines. x = seconds since the key's own first event (exact
+    integer div). The per-key min window and the final agg share one
+    hash partitioning."""
+    from fs2_data_spark.operators.encoding import trend_slope
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return trend_slope(ev, value="value", key="user_id", ts="ts")
+
+
+@_q("mi_features_events", """
+WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+b AS (SELECT e.event_type AS cat,
+             LEAST(9, GREATEST(0, CAST(FLOOR((e.value - mm.lo)
+                 / (mm.hi - mm.lo) * 10) AS INTEGER))) AS bin
+      FROM events e CROSS JOIN mm WHERE mm.lo < mm.hi),
+c AS (SELECT cat, bin, count(*) AS n_tb FROM b GROUP BY cat, bin),
+w AS (SELECT cat, bin, n_tb,
+             CAST(SUM(n_tb) OVER (PARTITION BY cat) AS BIGINT) AS n_t,
+             CAST(SUM(n_tb) OVER (PARTITION BY bin) AS BIGINT) AS n_b,
+             CAST(SUM(n_tb) OVER () AS BIGINT) AS n
+      FROM c),
+t AS (SELECT *, ROUND((CAST(n_tb AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(n_tb AS DOUBLE) * CAST(n AS DOUBLE)
+                  / (CAST(n_t AS DOUBLE) * CAST(n_b AS DOUBLE))), 9) AS term
+      FROM w)
+SELECT cat, bin, n_tb, n_t, n_b, n, term,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) OVER ()
+                  AS DOUBLE), 6) AS mi
+FROM t
+""")
+def mi_features_events(spark, sf_dir):
+    """Mutual information between event_type and the decile-binned
+    value (``operators/drift.py mutual_information``): the model-free
+    feature-relevance score, emitted as the full contingency table
+    (joint + both marginals + per-cell term + repeated MI scalar) so
+    the oracle checks every count, not one number. Exact global
+    min/max, one bounded (cat, bin) count agg, windows over the tiny
+    cell table; terms rounded 9 dp, DECIMAL(38,12) sum."""
+    from fs2_data_spark.operators.drift import mutual_information
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return mutual_information(ev, cat="event_type", value="value", k=10)
+
+
 @_q("rank_normalize_events", """
 SELECT event_id, event_type, value,
        ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value),

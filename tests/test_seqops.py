@@ -69,3 +69,43 @@ def test_fim_empty_middle_legal(spark):
     r = collided[0]
     assert r.fim_tokens.count(50283) == 1
     assert r.fim_tokens[-1] == 50283               # empty middle at the end
+
+
+# ---------------------------------------------------------------------------
+# skip-gram pair generation
+# ---------------------------------------------------------------------------
+
+def test_skipgram_pairs_hand_counted(spark):
+    from fs2_data_spark.operators.seqops import skipgram_pairs
+    d = spark.createDataFrame([(1, [10, 20, 30])],
+                              "doc_id bigint, tokens array<int>")
+    got = {(r.center, r.context): r.cnt
+           for r in skipgram_pairs(d, window=1).collect()}
+    assert got == {(10, 20): 1, (20, 10): 1, (20, 30): 1, (30, 20): 1}
+
+
+def test_skipgram_window_and_symmetry(spark):
+    from fs2_data_spark.operators.seqops import skipgram_pairs
+    d = spark.createDataFrame([(1, [1, 2, 3, 4, 5])],
+                              "doc_id bigint, tokens array<int>")
+    got = {(r.center, r.context): r.cnt
+           for r in skipgram_pairs(d, window=2).collect()}
+    # brute force
+    toks = [1, 2, 3, 4, 5]
+    want = {}
+    for i, c in enumerate(toks):
+        for j in range(max(0, i - 2), min(len(toks), i + 3)):
+            if j != i:
+                want[(c, toks[j])] = want.get((c, toks[j]), 0) + 1
+    assert got == want
+    # symmetric window => count(a,b) == count(b,a)
+    assert all(got[(a, b)] == got[(b, a)] for a, b in got)
+
+
+def test_skipgram_counts_accumulate_across_docs(spark):
+    from fs2_data_spark.operators.seqops import skipgram_pairs
+    d = spark.createDataFrame([(1, [7, 8]), (2, [7, 8]), (3, [8, 7])],
+                              "doc_id bigint, tokens array<int>")
+    got = {(r.center, r.context): r.cnt
+           for r in skipgram_pairs(d, window=3).collect()}
+    assert got == {(7, 8): 3, (8, 7): 3}

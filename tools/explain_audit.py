@@ -178,6 +178,24 @@ AUDITED = [
     # the vocab x source grid builds from bounded broadcast-NL crosses by
     # design (vocab-bounded sides), so no_cartesian does not apply
     ("kl_source_docs", ["no_python", "broadcast", "pruned_scan"]),
+    # blocked linkage: block-key equi-join (broadcast at this SF, SMJ at
+    # scale); the banded levenshtein is a post-join filter
+    ("edit_pairs_docs", ["no_python", "no_cartesian", "pruned_scan"]),
+    # context lists built by array HOFs: the one exchange is the final
+    # vocab^2-bounded count agg
+    ("skipgram_pairs_docs", ["no_python", "single_group_shuffle",
+                             "pruned_scan"]),
+    # exact count-distinct plans as the standard two-phase expand (2
+    # exchanges on the bounded quasi-identifier key)
+    ("k_anonymity_events", ["no_python", "no_cartesian", "pruned_scan"]),
+    ("session_transitions_events", ["no_python", "no_cartesian",
+                                    "pruned_scan"]),
+    # per-key min window + sufficient-stats agg share ONE exchange
+    ("trend_slope_events", ["no_python", "single_group_shuffle",
+                            "pruned_scan"]),
+    # the 1-row global min/max side is a bounded broadcast-NL by design;
+    # marginal windows run over the |cats| x k cell table
+    ("mi_features_events", ["no_python", "broadcast", "pruned_scan"]),
 ]
 
 

@@ -280,7 +280,9 @@ def main() -> None:
              "interarrival_events", "psi_drift_events", "cusum_events",
              "kl_source_docs", "edit_pairs_docs", "skipgram_pairs_docs",
              "k_anonymity_events", "session_transitions_events",
-             "trend_slope_events", "mi_features_events"]
+             "trend_slope_events", "mi_features_events",
+             "future_labels_events", "session_cooccurrence_events",
+             "calibration_events"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

@@ -285,3 +285,58 @@ def mutual_information(
     mi = F.round(F.sum(F.col("term").cast(_DEC)).over(wall)
                  .cast("double"), round_dp)
     return cells.withColumn("mi", mi)
+
+
+def calibration_bins(
+    df: DataFrame,
+    pred: str = "pred",
+    outcome: str = "outcome",
+    k: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Reliability table + Expected Calibration Error of a probabilistic
+    prediction column against a binary outcome — the standard
+    model-monitoring diagnostic (a model can hold its AUC while its
+    probabilities drift off the diagonal; ECE catches that).
+
+    ``pred`` (in [0, 1]) is cut into ``k`` equal-width confidence bins
+    [i/k, (i+1)/k) (pred = 1.0 clamps into the top bin); per bin:
+    ``n_b``, mean confidence ``conf`` (exact DECIMAL(27,6) sum /
+    count), empirical accuracy ``acc`` (exact int ratio), and the
+    weighted gap ``(n_b/N) * |acc - conf|``.  The repeated scalar
+    ``ece`` is the DECIMAL(38,12) sum of the 9-dp-rounded gaps —
+    order-free, engine-exact (the module's standard discipline).
+
+    Bins with no predictions simply don't appear (they contribute 0 to
+    ECE — nothing is smoothed here, unlike PSI/KL, because ECE's terms
+    are n_b-weighted).
+
+    Scale shape: one map-side-combined k-bounded bin aggregation; one
+    unpartitioned window over the <= k-row table.  Output one row per
+    occupied bin: ``bin, n_b, n, conf, acc, gap, ece``.
+    """
+    p = F.col(pred)
+    binx = F.least(F.lit(k - 1),
+                   F.greatest(F.lit(0), F.floor(p * F.lit(k)).cast("int")))
+    cells = (df.select(binx.alias("bin"), p.alias("_p"),
+                       F.col(outcome).cast("int").alias("_y"))
+             .groupBy("bin")
+             .agg(F.count(F.lit(1)).alias("n_b"),
+                  F.sum(F.col("_p").cast("decimal(27,6)")).alias("_sp"),
+                  F.sum("_y").alias("_sy")))
+    wall = Window.partitionBy()
+    n = F.sum("n_b").over(wall)
+    conf = F.round(F.col("_sp").cast("double")
+                   / F.col("n_b").cast("double"), 9)
+    acc = F.round(F.col("_sy").cast("double")
+                  / F.col("n_b").cast("double"), 9)
+    cells = (cells.withColumn("n", n.cast("bigint"))
+             .withColumn("conf", conf)
+             .withColumn("acc", acc))
+    gap = F.round((F.col("n_b").cast("double") / F.col("n").cast("double"))
+                  * F.abs(F.col("acc") - F.col("conf")), 9)
+    cells = cells.withColumn("gap", gap)
+    ece = F.round(F.sum(F.col("gap").cast(_DEC)).over(wall)
+                  .cast("double"), round_dp)
+    return (cells.withColumn("ece", ece)
+            .select("bin", "n_b", "n", "conf", "acc", "gap", "ece"))

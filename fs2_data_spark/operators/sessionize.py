@@ -103,3 +103,57 @@ def session_transitions(
     return counts.withColumn(
         "p", F.round(F.col("cnt").cast("double")
                      / F.sum("cnt").over(wrow).cast("double"), 6))
+
+
+def session_cooccurrence(
+    df: DataFrame,
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    state: str = "event_type",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Market-basket co-occurrence of ``state`` values within gap-based
+    sessions: for every unordered pair ``(a < b)`` report how many
+    sessions contain BOTH, each marginal, and the lift
+    ``N * n_ab / (n_a * n_b)`` (> 1 = the pair co-occurs more than
+    independence predicts) — the session-scoped complement of
+    :func:`session_transitions` (which is ordered and adjacent; this is
+    unordered set co-membership).
+
+    Scale shape: sessionization (one key-sorted window pass) -> DISTINCT
+    (session, state) membership (count bounded by sessions x |states|)
+    -> self-equi-join ON THE SESSION ID (per-session fan-out is
+    ``C(|states in session|, 2)``, bounded by the state-alphabet, never
+    by session length) -> one |states|^2-bounded count agg.  Marginals
+    re-aggregate the membership table; the total session count is a
+    1-row broadcast.  All counts exact; lift is one IEEE chain on exact
+    bigints, rounded to 6 dp.
+
+    Output: ``state_a, state_b, n_ab, n_a, n_b, n_sessions, lift``.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    s = sessionize(df, key=key, ts=ts, gap_s=gap_s)
+    member = (s.select(*key, "session_seq", F.col(state).alias("_st"))
+              .distinct())
+    sess_id = [*key, "session_seq"]
+    n_tot = (member.select(*sess_id).distinct()
+             .agg(F.count(F.lit(1)).alias("n_sessions")))
+    marg = member.groupBy("_st").agg(F.count(F.lit(1)).alias("_n"))
+    a = member.select(*sess_id, F.col("_st").alias("state_a"))
+    b = member.select(*sess_id, F.col("_st").alias("state_b"))
+    pairs = (a.join(b, on=sess_id)
+             .filter(F.col("state_a") < F.col("state_b"))
+             .groupBy("state_a", "state_b")
+             .agg(F.count(F.lit(1)).alias("n_ab")))
+    out = (pairs
+           .join(F.broadcast(marg.withColumnRenamed("_st", "state_a")
+                             .withColumnRenamed("_n", "n_a")), on="state_a")
+           .join(F.broadcast(marg.withColumnRenamed("_st", "state_b")
+                             .withColumnRenamed("_n", "n_b")), on="state_b")
+           .crossJoin(F.broadcast(n_tot)))
+    lift = (F.col("n_sessions").cast("double")
+            * F.col("n_ab").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")))
+    return (out.withColumn("lift", F.round(lift, 6))
+            .select("state_a", "state_b", "n_ab", "n_a", "n_b",
+                    "n_sessions", "lift"))

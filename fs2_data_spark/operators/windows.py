@@ -405,3 +405,51 @@ def trailing_distinct(
     return (d.withColumn(out_col,
                          F.size(F.collect_set(F.col(of)).over(w)))
             .drop("_eus"))
+
+
+def future_outcome_labels(
+    df: DataFrame,
+    value: str = "value",
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    horizon_us: int = 3_600_000_000,
+    outcome: Column | None = None,
+) -> DataFrame:
+    """Forward-looking LABEL generation: for each event, aggregate the
+    key's outcomes in the strictly-future window ``(t, t + horizon]`` —
+    the supervised-learning complement of the engine's point-in-time
+    features (features must only see ``t' <= t``; labels must only see
+    ``t' > t``; mixing the two directions is how target leakage
+    happens).
+
+    Emits ``fut_cnt`` (events in the horizon), ``fut_sum`` (exact
+    decimal sum of ``value``, double, 6 dp) and — when ``outcome`` is
+    given, a boolean/int column expression — ``fut_outcome`` (1 if any
+    future-window row satisfies it: the classification label).
+
+    Execution trick (the reason this is an operator and not a one-line
+    window): Spark evaluates frames ending at ``unboundedFollowing``/
+    large FOLLOWING bounds by rescanning the tail per row (quadratic on
+    big keys).  Sorting DESCENDING by negated event time turns the
+    future window into a trailing RANGE frame — ``neg' in [neg - h,
+    neg - 1]`` is exactly ``t' in (t, t + h]`` in integer microseconds
+    — which Spark streams incrementally in one pass.  Equal-timestamp
+    peers are excluded by construction (strict ``t' > t``), matching
+    the as-of join's tie discipline.  One Exchange + one Sort; all
+    three labels share the single frame.
+    """
+    from fs2_data_spark.functions.timeutil import epoch_us
+
+    key = [key] if isinstance(key, str) else list(key)
+    d = df.withColumn("_neg", -epoch_us(F.col(ts)))
+    w = (Window.partitionBy(*key).orderBy("_neg")
+         .rangeBetween(-int(horizon_us), -1))
+    cols = [F.coalesce(F.count(value).over(w), F.lit(0)).alias("fut_cnt"),
+            F.round(F.coalesce(F.sum(F.col(value).cast("decimal(27,6)"))
+                               .over(w),
+                               F.lit(0).cast("decimal(38,6)"))
+                    .cast("double"), 6).alias("fut_sum")]
+    if outcome is not None:
+        cols.append(F.coalesce(F.max(outcome.cast("int")).over(w), F.lit(0))
+                    .alias("fut_outcome"))
+    return d.select("*", *cols).drop("_neg")

@@ -1368,6 +1368,116 @@ def mi_features_events(spark, sf_dir):
     return mutual_information(ev, cat="event_type", value="value", k=10)
 
 
+@_q("future_labels_events", """
+WITH d AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS eus
+           FROM events)
+SELECT event_id,
+       CAST(COALESCE(count(value) OVER w, 0) AS BIGINT) AS fut_cnt,
+       ROUND(CAST(COALESCE(sum(CAST(value AS DECIMAL(27,6))) OVER w,
+                           0) AS DOUBLE), 6) AS fut_sum,
+       COALESCE(max(CAST(event_type = 'purchase' AS INTEGER)) OVER w, 0)
+         AS fut_outcome
+FROM d
+WINDOW w AS (PARTITION BY user_id ORDER BY eus
+             RANGE BETWEEN 1 FOLLOWING AND 3600000000 FOLLOWING)
+""")
+def future_labels_events(spark, sf_dir):
+    """Forward-looking label generation (``operators/windows.py
+    future_outcome_labels``): per event, count/exact-sum of the key's
+    events in the STRICTLY future window (t, t+1h] plus a
+    did-purchase-within-horizon flag — the supervised-learning
+    complement of the PIT features (labels see only t' > t). Spark
+    evaluates it as a trailing RANGE frame over DESC-negated time (one
+    incremental pass; forward frames rescan the tail per row); the
+    oracle states the direct FOLLOWING frame — a value match certifies
+    the reversal."""
+    from fs2_data_spark.operators.windows import future_outcome_labels
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts",
+                                            "event_type", "value")
+    out = future_outcome_labels(
+        ev, value="value", key="user_id", ts="ts",
+        horizon_us=3_600_000_000,
+        outcome=(F.col("event_type") == "purchase"))
+    return out.select("event_id", "fut_cnt", "fut_sum", "fut_outcome")
+
+
+@_q("session_cooccurrence_events", """
+WITH g AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS flag
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT *, CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_seq
+  FROM g),
+m AS (SELECT DISTINCT user_id, session_seq, event_type AS st FROM s),
+tot AS (SELECT count(*) AS n_sessions
+        FROM (SELECT DISTINCT user_id, session_seq FROM m)),
+marg AS (SELECT st, count(*) AS n FROM m GROUP BY st),
+p AS (SELECT a.st AS state_a, b.st AS state_b, count(*) AS n_ab
+      FROM m a JOIN m b ON a.user_id = b.user_id
+       AND a.session_seq = b.session_seq AND a.st < b.st
+      GROUP BY a.st, b.st)
+SELECT state_a, state_b, n_ab, ma.n AS n_a, mb.n AS n_b, tot.n_sessions,
+       ROUND(CAST(tot.n_sessions AS DOUBLE) * CAST(n_ab AS DOUBLE)
+             / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)), 6) AS lift
+FROM p JOIN marg ma ON ma.st = state_a
+JOIN marg mb ON mb.st = state_b CROSS JOIN tot
+""")
+def session_cooccurrence_events(spark, sf_dir):
+    """Market-basket co-occurrence of event types within 30-min
+    gap-sessions (``operators/sessionize.py session_cooccurrence``):
+    sessions containing both states, marginals, and lift vs
+    independence — the unordered complement of the Markov transition
+    matrix. Membership is DISTINCT (session, state); the self-join fans
+    out C(|states in session|, 2), alphabet-bounded, never
+    length-bounded."""
+    from fs2_data_spark.operators.sessionize import session_cooccurrence
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return session_cooccurrence(ev, key="user_id", ts="ts",
+                                state="event_type", gap_s=1800)
+
+
+@_q("calibration_events", """
+WITH d AS (SELECT LEAST(1.0, value / 500.0) AS pred,
+                  event_type = 'purchase' AS outcome
+           FROM events),
+c AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR(pred * 10) AS INTEGER)))
+         AS bin,
+             count(*) AS n_b,
+             SUM(CAST(pred AS DECIMAL(27,6))) AS sp,
+             SUM(CAST(outcome AS INTEGER)) AS sy
+      FROM d GROUP BY 1),
+w AS (SELECT bin, n_b, CAST(SUM(n_b) OVER () AS BIGINT) AS n,
+             ROUND(CAST(sp AS DOUBLE) / CAST(n_b AS DOUBLE), 9) AS conf,
+             ROUND(CAST(sy AS DOUBLE) / CAST(n_b AS DOUBLE), 9) AS acc
+      FROM c),
+t AS (SELECT *, ROUND((CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))
+                      * abs(acc - conf), 9) AS gap
+      FROM w)
+SELECT bin, n_b, n, conf, acc, gap,
+       ROUND(CAST(SUM(CAST(gap AS DECIMAL(38,12))) OVER () AS DOUBLE), 6)
+         AS ece
+FROM t
+""")
+def calibration_events(spark, sf_dir):
+    """Reliability table + Expected Calibration Error
+    (``operators/drift.py calibration_bins``) of the pseudo-probability
+    ``least(1, value/500)`` against the did-purchase outcome: per
+    confidence decile the exact count, mean confidence (decimal sum),
+    empirical accuracy (int ratio), weighted |acc - conf| gap, and the
+    ECE scalar (9-dp terms, DECIMAL(38,12) sum). One k-bounded
+    aggregation + one window over the <= k-row table."""
+    from fs2_data_spark.operators.drift import calibration_bins
+    ev = (_t(spark, sf_dir, "events")
+          .select(F.least(F.lit(1.0), F.col("value") / F.lit(500.0))
+                  .alias("pred"),
+                  (F.col("event_type") == "purchase").alias("outcome")))
+    return calibration_bins(ev, pred="pred", outcome="outcome", k=10)
+
+
 @_q("rank_normalize_events", """
 SELECT event_id, event_type, value,
        ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value),

@@ -196,6 +196,16 @@ AUDITED = [
     # the 1-row global min/max side is a bounded broadcast-NL by design;
     # marginal windows run over the |cats| x k cell table
     ("mi_features_events", ["no_python", "broadcast", "pruned_scan"]),
+    # future window = ONE trailing RANGE frame over DESC-negated time:
+    # all three labels share one WindowExec on one exchange
+    ("future_labels_events", ["no_python", "single_group_shuffle",
+                              "single_fused_window", "pruned_scan"]),
+    # 1-row session total is a bounded broadcast-NL by design; the
+    # membership self-join hash-joins on the session id
+    ("session_cooccurrence_events", ["no_python", "broadcast",
+                                     "pruned_scan"]),
+    ("calibration_events", ["no_python", "single_group_shuffle",
+                            "pruned_scan"]),
 ]
 
 

@@ -282,7 +282,8 @@ def main() -> None:
              "k_anonymity_events", "session_transitions_events",
              "trend_slope_events", "mi_features_events",
              "future_labels_events", "session_cooccurrence_events",
-             "calibration_events"]
+             "calibration_events", "ks_drift_events", "funnel_events",
+             "cohort_retention_events"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

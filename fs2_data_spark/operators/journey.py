@@ -1,0 +1,160 @@
+"""User-journey analytics: ordered funnel conversion and cohort
+retention — the product-analytics tier of the event feature stack
+(sessionization answers "what happened inside one visit"; these answer
+"how do keys progress across visits").
+
+Reference heritage: fs2-data's pipelines are strictly ordered stream
+transforms (``fs2/data/json/internals/TokenParser.scala`` consumes
+tokens left-to-right, never revisiting emitted prefix state); the funnel
+below is the same discipline lifted to event time — step *k* may only
+match STRICTLY AFTER the timestamp at which step *k-1* was first
+reached, so a key's journey is a monotone chain, never a bag-of-types
+test.
+
+Determinism contract (module standard, see ``operators/drift.py``):
+counts and min-timestamps are exact; every emitted rate is one IEEE
+divide on exact bigints rounded to a fixed number of decimals — a DuckDB
+replay of the same SQL is bit-identical.
+
+Scale notes (100 TB): the funnel is ``len(steps)`` filtered scans of the
+same input, chained by per-key equi-joins (key-partitioned shuffles, no
+broadcast of unbounded sides); retention is one first-seen aggregate,
+one equi-join back, and one DISTINCT on a (cohort, offset, key) space
+bounded by keys x horizon.  Nothing is quadratic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from fs2_data_spark.functions.timeutil import epoch_us
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: Sequence[str],
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    step_col: str = "event_type",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Ordered funnel over ``steps``: a key reaches step *k* at the
+    EARLIEST event of type ``steps[k]`` that is strictly later than the
+    time it reached step *k-1* (first-touch attribution; equal
+    timestamps do NOT satisfy "after", matching the engine's strict
+    as-of tie discipline).  A key that performs the types out of order
+    only counts up to the longest ordered prefix — the property that
+    separates a funnel from a bag-of-types intersection.
+
+    Output, one row per step (ordered)::
+
+        step (1-based), step_name, n_reached,
+        conv_from_prev = n_k / n_{k-1},  conv_from_first = n_k / n_1
+
+    Scale shape: step 1 is one filtered min-aggregate; each later step
+    is one filtered scan equi-joined to the previous reach table on the
+    key (key-partitioned hash join — the reach table is per-key, so it
+    is NOT broadcast) followed by a min-aggregate.  ``len(steps)`` is a
+    small constant; every shuffle is on the key.  The tagged reach
+    tables are unioned and counted in ONE distributed job (no per-stage
+    driver actions); the conversion-rate windows run over the
+    ``len(steps)``-row result.
+
+    Rates are IEEE divides on exact bigint counts, rounded to
+    ``round_dp``; step 1's conv_from_prev is defined as 1.0.  Steps
+    reached by no key keep an explicit 0-count row (a funnel with a
+    silent hole is unreadable), with NULL rates past the first empty
+    stage.
+    """
+    from pyspark.sql import Window
+
+    key = [key] if isinstance(key, str) else list(key)
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = df.select(*key, F.col(step_col).alias("_st"),
+                   epoch_us(F.col(ts)).alias("_eus"))
+    reach = (ev.filter(F.col("_st") == steps[0])
+             .groupBy(*key).agg(F.min("_eus").alias("_t")))
+    tagged = [reach.select(F.lit(1).alias("step"), *key)]
+    for i, name in enumerate(steps[1:], start=2):
+        reach = (ev.filter(F.col("_st") == name)
+                 .join(reach.select(*key, F.col("_t").alias("_prev")),
+                       on=key)
+                 .filter(F.col("_eus") > F.col("_prev"))
+                 .groupBy(*key).agg(F.min("_eus").alias("_t")))
+        tagged.append(reach.select(F.lit(i).alias("step"), *key))
+    union = tagged[0]
+    for t in tagged[1:]:
+        union = union.unionByName(t)
+    grid = df.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step int, step_name string")
+    counts = (grid.join(union.groupBy("step")
+                        .agg(F.count(F.lit(1)).alias("n_reached")),
+                        on="step", how="left")
+              .fillna({"n_reached": 0}))
+    wo = Window.partitionBy().orderBy("step")
+    prev = F.lag("n_reached", 1).over(wo)
+    first = F.first("n_reached").over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n = F.col("n_reached").cast("double")
+    conv_prev = F.when(prev.isNull(), F.lit(1.0)).otherwise(
+        F.when(prev > 0, F.round(n / prev.cast("double"), round_dp)))
+    conv_first = F.when(first > 0,
+                        F.round(n / first.cast("double"), round_dp))
+    return (counts
+            .withColumn("conv_from_prev", conv_prev)
+            .withColumn("conv_from_first", conv_first)
+            .select("step", "step_name", "n_reached",
+                    "conv_from_prev", "conv_from_first"))
+
+
+def cohort_retention(
+    df: DataFrame,
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    bucket_us: int = 7 * 86_400_000_000,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cohort retention matrix: keys are cohorted by the bucket of their
+    FIRST event (bucket = ``floor(epoch_us / bucket_us)``, a fixed
+    epoch-aligned grid — no calendar dependence, so Spark and any SQL
+    replay agree exactly); a key is "retained at offset *k*" if it has
+    ANY event in its cohort bucket + *k*.  Offset 0 is the cohort itself
+    (retention 1.0 by construction — kept as the standard sanity row).
+
+    Output one row per (cohort, offset) observed::
+
+        cohort (bigint bucket index), offset (bigint),
+        n_active, n_cohort, retention = n_active / n_cohort
+
+    Scale shape: one exact first-seen min-aggregate per key (map-side
+    combined), one key-partitioned equi-join back to the events (the
+    first-seen table is keyed per key: hash join, not broadcast), one
+    DISTINCT over (cohort, offset, key) — bounded by keys x horizon,
+    never by raw events — and one count per cell.  Cohort sizes
+    re-aggregate the first-seen table and join on the cohort bucket (a
+    genuinely small dimension: broadcast).
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    b = F.lit(int(bucket_us))
+    ev = df.select(*key, epoch_us(F.col(ts)).alias("_eus"))
+    first = (ev.groupBy(*key)
+             .agg(F.floor(F.min("_eus") / b).alias("cohort")))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort"))
+    cells = (ev.join(first, on=key)
+             .select("cohort",
+                     (F.floor(F.col("_eus") / b) - F.col("cohort"))
+                     .alias("offset"), *key)
+             .distinct()
+             .groupBy("cohort", "offset")
+             .agg(F.count(F.lit(1)).alias("n_active")))
+    ret = F.round(F.col("n_active").cast("double")
+                  / F.col("n_cohort").cast("double"), round_dp)
+    return (cells.join(F.broadcast(sizes), on="cohort")
+            .withColumn("retention", ret)
+            .select("cohort", "offset", "n_active", "n_cohort",
+                    "retention"))

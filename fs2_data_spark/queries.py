@@ -1478,6 +1478,116 @@ def calibration_events(spark, sf_dir):
     return calibration_bins(ev, pred="pred", outcome="outcome", k=10)
 
 
+@_q("ks_drift_events", """
+WITH pts AS (
+  SELECT event_type, value AS v,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+             THEN 1 ELSE 0 END) AS cb,
+         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+             THEN 1 ELSE 0 END) AS cc
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+c AS (
+  SELECT event_type,
+         SUM(cb) OVER w AS cum_b, SUM(cc) OVER w AS cum_c,
+         SUM(cb) OVER g AS n_base, SUM(cc) OVER g AS n_cur
+  FROM pts
+  WINDOW w AS (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         g AS (PARTITION BY event_type))
+SELECT event_type, CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       ROUND(MAX(ROUND(ABS(CAST(cum_b AS DOUBLE) / CAST(n_base AS DOUBLE)
+                - CAST(cum_c AS DOUBLE) / CAST(n_cur AS DOUBLE)), 9)), 6)
+         AS d
+FROM c WHERE n_base > 0 AND n_cur > 0
+GROUP BY 1, 2, 3
+""")
+def ks_drift_events(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift statistic per
+    event_type between the first and second half of the stream
+    (``operators/drift.py ks_drift``): the sup of the ECDF difference,
+    evaluated exactly at every pooled observed value (tie counts per
+    point). The binning-free complement of PSI. One scan -> exact
+    (group, value, period) counts -> one group-partitioned window pass
+    -> max of 9-dp per-point terms."""
+    from fs2_data_spark.operators.drift import ks_drift
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return ks_drift(ev, value="value", group="event_type", ts="ts",
+                    split="2024-01-16 00:00:00")
+
+
+@_q("funnel_events", """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+n AS (SELECT 1 AS step, 'view' AS step_name, count(*) AS n_reached FROM s1
+      UNION ALL SELECT 2, 'click', count(*) FROM s2
+      UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+SELECT CAST(step AS INTEGER) AS step, step_name,
+       CAST(n_reached AS BIGINT) AS n_reached,
+       CASE WHEN lag(n_reached) OVER wo IS NULL THEN 1.0
+            WHEN lag(n_reached) OVER wo > 0
+            THEN ROUND(CAST(n_reached AS DOUBLE)
+                       / CAST(lag(n_reached) OVER wo AS DOUBLE), 6)
+       END AS conv_from_prev,
+       CASE WHEN first_value(n_reached) OVER wo > 0
+            THEN ROUND(CAST(n_reached AS DOUBLE)
+                       / CAST(first_value(n_reached) OVER wo AS DOUBLE), 6)
+       END AS conv_from_first
+FROM n WINDOW wo AS (ORDER BY step
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def funnel_events(spark, sf_dir):
+    """Ordered view -> click -> purchase funnel (``operators/journey.py
+    funnel_steps``): step k matches the earliest qualifying event
+    STRICTLY after the first-touch time of step k-1 (equal timestamps
+    do not advance — the as-of tie discipline), so out-of-order actors
+    count only their longest ordered prefix. Each stage is one filtered
+    scan + key-partitioned equi-join + min-aggregate; the tagged reach
+    tables union into ONE distributed count job."""
+    from fs2_data_spark.operators.journey import funnel_steps
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return funnel_steps(ev, ["view", "click", "purchase"],
+                        key="user_id", ts="ts")
+
+
+@_q("cohort_retention_events", """
+WITH e AS (SELECT user_id, epoch_us(ts) AS eus FROM events),
+f AS (SELECT user_id, CAST(FLOOR(min(eus) / 604800000000.0) AS BIGINT)
+         AS cohort
+      FROM e GROUP BY 1),
+sz AS (SELECT cohort, count(*) AS n_cohort FROM f GROUP BY 1),
+cells AS (SELECT DISTINCT f.cohort,
+                 CAST(FLOOR(e.eus / 604800000000.0) AS BIGINT) - f.cohort
+                   AS woff,
+                 e.user_id
+          FROM e JOIN f USING (user_id)),
+c AS (SELECT cohort, woff, count(*) AS n_active FROM cells GROUP BY 1, 2)
+SELECT c.cohort, c.woff, CAST(n_active AS BIGINT) AS n_active,
+       CAST(n_cohort AS BIGINT) AS n_cohort,
+       ROUND(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE), 6)
+         AS retention
+FROM c JOIN sz USING (cohort)
+""")
+def cohort_retention_events(spark, sf_dir):
+    """Weekly cohort retention matrix (``operators/journey.py
+    cohort_retention``): users cohorted by the epoch-aligned 7-day
+    bucket of their first event; a cell counts DISTINCT users with any
+    event at that week offset. One first-seen aggregate, one
+    key-partitioned join back, one DISTINCT bounded by users x horizon;
+    cohort sizes broadcast."""
+    from fs2_data_spark.operators.journey import cohort_retention
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    out = cohort_retention(ev, key="user_id", ts="ts",
+                           bucket_us=7 * 86_400_000_000)
+    return out.withColumnRenamed("offset", "woff")
+
+
 @_q("rank_normalize_events", """
 SELECT event_id, event_type, value,
        ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value),

@@ -206,6 +206,15 @@ AUDITED = [
                                      "pruned_scan"]),
     ("calibration_events", ["no_python", "single_group_shuffle",
                             "pruned_scan"]),
+    # exact ECDF sup: tie-count agg + one group-partitioned window pass
+    ("ks_drift_events", ["no_python", "no_cartesian", "pruned_scan"]),
+    # each stage: filtered scan (pushed type predicate) + key equi-join;
+    # the 3-row step grid joins broadcast
+    ("funnel_events", ["no_python", "pushed_filter", "no_cartesian",
+                       "pruned_scan"]),
+    # first-seen table is per-key (hash join); cohort sizes broadcast
+    ("cohort_retention_events", ["no_python", "broadcast", "no_cartesian",
+                                 "pruned_scan"]),
 ]
 
 

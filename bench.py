@@ -283,7 +283,8 @@ def main() -> None:
              "trend_slope_events", "mi_features_events",
              "future_labels_events", "session_cooccurrence_events",
              "calibration_events", "ks_drift_events", "funnel_events",
-             "cohort_retention_events"]
+             "cohort_retention_events", "kaplan_meier_events",
+             "cramers_v_events", "conformal_events"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

@@ -348,6 +348,158 @@ def ks_drift(
             .agg(F.round(F.max("_d"), round_dp).alias("d")))
 
 
+def cramers_v(
+    df: DataFrame,
+    a: str = "event_type",
+    b: str = "hour",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Chi-square test of independence + Cramér's V between two
+    categorical columns — the categorical complement of
+    :func:`mutual_information` (MI is information-theoretic and
+    unbounded; V is the chi-square effect size normalized to [0, 1],
+    the number a monitoring dashboard thresholds on)::
+
+        chi2 = sum_cells (o - e)^2 / e,   e = row_tot * col_tot / N
+        V    = sqrt(chi2 / (N * (min(r, c) - 1)))
+
+    The FULL r x c grid is materialized (distinct(a) x distinct(b)) so
+    cells observed zero times still contribute their exact ``e`` term —
+    relying on observed pairs silently understates chi2 whenever the
+    margins don't factorize (the exact situation the test detects).
+    Rows where either column is NULL are excluded (no NULL category is
+    invented).
+
+    Determinism: all counts exact bigints; each cell term is one IEEE
+    chain rounded to 9 dp, summed in DECIMAL(38,12) (order-free); V
+    rounded to ``round_dp``.  Degenerate tables (r < 2 or c < 2) yield
+    an empty result — V is undefined, stated honestly.
+
+    Scale shape: one scan -> exact (a, b) cell counts (map-side
+    combined); everything after runs over the r x c cell table
+    (marginal windows, the dim-side grid cross join, the final 1-row
+    fold) — bounded by category cardinalities, never rows.
+
+    Output ONE row: ``n, r, c, chi2, v``.
+    """
+    cells = (df.filter(F.col(a).isNotNull() & F.col(b).isNotNull())
+             .groupBy(F.col(a).alias("_a"), F.col(b).alias("_b"))
+             .agg(F.count(F.lit(1)).alias("_o")))
+    grid = (cells.select("_a").distinct()
+            .crossJoin(cells.select("_b").distinct()))
+    full = (grid.join(cells, on=["_a", "_b"], how="left")
+            .fillna({"_o": 0}))
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    wall = Window.partitionBy()
+    row_t = F.sum("_o").over(wa)
+    col_t = F.sum("_o").over(wb)
+    n = F.sum("_o").over(wall)
+    e = (row_t.cast("double") * col_t.cast("double")) / n.cast("double")
+    term = F.round((F.col("_o").cast("double") - e)
+                   * (F.col("_o").cast("double") - e) / e, 9)
+    r = F.size(F.collect_set("_a").over(wall))
+    c = F.size(F.collect_set("_b").over(wall))
+    scored = (full.withColumn("_n", n).withColumn("_r", r)
+              .withColumn("_c", c).withColumn("_term", term)
+              .filter((F.col("_r") >= 2) & (F.col("_c") >= 2)))
+    out = (scored.groupBy("_n", "_r", "_c")
+           .agg(F.sum(F.col("_term").cast(_DEC)).alias("_chi2")))
+    chi2 = F.round(F.col("_chi2").cast("double"), round_dp)
+    v = F.round(F.sqrt(
+        F.col("_chi2").cast("double")
+        / (F.col("_n").cast("double")
+           * (F.least("_r", "_c").cast("double") - F.lit(1.0)))), round_dp)
+    return out.select(F.col("_n").alias("n"), F.col("_r").alias("r"),
+                      F.col("_c").alias("c"), chi2.alias("chi2"),
+                      v.alias("v"))
+
+
+def conformal_intervals(
+    df: DataFrame,
+    value: str = "value",
+    group: str | Sequence[str] = "event_type",
+    id_col: str = "event_id",
+    alpha: float = 0.1,
+    seed: int = 42,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Split-conformal prediction intervals with group-conditional
+    (Mondrian) calibration, evaluated end-to-end: fit a trivial model on
+    a TRAIN split, take the conformal quantile of absolute residuals on
+    a disjoint CALIB split, and report empirical coverage on a disjoint
+    TEST split — the distribution-free guarantee is coverage >= 1-alpha
+    in expectation, and this operator produces the number that checks
+    it.
+
+    Splits are the engine's portable id hash (60/20/20 on
+    ``portable_unit_hash`` residues — deterministic, engine-replayable,
+    growth-stable; see ``operators/mixing.py hash_split``).  The model
+    is the train-split per-group mean (exact DECIMAL sum / count,
+    rounded to 9 dp — the point is the conformal machinery, not the
+    model).  Per group::
+
+        score  = |value - pred|          (calib and test rows)
+        k      = ceil((n_calib + 1) * (1 - alpha))
+        q_hat  = k-th smallest calib score   (exact rank pick,
+                 ties broken by id — the winsorize discipline)
+        coverage = #{test: score <= q_hat} / n_test
+
+    Groups where ``k > n_calib`` (too few calibration rows) get a NULL
+    ``q_hat`` — the honest "interval is infinite", with coverage 1.0 by
+    construction.
+
+    Scale shape: split assignment is per-row scan arithmetic (zero
+    shuffle); the model and the per-group calib stats are map-side
+    combined aggregates broadcast back (|groups| rows); the rank pick is
+    one group-partitioned window pass over calib rows only.  Nothing
+    global, nothing quadratic.
+
+    Output one row per group: ``n_calib, k, q_hat, n_test, coverage``.
+    """
+    from fs2_data_spark.operators.mixing import portable_unit_hash
+
+    group = [group] if isinstance(group, str) else list(group)
+    _P2 = 999983  # portable_unit_hash modulus
+    h = portable_unit_hash(F.col(id_col), seed)
+    d = df.select(*group, id_col, F.col(value).alias("_v"),
+                  F.when(h < int(0.6 * _P2), F.lit("train"))
+                   .when(h < int(0.8 * _P2), F.lit("calib"))
+                   .otherwise(F.lit("test")).alias("_split"))
+    pred = (d.filter(F.col("_split") == "train")
+            .groupBy(*group)
+            .agg(F.round(F.sum(F.col("_v").cast("decimal(27,6)"))
+                         .cast("double")
+                         / F.count("_v").cast("double"), 9)
+                 .alias("_pred")))
+    scored = (d.filter(F.col("_split") != "train")
+              .join(F.broadcast(pred), on=group)
+              .withColumn("_s", F.abs(F.col("_v") - F.col("_pred"))))
+    calib = scored.filter(F.col("_split") == "calib")
+    stats = (calib.groupBy(*group)
+             .agg(F.count(F.lit(1)).alias("n_calib")))
+    stats = stats.withColumn(
+        "k", F.ceil((F.col("n_calib") + F.lit(1))
+                    * F.lit(1.0 - alpha)).cast("bigint"))
+    wr = Window.partitionBy(*group).orderBy(F.col("_s"), F.col(id_col))
+    ranked = calib.withColumn("_rn", F.row_number().over(wr))
+    qtab = (ranked.join(F.broadcast(stats), on=group)
+            .filter(F.col("_rn") == F.col("k"))
+            .select(*group, F.col("_s").alias("q_hat")))
+    test = (scored.filter(F.col("_split") == "test")
+            .join(F.broadcast(qtab), on=group, how="left"))
+    cov = (test.groupBy(*group)
+           .agg(F.count(F.lit(1)).alias("n_test"),
+                F.max("q_hat").alias("q_hat"),
+                F.round(F.sum(F.when(F.col("q_hat").isNull()
+                                     | (F.col("_s") <= F.col("q_hat")),
+                                     1).otherwise(0)).cast("double")
+                        / F.count(F.lit(1)).cast("double"), round_dp)
+                .alias("coverage")))
+    return (cov.join(F.broadcast(stats), on=group, how="left")
+            .select(*group, "n_calib", "k", "q_hat", "n_test", "coverage"))
+
+
 def calibration_bins(
     df: DataFrame,
     pred: str = "pred",

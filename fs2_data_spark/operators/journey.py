@@ -27,9 +27,11 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from fs2_data_spark.functions.timeutil import epoch_us
+
+_DEC = "decimal(38,12)"
 
 
 def funnel_steps(
@@ -68,8 +70,6 @@ def funnel_steps(
     silent hole is unreadable), with NULL rates past the first empty
     stage.
     """
-    from pyspark.sql import Window
-
     key = [key] if isinstance(key, str) else list(key)
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -158,3 +158,76 @@ def cohort_retention(
             .withColumn("retention", ret)
             .select("cohort", "offset", "n_active", "n_cohort",
                     "retention"))
+
+
+def kaplan_meier(
+    df: DataFrame,
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    step_col: str = "event_type",
+    event: str = "purchase",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival curve of time-to-``event`` with
+    right-censoring — the duration analogue of :func:`funnel_steps`
+    (a funnel asks "did the key convert"; KM asks "how long until it
+    does", counting keys that have not YET converted correctly instead
+    of dropping them, which biases every naive mean-duration metric).
+
+    Framing: a subject is a key; its origin is its FIRST event of any
+    type; the event time is its first ``event`` row (duration may be 0
+    when the first event IS the event); keys without one are censored
+    at the study end (the global max timestamp — one 1-row broadcast).
+    Estimator, over distinct durations ``t`` ascending::
+
+        S(t) = prod_{t_i <= t} (1 - d_i / n_i)
+
+    with ``d_i`` events at ``t_i`` and ``n_i`` subjects still at risk
+    (duration >= t_i, censored or not).  Censor-only times keep a row
+    (factor 1) so the at-risk path is visible.
+
+    Determinism (module standard): counts/at-risk are exact bigints;
+    each factor's ``ln(1 - d/n)`` is one IEEE chain on exact ints,
+    rounded to 9 dp and prefix-summed in DECIMAL(38,12) (order-free);
+    ``S = exp(sum)`` rounded to ``round_dp``.  When a prefix step has
+    ``d == n`` (everyone at risk converts) the curve is exactly 0 from
+    there on — stated as 0.0, never an ``ln(0)``.
+
+    Scale shape: one per-key min/conditional-min aggregate (map-side
+    combined), one 1-row study-end broadcast, then ALL window passes run
+    over the distinct-duration table (bounded by distinct durations,
+    never subjects).  Output per distinct duration: ``t_us, n_risk, d,
+    c, surv``.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    e = epoch_us(F.col(ts))
+    subj = (df.groupBy(*key)
+            .agg(F.min(e).alias("_o"),
+                 F.min(F.when(F.col(step_col) == event, e)).alias("_e")))
+    end = df.agg(F.max(e).alias("_end"))
+    subj = (subj.crossJoin(F.broadcast(end))
+            .select(F.when(F.col("_e").isNotNull(),
+                           F.col("_e") - F.col("_o"))
+                    .otherwise(F.col("_end") - F.col("_o")).alias("t_us"),
+                    F.col("_e").isNotNull().cast("int").alias("_obs")))
+    pts = (subj.groupBy("t_us")
+           .agg(F.sum("_obs").alias("d"),
+                F.sum(F.lit(1) - F.col("_obs")).alias("c")))
+    wall = Window.partitionBy()
+    wcum = (Window.partitionBy().orderBy("t_us")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    total = F.sum(F.col("d") + F.col("c")).over(wall)
+    n_risk = (total - F.sum(F.col("d") + F.col("c")).over(wcum)
+              + F.col("d") + F.col("c"))
+    pts = pts.withColumn("n_risk", n_risk)
+    term = F.when((F.col("d") == 0) | (F.col("d") == F.col("n_risk")),
+                  F.lit(0.0)).otherwise(
+        F.round(F.log(F.lit(1.0) - F.col("d").cast("double")
+                      / F.col("n_risk").cast("double")), 9))
+    dead = F.max((F.col("d") == F.col("n_risk")).cast("int")).over(wcum)
+    surv = F.when(dead == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(F.col("_t").cast(_DEC)).over(wcum)
+                      .cast("double")), round_dp))
+    return (pts.withColumn("_t", term)
+            .withColumn("surv", surv)
+            .select("t_us", "n_risk", "d", "c", "surv"))

@@ -1588,6 +1588,145 @@ def cohort_retention_events(spark, sf_dir):
     return out.withColumnRenamed("offset", "woff")
 
 
+@_q("kaplan_meier_events", """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS eus FROM events),
+subj AS (SELECT user_id, min(eus) AS o,
+                min(CASE WHEN event_type = 'purchase' THEN eus END) AS ev
+         FROM e GROUP BY 1),
+dur AS (SELECT CASE WHEN ev IS NOT NULL THEN ev - o
+                    ELSE (SELECT max(eus) FROM e) - o END AS t_us,
+               CASE WHEN ev IS NOT NULL THEN 1 ELSE 0 END AS obs
+        FROM subj),
+pts AS (SELECT t_us, SUM(obs) AS d, SUM(1 - obs) AS c FROM dur GROUP BY 1),
+w AS (SELECT t_us, d, c,
+             SUM(d + c) OVER () - SUM(d + c) OVER wc + d + c AS n_risk
+      FROM pts
+      WINDOW wc AS (ORDER BY t_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+t AS (SELECT *,
+             CASE WHEN d = 0 OR d = n_risk THEN 0.0
+                  ELSE ROUND(ln(1.0 - CAST(d AS DOUBLE)
+                                / CAST(n_risk AS DOUBLE)), 9) END AS term,
+             MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER wc AS dead
+      FROM w
+      WINDOW wc AS (ORDER BY t_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT t_us, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+       CAST(c AS BIGINT) AS c,
+       CASE WHEN dead = 1 THEN 0.0
+            ELSE ROUND(exp(CAST(SUM(CAST(term AS DECIMAL(38,12))) OVER wc
+                                AS DOUBLE)), 6) END AS surv
+FROM t WINDOW wc AS (ORDER BY t_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def kaplan_meier_events(spark, sf_dir):
+    """Kaplan-Meier curve of time-to-first-purchase per user
+    (``operators/journey.py kaplan_meier``): origin = the user's first
+    event, right-censored at the global max timestamp. Exact at-risk
+    counts; per-time ln factors rounded to 9 dp and prefix-summed in
+    DECIMAL(38,12); S drops to exactly 0 when the last at-risk subject
+    converts. All windows run over the distinct-duration table."""
+    from fs2_data_spark.operators.journey import kaplan_meier
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return kaplan_meier(ev, key="user_id", ts="ts",
+                        step_col="event_type", event="purchase")
+
+
+@_q("cramers_v_events", """
+WITH src AS (SELECT event_type AS a, hour(ts) AS b FROM events
+             WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+cells AS (SELECT a, b, count(*) AS o FROM src GROUP BY 1, 2),
+grid AS (SELECT da.a, db.b
+         FROM (SELECT DISTINCT a FROM cells) da
+         CROSS JOIN (SELECT DISTINCT b FROM cells) db),
+full_g AS (SELECT g.a, g.b, COALESCE(c.o, 0) AS o
+           FROM grid g LEFT JOIN cells c ON c.a = g.a AND c.b = g.b),
+m AS (SELECT *,
+             SUM(o) OVER (PARTITION BY a) AS rt,
+             SUM(o) OVER (PARTITION BY b) AS ct,
+             SUM(o) OVER () AS n,
+             COUNT(DISTINCT a) OVER () AS r,
+             COUNT(DISTINCT b) OVER () AS c
+      FROM full_g),
+t AS (SELECT n, r, c,
+             ROUND((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)
+                    * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)
+                      * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                      / CAST(n AS DOUBLE)), 9) AS term
+      FROM m WHERE r >= 2 AND c >= 2)
+SELECT CAST(n AS BIGINT) AS n, CAST(r AS INTEGER) AS r,
+       CAST(c AS INTEGER) AS c,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2,
+       ROUND(SQRT(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE)
+                  / (CAST(n AS DOUBLE)
+                     * (CAST(LEAST(r, c) AS DOUBLE) - 1.0))), 6) AS v
+FROM t GROUP BY n, r, c
+""")
+def cramers_v_events(spark, sf_dir):
+    """Chi-square independence + Cramér's V between event_type and
+    hour-of-day (``operators/drift.py cramers_v``): the full r x c grid
+    is materialized so empty cells contribute their exact expected
+    count; per-cell terms rounded to 9 dp, summed in DECIMAL(38,12);
+    one scan, everything downstream bounded by |types| x 24."""
+    from fs2_data_spark.operators.drift import cramers_v
+    ev = (_t(spark, sf_dir, "events")
+          .select(F.col("event_type").alias("a"),
+                  F.hour("ts").alias("b")))
+    return cramers_v(ev, a="a", b="b")
+
+
+@_q("conformal_events", """
+WITH d AS (SELECT event_type, event_id, value AS v,
+                  ((event_id * 2654435761 + 42) % 1000003 * 40503 + 17)
+                    % 999983 AS h
+           FROM events),
+s AS (SELECT *, CASE WHEN h < 599989 THEN 'train'
+                     WHEN h < 799986 THEN 'calib'
+                     ELSE 'test' END AS split FROM d),
+pred AS (SELECT event_type,
+                ROUND(CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE)
+                      / CAST(COUNT(v) AS DOUBLE), 9) AS p
+         FROM s WHERE split = 'train' GROUP BY 1),
+sc AS (SELECT s.event_type, s.event_id, s.split, ABS(s.v - p.p) AS sco
+       FROM s JOIN pred p USING (event_type) WHERE split <> 'train'),
+stats AS (SELECT event_type, COUNT(*) AS n_calib,
+                 CAST(CEIL(CAST(COUNT(*) + 1 AS DOUBLE)
+                           * CAST(0.9 AS DOUBLE)) AS BIGINT) AS k
+          FROM sc WHERE split = 'calib' GROUP BY 1),
+rk AS (SELECT event_type, sco,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY sco, event_id) AS rn
+       FROM sc WHERE split = 'calib'),
+q AS (SELECT r.event_type, r.sco AS q_hat
+      FROM rk r JOIN stats st USING (event_type) WHERE r.rn = st.k),
+cov AS (SELECT t.event_type, COUNT(*) AS n_test, MAX(q.q_hat) AS q_hat,
+               ROUND(CAST(SUM(CASE WHEN q.q_hat IS NULL
+                                    OR t.sco <= q.q_hat
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+        FROM sc t LEFT JOIN q USING (event_type)
+        WHERE t.split = 'test' GROUP BY 1)
+SELECT c.event_type, st.n_calib, st.k, c.q_hat,
+       CAST(c.n_test AS BIGINT) AS n_test, c.coverage
+FROM cov c LEFT JOIN stats st USING (event_type)
+""")
+def conformal_events(spark, sf_dir):
+    """Split-conformal prediction intervals with per-event-type
+    (Mondrian) calibration (``operators/drift.py conformal_intervals``):
+    portable-hash 60/20/20 split, train-split group-mean model, exact
+    rank pick of the conformal quantile on calib scores, empirical
+    coverage on the held-out test split. alpha = 0.1. Split assignment
+    is zero-shuffle scan arithmetic; the rank pick is one
+    group-partitioned window over calib rows."""
+    from fs2_data_spark.operators.drift import conformal_intervals
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type",
+                                            "value")
+    return conformal_intervals(ev, value="value", group="event_type",
+                               id_col="event_id", alpha=0.1, seed=42)
+
+
 @_q("rank_normalize_events", """
 SELECT event_id, event_type, value,
        ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value),

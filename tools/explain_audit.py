@@ -215,6 +215,16 @@ AUDITED = [
     # first-seen table is per-key (hash join); cohort sizes broadcast
     ("cohort_retention_events", ["no_python", "broadcast", "no_cartesian",
                                  "pruned_scan"]),
+    # 1-row study-end broadcast is a bounded broadcast-NL by design;
+    # curve windows run over the distinct-duration table
+    ("kaplan_meier_events", ["no_python", "broadcast", "pruned_scan"]),
+    # the r x c dim-grid cross join is two bounded DISTINCT sides by
+    # design; everything downstream is cell-table sized
+    ("cramers_v_events", ["no_python", "pruned_scan"]),
+    # model + calib stats + q_hat tables are |groups| rows: broadcast;
+    # split assignment is scan arithmetic
+    ("conformal_events", ["no_python", "broadcast", "no_cartesian",
+                          "pruned_scan"]),
 ]
 
 

@@ -284,7 +284,8 @@ def main() -> None:
              "future_labels_events", "session_cooccurrence_events",
              "calibration_events", "ks_drift_events", "funnel_events",
              "cohort_retention_events", "kaplan_meier_events",
-             "cramers_v_events", "conformal_events"]
+             "cramers_v_events", "conformal_events", "auc_events",
+             "gini_sources_docs", "benford_docs"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

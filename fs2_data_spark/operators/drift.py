@@ -500,6 +500,157 @@ def conformal_intervals(
             .select(*group, "n_calib", "k", "q_hat", "n_test", "coverage"))
 
 
+def exact_auc(
+    df: DataFrame,
+    score: str = "score",
+    label: str = "label",
+    round_dp: int = 6,
+) -> DataFrame:
+    """EXACT ROC-AUC via the Mann-Whitney rank identity — the
+    threshold-free ranking-quality companion of
+    :func:`calibration_bins` (calibration can be perfect while ranking
+    is random and vice versa; a model monitor needs both numbers).
+
+    AUC = P(score_pos > score_neg) + 0.5 * P(score_pos = score_neg).
+    Over distinct score values ascending, with ``np_s``/``nn_s`` the
+    positive/negative tie counts at value ``s`` and ``below_s`` the
+    negatives strictly below::
+
+        2U  = sum_s np_s * (2 * below_s + nn_s)
+        AUC = 2U / (2 * n_pos * n_neg)
+
+    ``2U`` is computed ENTIRELY in exact bigint arithmetic (each
+    pos-neg pair contributes 2, ties contribute 1) — no floating sum to
+    order, no rounding discipline needed; the single final divide is
+    one IEEE op rounded to ``round_dp``.  NULL scores/labels are
+    excluded; a degenerate input (no positives or no negatives) yields
+    an empty result (AUC undefined, stated honestly).
+
+    Scale shape: one scan -> exact per-distinct-score tie counts
+    (map-side combined, key space = distinct scores) -> one window pass
+    ordered by score -> one 1-row fold.  Output ONE row:
+    ``n_pos, n_neg, u2, auc``.
+    """
+    y = F.col(label).cast("int")
+    pts = (df.filter(F.col(score).isNotNull() & F.col(label).isNotNull())
+           .groupBy(F.col(score).alias("_s"))
+           .agg(F.sum(y).alias("_np"),
+                F.sum(F.lit(1) - y).alias("_nn")))
+    wcum = (Window.partitionBy().orderBy("_s")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    below = F.sum("_nn").over(wcum) - F.col("_nn")
+    u2 = (F.col("_np") * (F.lit(2) * below + F.col("_nn")))
+    out = (pts.withColumn("_u2", u2)
+           .agg(F.sum("_np").alias("n_pos"), F.sum("_nn").alias("n_neg"),
+                F.sum("_u2").alias("u2"))
+           .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)))
+    auc = F.round(F.col("u2").cast("double")
+                  / (F.lit(2.0) * F.col("n_pos").cast("double")
+                     * F.col("n_neg").cast("double")), round_dp)
+    return out.select("n_pos", "n_neg", "u2", auc.alias("auc"))
+
+
+def gini_inequality(
+    df: DataFrame,
+    value: str = "n_chars",
+    group: str | Sequence[str] = "source",
+    tiebreak: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Gini coefficient of a non-negative ``value`` per ``group`` — the
+    inequality audit of a training corpus (how concentrated are the
+    tokens/bytes across documents or sources; G = 0 everyone equal,
+    G -> 1 one row holds everything).  Uses the rank identity over the
+    ascending sort ``x_1 <= ... <= x_n``::
+
+        G = (2 * sum_i i * x_i - (n + 1) * sum_i x_i) / (n * sum_i x_i)
+
+    For integer values both sums are EXACT (DECIMAL(38,0) accumulation
+    of bigint products — associative, order-free); the final expression
+    is one IEEE chain rounded to ``round_dp``.  The sort is made total
+    with ``tiebreak``, so ranks are deterministic (ties don't change G
+    — the identity is tie-invariant — but determinism keeps the window
+    replayable).  Groups with ``sum x <= 0`` are dropped (G undefined).
+
+    Scale shape: one group-partitioned window pass (rank + the two
+    running sums share one Exchange + Sort), one group fold.  Output
+    per group: ``n, total, gini``.
+    """
+    group = [group] if isinstance(group, str) else list(group)
+    v = F.col(value).cast("bigint")
+    w = Window.partitionBy(*group).orderBy(v, F.col(tiebreak))
+    d = (df.filter(F.col(value).isNotNull())
+         .withColumn("_i", F.row_number().over(w)))
+    out = (d.groupBy(*group)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(v.cast("decimal(38,0)")).alias("_sx"),
+                F.sum((F.col("_i") * v).cast("decimal(38,0)"))
+                .alias("_six"))
+           .filter(F.col("_sx") > 0))
+    g = F.round((F.lit(2.0) * F.col("_six").cast("double")
+                 - (F.col("n") + F.lit(1)).cast("double")
+                 * F.col("_sx").cast("double"))
+                / (F.col("n").cast("double")
+                   * F.col("_sx").cast("double")), round_dp)
+    return out.select(*group, "n", F.col("_sx").cast("bigint")
+                      .alias("total"), g.alias("gini"))
+
+
+def benford_audit(
+    df: DataFrame,
+    value: str = "n_chars",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Benford first-digit audit of a positive integer column: observed
+    leading-digit counts vs the Benford expectation
+    ``p_d = log10(1 + 1/d)`` with the chi-square distance — the classic
+    fabricated-/corrupted-data screen (synthetic or truncated feeds
+    flunk it; organically-sized quantities spanning magnitudes pass).
+
+    The leading digit is the first character of the integer's decimal
+    string (exact and identical on every engine) — never ``log10`` of
+    the value (libm-dependent at exact powers of ten) and never a
+    double->int cast (Spark truncates, other engines round).  Rows with
+    ``value <= 0`` are excluded (Benford is defined on positive
+    magnitudes).
+
+    Determinism: counts exact; each digit's expected count
+    ``n * p_d`` and chi-square term are IEEE chains rounded to 9 dp;
+    the repeated ``chi2`` scalar is their DECIMAL(38,12) sum (module
+    standard).  Output one row per digit 1-9 (digits never observed
+    keep an explicit 0-count row — their expected mass still counts):
+    ``digit, n_d, n, expected, term, chi2``.
+
+    Scale shape: one scan -> 9-key exact count aggregate (map-side
+    combined); the grid fill and windows run over <= 9 rows.
+    """
+    x = F.col(value).cast("bigint")
+    digit = F.substring(x.cast("string"), 1, 1).cast("int")
+    obs = (df.filter(x > 0)
+           .select(digit.alias("digit"))
+           .groupBy("digit")
+           .agg(F.count(F.lit(1)).alias("n_d")))
+    spark = df.sparkSession
+    grid = spark.range(1, 10).select(F.col("id").cast("int")
+                                     .alias("digit"))
+    full = (grid.join(obs, on="digit", how="left")
+            .fillna({"n_d": 0}))
+    wall = Window.partitionBy()
+    n = F.sum("n_d").over(wall)
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    exp_c = F.round(n.cast("double") * p, 9)
+    full = (full.withColumn("n", n.cast("bigint"))
+            .withColumn("expected", exp_c))
+    term = F.round((F.col("n_d").cast("double") - F.col("expected"))
+                   * (F.col("n_d").cast("double") - F.col("expected"))
+                   / F.col("expected"), 9)
+    full = full.withColumn("term", term)
+    chi2 = F.round(F.sum(F.col("term").cast(_DEC)).over(wall)
+                   .cast("double"), round_dp)
+    return (full.withColumn("chi2", chi2)
+            .select("digit", "n_d", "n", "expected", "term", "chi2"))
+
+
 def calibration_bins(
     df: DataFrame,
     pred: str = "pred",

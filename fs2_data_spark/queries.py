@@ -1727,6 +1727,102 @@ def conformal_events(spark, sf_dir):
                                id_col="event_id", alpha=0.1, seed=42)
 
 
+@_q("auc_events", """
+WITH d AS (SELECT LEAST(1.0, value / 500.0) AS s,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+pts AS (SELECT s, SUM(y) AS np, SUM(1 - y) AS nn FROM d GROUP BY 1),
+c AS (SELECT np, nn,
+             SUM(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - nn AS below
+      FROM pts)
+SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+       CAST(SUM(np * (2 * below + nn)) AS BIGINT) AS u2,
+       ROUND(CAST(SUM(np * (2 * below + nn)) AS DOUBLE)
+             / (2.0 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE)),
+             6) AS auc
+FROM c HAVING SUM(np) > 0 AND SUM(nn) > 0
+""")
+def auc_events(spark, sf_dir):
+    """EXACT ROC-AUC of the pseudo-score least(1, value/500) against
+    the did-purchase label (``operators/drift.py exact_auc``):
+    Mann-Whitney rank identity over distinct-score tie counts — 2U
+    accumulates entirely in exact integer arithmetic (ties contribute
+    1, wins 2), one IEEE divide at the end. The ranking complement of
+    `calibration_events`."""
+    from fs2_data_spark.operators.drift import exact_auc
+    ev = (_t(spark, sf_dir, "events")
+          .select(F.least(F.lit(1.0), F.col("value") / F.lit(500.0))
+                  .alias("s"),
+                  (F.col("event_type") == "purchase").alias("y")))
+    return exact_auc(ev, score="s", label="y")
+
+
+@_q("gini_sources_docs", """
+WITH r AS (SELECT source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS i
+           FROM documents WHERE n_chars IS NOT NULL),
+a AS (SELECT source, count(*) AS n,
+             SUM(CAST(n_chars AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(i * n_chars AS DECIMAL(38,0))) AS six
+      FROM r GROUP BY 1 HAVING SUM(n_chars) > 0)
+SELECT source, CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS total,
+       ROUND((2.0 * CAST(six AS DOUBLE)
+              - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+FROM a
+""")
+def gini_sources_docs(spark, sf_dir):
+    """Gini coefficient of document sizes per source
+    (``operators/drift.py gini_inequality``): the corpus-inequality
+    audit — rank identity over the deterministic ascending sort, both
+    sums exact in DECIMAL(38,0), one IEEE chain at the end. One
+    group-partitioned window pass."""
+    from fs2_data_spark.operators.drift import gini_inequality
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                              "n_chars")
+    return gini_inequality(d, value="n_chars", group="source",
+                           tiebreak="doc_id")
+
+
+@_q("benford_docs", """
+WITH obs AS (SELECT CAST(substr(CAST(CAST(n_chars AS BIGINT) AS VARCHAR),
+                                1, 1) AS INTEGER) AS digit,
+                    count(*) AS n_d
+             FROM documents WHERE n_chars > 0 GROUP BY 1),
+grid AS (SELECT unnest(generate_series(1, 9)) AS digit),
+full_g AS (SELECT g.digit, COALESCE(o.n_d, 0) AS n_d
+           FROM grid g LEFT JOIN obs o USING (digit)),
+m AS (SELECT *, SUM(n_d) OVER () AS n FROM full_g),
+t AS (SELECT digit, n_d, CAST(n AS BIGINT) AS n,
+             ROUND(CAST(n AS DOUBLE)
+                   * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9)
+               AS expected
+      FROM m),
+u AS (SELECT *, ROUND((CAST(n_d AS DOUBLE) - expected)
+                      * (CAST(n_d AS DOUBLE) - expected) / expected, 9)
+               AS term
+      FROM t)
+SELECT CAST(digit AS INTEGER) AS digit, CAST(n_d AS BIGINT) AS n_d, n,
+       expected, term,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) OVER () AS DOUBLE), 6)
+         AS chi2
+FROM u
+""")
+def benford_docs(spark, sf_dir):
+    """Benford first-digit audit of document sizes
+    (``operators/drift.py benford_audit``): observed leading-digit
+    counts (first character of the integer's decimal string — exact on
+    every engine) vs n * log10(1 + 1/d), chi-square distance with
+    9-dp terms summed in DECIMAL(38,12). Full digit grid 1-9, zero
+    rows included. The fabricated-data screen of the audit tier."""
+    from fs2_data_spark.operators.drift import benford_audit
+    d = _t(spark, sf_dir, "documents").select("n_chars")
+    return benford_audit(d, value="n_chars")
+
+
 @_q("rank_normalize_events", """
 SELECT event_id, event_type, value,
        ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value),

@@ -225,6 +225,13 @@ AUDITED = [
     # split assignment is scan arithmetic
     ("conformal_events", ["no_python", "broadcast", "no_cartesian",
                           "pruned_scan"]),
+    # tie-count agg + one ordered pass over distinct scores + 1-row fold
+    ("auc_events", ["no_python", "no_cartesian", "pruned_scan"]),
+    # one group-partitioned window pass (rank + both running sums)
+    ("gini_sources_docs", ["no_python", "no_cartesian",
+                           "single_group_shuffle", "pruned_scan"]),
+    # 9-key count agg; grid fill + windows over <= 9 rows
+    ("benford_docs", ["no_python", "no_cartesian", "pruned_scan"]),
 ]
 
 

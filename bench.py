@@ -285,7 +285,8 @@ def main() -> None:
              "calibration_events", "ks_drift_events", "funnel_events",
              "cohort_retention_events", "kaplan_meier_events",
              "cramers_v_events", "conformal_events", "auc_events",
-             "gini_sources_docs", "benford_docs"]
+             "gini_sources_docs", "benford_docs", "pps_sample_docs",
+             "qnorm_docs", "rrf_events"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

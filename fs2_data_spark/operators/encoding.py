@@ -478,3 +478,62 @@ def trend_slope(
     return (agg.withColumn("slope", F.round(slope, 10))
             .withColumn("intercept", F.round(intercept, 6))
             .drop("_sx", "_sy", "_sxy", "_sxx"))
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value: str = "value",
+    group: str | Sequence[str] = "source",
+    tiebreak: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Quantile normalization across groups — the batch-effect
+    correction classic (microarray lineage, equally at home fixing
+    per-crawl-source length/score distributions): each row's value is
+    replaced by the POOLED distribution's value at the same quantile
+    position, so every group ends up with an identical marginal
+    distribution while each group's internal ordering is preserved.
+
+    The mapping is pure integer rank arithmetic (a selection boundary,
+    so no floats are allowed anywhere near it — the
+    :func:`~fs2_data_spark.operators.mixing.pps_systematic_sample`
+    rule): a row at within-group rank ``r`` of ``n_g`` maps to the
+    pooled rank::
+
+        t = ceil( (2r - 1) * N / (2 * n_g) )   in [1, N]
+
+    (the midpoint quantile ``(r - 1/2) / n_g`` scaled to the pooled
+    size, computed as ``((2r-1)*N + 2*n_g - 1) div (2*n_g)``).  Range
+    note: the product needs ``2 * N^2 < 2^63`` per group — beyond
+    ~2 * 10^9 pooled rows, lift the expression to DECIMAL(38,0).
+
+    Scale shape: the pooled rank table comes from
+    :func:`~fs2_data_spark.operators.dedup.global_rank` (range-partition
+    parallel sort — never a single-partition window); within-group
+    ranks are one group-partitioned window pass; the final lookup is an
+    equi-join on the target rank (both sides row-per-row, hash join).
+    Ties are broken by ``tiebreak`` on both sides, so the map is
+    deterministic and any SQL engine replays it exactly.
+
+    Output: the input columns plus ``q_value`` (the pooled value at the
+    mapped rank).  NULL values are excluded.
+    """
+    from fs2_data_spark.operators.dedup import global_rank
+
+    group = [group] if isinstance(group, str) else list(group)
+    src = df.filter(F.col(value).isNotNull())
+    pooled = global_rank(
+        src.select(F.col(value).alias("_pv"), F.col(tiebreak)),
+        ["_pv", tiebreak], rank_col="_prnk",
+        num_partitions=num_partitions).select("_prnk", "_pv")
+    wg = Window.partitionBy(*group).orderBy(F.col(value), F.col(tiebreak))
+    wn = Window.partitionBy(*group)
+    d = (src.withColumn("_r", F.row_number().over(wg).cast("bigint"))
+         .withColumn("_ng", F.count(F.lit(1)).over(wn).cast("bigint")))
+    n_tot = src.select(F.count(F.lit(1)).cast("bigint").alias("_N"))
+    d = d.crossJoin(F.broadcast(n_tot))
+    d = d.withColumn(
+        "_t", F.expr("((2 * _r - 1) * _N + 2 * _ng - 1) div (2 * _ng)"))
+    return (d.join(pooled, d["_t"] == pooled["_prnk"])
+            .withColumn("q_value", F.col("_pv"))
+            .drop("_r", "_ng", "_N", "_t", "_prnk", "_pv"))

@@ -470,3 +470,57 @@ def exact_stratified_split(
              .when(F.col("__rk") * denom <= F.col("__n") * (tr + va), "val")
              .otherwise("test"))
     return out.withColumn(out_col, split).drop("__rk", "__n")
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight: str = "n_chars",
+    strata: str | Sequence[str] = "source",
+    id_col: str = "doc_id",
+    k: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling per stratum
+    (the survey-sampling classic): order the stratum by the portable id
+    hash (a deterministic pseudo-random permutation), walk the
+    cumulative weight, and pick every row whose weight interval crosses
+    one of ``k`` evenly spaced grid lines on ``[0, W)`` — each row's
+    selection probability is exactly ``min(1, k * w / W)`` and the
+    selected count is exactly ``k`` whenever no single weight exceeds
+    ``W / k`` (a heavier row crosses several lines but is emitted once,
+    with its crossing count in ``n_hits`` — the certainty-selection
+    convention, stated rather than hidden).
+
+    Why not Efraimidis-Spirakis keys (``u^(1/w)``): the A-ES order
+    statistic needs ``ln``/``pow`` whose last-ulp behavior is
+    libm-specific, and a SELECTION boundary (unlike the engine's
+    rounded-term SUMS) cannot tolerate ulp drift across engines.  The
+    systematic walk is pure bigint arithmetic — ``(cum * k) div W``
+    — exact and identical everywhere.  Range note: the product needs
+    ``cum * k < 2^63`` (at 10^12 total weight that allows k up to
+    ~9 * 10^6 per stratum; beyond that, lift to DECIMAL(38,0)).
+
+    Scale shape: ONE stratum-partitioned window pass (hash order +
+    running weight sum share the sort); the per-stratum total rides the
+    same partition as an unordered window — zero joins, zero driver
+    actions, and dropped rows never materialize past the filter.
+
+    Rows with ``weight <= 0`` are excluded (zero-mass rows cannot be
+    PPS-sampled).  Output: the sampled rows with ``cum_w`` (inclusive
+    cumulative weight), ``total_w``, and ``n_hits``.
+    """
+    strata = [strata] if isinstance(strata, str) else list(strata)
+    w_col = F.col(weight).cast("bigint")
+    h = portable_unit_hash(F.col(id_col), seed)
+    ww = Window.partitionBy(*strata).orderBy(h, F.col(id_col))
+    wcum = ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy(*strata)
+    d = (df.filter(w_col > 0)
+         .withColumn("__w", w_col)
+         .withColumn("cum_w", F.sum(F.col("__w")).over(wcum))
+         .withColumn("total_w", F.sum(F.col("__w")).over(wall)))
+    hits = (F.expr(f"(cum_w * {int(k)}) div total_w")
+            - F.expr(f"((cum_w - __w) * {int(k)}) div total_w"))
+    return (d.withColumn("n_hits", hits.cast("int"))
+            .filter(F.col("n_hits") > 0)
+            .drop("__w"))

@@ -312,3 +312,56 @@ def semantic_dedup(
             .select(F.col("id").alias(id_col), "cell",
                     F.col("dup_of").isNull().alias("keep"),
                     "dup_of", "dup_cos"))
+
+
+def rrf_fuse(
+    df: DataFrame,
+    key: str | Sequence[str],
+    rankings: Sequence[tuple[str, bool]],
+    id_col: str = "event_id",
+    k0: int = 60,
+    top: int = 3,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion of several orderings of the same rows —
+    the standard way to combine heterogeneous retrieval signals
+    (BM25 + dense ANN, recency + relevance) without score calibration::
+
+        rrf(row) = sum_i 1 / (k0 + rank_i(row))
+
+    ``rankings`` is a list of ``(column, descending)`` specs; each
+    produces a dense per-key ``row_number`` (ties broken by ``id_col``,
+    so every rank — and therefore the fused score and the final top-k
+    — is deterministic and engine-replayable).  The fused score is a
+    FIXED-LENGTH chain of IEEE divides and adds (expression order is
+    part of the operator contract — it is not a multiset sum, so no
+    decimal discipline is needed), rounded to ``round_dp``.
+
+    Scale shape: all ranking windows share the key partitioning —
+    Catalyst plans one Exchange and one Sort per distinct ordering (no
+    joins: every ranking is a window over the SAME rows); the final
+    top-``top`` is one more window pass.  Nothing leaves the key's
+    partition.
+
+    Output: ``key, id_col, rank_1..rank_m, rrf`` for the top rows per
+    key, ordered deterministically by ``(rrf desc, id_col)``.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    d = df
+    rank_cols = []
+    for i, (col, desc) in enumerate(rankings, start=1):
+        order = F.col(col).desc() if desc else F.col(col).asc()
+        w = Window.partitionBy(*key).orderBy(order, F.col(id_col))
+        rc = f"rank_{i}"
+        d = d.withColumn(rc, F.row_number().over(w))
+        rank_cols.append(rc)
+    expr = None
+    for rc in rank_cols:
+        term = F.lit(1.0) / (F.lit(float(k0)) + F.col(rc).cast("double"))
+        expr = term if expr is None else expr + term
+    d = d.withColumn("rrf", F.round(expr, round_dp))
+    wtop = Window.partitionBy(*key).orderBy(F.col("rrf").desc(),
+                                            F.col(id_col))
+    return (d.withColumn("_tn", F.row_number().over(wtop))
+            .filter(F.col("_tn") <= int(top))
+            .select(*key, id_col, *rank_cols, "rrf"))

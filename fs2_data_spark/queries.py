@@ -1823,6 +1823,109 @@ def benford_docs(spark, sf_dir):
     return benford_audit(d, value="n_chars")
 
 
+@_q("pps_sample_docs", """
+WITH o AS (SELECT doc_id, source, n_chars,
+                  ((doc_id * 2654435761 + 42) % 1000003 * 40503 + 17)
+                    % 999983 AS h
+           FROM documents WHERE n_chars > 0),
+c AS (SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_w,
+             SUM(n_chars) OVER (PARTITION BY source) AS total_w
+      FROM o)
+SELECT doc_id, source, n_chars, CAST(cum_w AS BIGINT) AS cum_w,
+       CAST(total_w AS BIGINT) AS total_w,
+       CAST((cum_w * 5) // total_w
+            - ((cum_w - n_chars) * 5) // total_w AS INTEGER) AS n_hits
+FROM c
+WHERE (cum_w * 5) // total_w > ((cum_w - n_chars) * 5) // total_w
+""")
+def pps_sample_docs(spark, sf_dir):
+    """Probability-proportional-to-size systematic sample of 5 docs per
+    source, weighted by n_chars (``operators/mixing.py
+    pps_systematic_sample``): deterministic portable-hash order, exact
+    bigint cumulative-weight walk — a SELECTION boundary, so no
+    ln/pow anywhere (A-ES keys are libm-ulp-unsafe across engines).
+    One stratum-partitioned window pass, zero joins."""
+    from fs2_data_spark.operators.mixing import pps_systematic_sample
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                              "n_chars")
+    return pps_systematic_sample(d, weight="n_chars", strata="source",
+                                 id_col="doc_id", k=5, seed=42)
+
+
+@_q("qnorm_docs", """
+WITH src AS (SELECT doc_id, source, n_chars FROM documents
+             WHERE n_chars IS NOT NULL),
+pooled AS (SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS prnk,
+                  n_chars AS pv
+           FROM src),
+g AS (SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS ng,
+             (SELECT count(*) FROM src) AS n_all
+      FROM src)
+SELECT g.doc_id, g.source, g.n_chars, p.pv AS q_value
+FROM g JOIN pooled p
+  ON p.prnk = ((2 * g.r - 1) * g.n_all + 2 * g.ng - 1) // (2 * g.ng)
+""")
+def qnorm_docs(spark, sf_dir):
+    """Quantile normalization of document sizes across sources
+    (``operators/encoding.py quantile_normalize``): each row mapped to
+    the POOLED distribution's value at its within-source midpoint
+    quantile — pure integer rank arithmetic (selection boundary, no
+    floats), pooled ranks via the range-partitioned global_rank (never
+    a single-partition window), final lookup one equi-join on the
+    target rank."""
+    from fs2_data_spark.operators.encoding import quantile_normalize
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                              "n_chars")
+    out = quantile_normalize(d, value="n_chars", group="source",
+                             tiebreak="doc_id")
+    return out.select("doc_id", "source", "n_chars", "q_value")
+
+
+@_q("rrf_events", """
+WITH d AS (SELECT user_id, event_id, value, epoch_us(ts) AS eus
+           FROM events WHERE value IS NOT NULL),
+r AS (SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rank_1,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY eus DESC, event_id) AS rank_2
+      FROM d),
+s AS (SELECT *,
+             ROUND(CAST(1 AS DOUBLE)
+                   / (CAST(60 AS DOUBLE) + CAST(rank_1 AS DOUBLE))
+                   + CAST(1 AS DOUBLE)
+                   / (CAST(60 AS DOUBLE) + CAST(rank_2 AS DOUBLE)), 9)
+               AS rrf
+      FROM r),
+t AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY rrf DESC, event_id) AS tn
+      FROM s)
+SELECT user_id, event_id, rank_1, rank_2, rrf FROM t WHERE tn <= 3
+""")
+def rrf_events(spark, sf_dir):
+    """Reciprocal-rank fusion of two orderings of each user's events —
+    relevance (value desc) and recency (event time desc) — top 3 per
+    user (``operators/similarity.py rrf_fuse``): deterministic
+    id-tie-broken ranks, fixed-length IEEE divide/add chain, all
+    windows share the user partitioning (one Exchange). NULL values
+    filtered (engines disagree on NULL order under DESC)."""
+    from fs2_data_spark.operators.similarity import rrf_fuse
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("user_id", "event_id", "value",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("eus")))
+    return rrf_fuse(ev, key="user_id",
+                    rankings=[("value", True), ("eus", True)],
+                    id_col="event_id", k0=60, top=3)
+
+
 @_q("rank_normalize_events", """
 SELECT event_id, event_type, value,
        ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value),

@@ -232,6 +232,15 @@ AUDITED = [
                            "single_group_shuffle", "pruned_scan"]),
     # 9-key count agg; grid fill + windows over <= 9 rows
     ("benford_docs", ["no_python", "no_cartesian", "pruned_scan"]),
+    # one stratum-partitioned window pass, zero joins
+    ("pps_sample_docs", ["no_python", "no_cartesian",
+                         "single_group_shuffle", "pruned_scan"]),
+    # pooled ranks via range-partitioned global_rank; the 1-row N and
+    # P-row offset tables are bounded broadcast sides by design
+    ("qnorm_docs", ["no_python", "broadcast", "pruned_scan"]),
+    # all ranking windows share the user partitioning
+    ("rrf_events", ["no_python", "no_cartesian", "single_group_shuffle",
+                    "pruned_scan"]),
 ]
 
 

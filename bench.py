@@ -286,7 +286,8 @@ def main() -> None:
              "cohort_retention_events", "kaplan_meier_events",
              "cramers_v_events", "conformal_events", "auc_events",
              "gini_sources_docs", "benford_docs", "pps_sample_docs",
-             "qnorm_docs", "rrf_events"]
+             "qnorm_docs", "rrf_events", "posting_lists_docs",
+             "grid_corr_events", "attribution_events"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

@@ -651,6 +651,78 @@ def benford_audit(
             .select("digit", "n_d", "n", "expected", "term", "chi2"))
 
 
+def grid_correlation(
+    df: DataFrame,
+    value: str = "value",
+    series: str = "event_type",
+    ts: str = "ts",
+    step_us: int = 3_600_000_000,
+    min_points: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation between per-``series`` time series,
+    aligned on a fixed epoch grid — the cross-signal drift monitor (two
+    metrics that always moved together decoupling is an incident signal
+    long before either one breaches its own threshold).
+
+    Each series is first reduced to exact per-bucket sums
+    (``bucket = epoch_us div step_us``, DECIMAL(27,6) accumulation);
+    series pairs are aligned with an INNER join on the bucket (only
+    co-observed buckets correlate; the count is reported as ``n``).
+    Pearson r uses the moment identity::
+
+        r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    Determinism: bucket sums are exact decimals; per-bucket product
+    terms (xy, x^2, y^2, x, y) are rounded to 6 dp and accumulated in
+    DECIMAL(38,12) (order-free; the established multiset-sum
+    discipline), so both engines fold identical numbers; the final
+    identity is one IEEE chain rounded to ``round_dp``.  Pairs with a
+    zero variance on either side yield NULL ``r`` (undefined, stated —
+    not a division blow-up); pairs with fewer than ``min_points``
+    co-observed buckets are dropped.
+
+    Scale shape: one scan -> (series, bucket) exact sums (map-side
+    combined, key space = |series| x horizon); the pair join is an
+    equi-join ON THE BUCKET with per-bucket fan-out C(|series|, 2) —
+    alphabet-bounded, never row-bounded; the final fold is one
+    |series|^2-bounded aggregation.
+
+    Output per pair (``a < b``): ``a, b, n, r``.
+    """
+    pts = (df.filter(F.col(value).isNotNull())
+           .select(F.col(series).alias("_s"),
+                   epoch_us(F.col(ts)).alias("_eus"),
+                   F.col(value).alias("_v"))
+           .withColumn("_g", F.expr(f"_eus div {int(step_us)}"))
+           .groupBy("_s", "_g")
+           .agg(F.sum(F.col("_v").cast("decimal(27,6)")).cast("double")
+                .alias("_x")))
+    a = pts.select(F.col("_s").alias("a"), "_g", F.col("_x").alias("_xa"))
+    bb = pts.select(F.col("_s").alias("b"), "_g", F.col("_x").alias("_xb"))
+    pairs = (a.join(bb, on="_g")
+             .filter(F.col("a") < F.col("b")))
+    r6 = lambda c: F.round(c, 6).cast(_DEC)  # noqa: E731
+    agg = (pairs.groupBy("a", "b")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(r6(F.col("_xa"))).cast("double").alias("_sx"),
+                F.sum(r6(F.col("_xb"))).cast("double").alias("_sy"),
+                F.sum(r6(F.col("_xa") * F.col("_xb"))).cast("double")
+                .alias("_sxy"),
+                F.sum(r6(F.col("_xa") * F.col("_xa"))).cast("double")
+                .alias("_sxx"),
+                F.sum(r6(F.col("_xb") * F.col("_xb"))).cast("double")
+                .alias("_syy"))
+           .filter(F.col("n") >= int(min_points)))
+    nn = F.col("n").cast("double")
+    cov = nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx = nn * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = nn * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    r = F.when((vx > 0) & (vy > 0),
+               F.round(cov / F.sqrt(vx * vy), round_dp))
+    return agg.select("a", "b", "n", r.alias("r"))
+
+
 def calibration_bins(
     df: DataFrame,
     pred: str = "pred",

@@ -157,3 +157,61 @@ def session_cooccurrence(
     return (out.withColumn("lift", F.round(lift, 6))
             .select("state_a", "state_b", "n_ab", "n_a", "n_b",
                     "n_sessions", "lift"))
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    state: str = "event_type",
+    value: str = "value",
+    conversion: str = "purchase",
+    gap_s: int = 1800,
+    tiebreak: str = "event_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Last-touch conversion attribution inside gap-sessions: every
+    ``conversion`` event's value is credited to the MOST RECENT
+    strictly-prior non-conversion touch in the same session; a
+    conversion with no prior touch in its session is credited to
+    ``'direct'`` — the marketing-analytics staple, and the session-
+    scoped inverse of :func:`session_transitions` (transitions ask
+    "what follows X"; attribution asks "what preceded the outcome").
+
+    Strictly-prior means the frame ends at ``1 PRECEDING`` over the
+    deterministic ``(ts, tiebreak)`` order — a touch at the exact
+    conversion timestamp does NOT get credit (the engine's as-of tie
+    discipline; last-touch with self-at-t credit is target leakage in
+    feature terms).
+
+    Determinism: the touch pick is ``last(..., ignorenulls)`` over a
+    totally ordered frame (engine-replayable); revenue is the exact
+    DECIMAL(27,6) sum of credited values cast to double and rounded.
+
+    Scale shape: the touch window partitions by the KEY (not the
+    session) and carries ``struct(session_seq, state)`` — the session
+    membership check happens after the pick, so sessionization and the
+    touch lookup share ONE Exchange + ONE Sort over the events; the
+    only other shuffle re-keys the |states|-bounded partial aggregates
+    (map-side combined — bytes, not rows).  Output per credited
+    channel: ``channel, n_conv, revenue``.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    s = sessionize(df, key=key, ts=ts, gap_s=gap_s,
+                   order_by=[ts, tiebreak])
+    w = (Window.partitionBy(*key)
+         .orderBy(F.col(ts), F.col(tiebreak))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.last(
+        F.when(F.col(state) != conversion,
+               F.struct(F.col("session_seq").alias("sq"),
+                        F.col(state).alias("st"))),
+        ignorenulls=True).over(w)
+    conv = (s.withColumn("_touch", touch)
+            .filter(F.col(state) == conversion))
+    channel = F.when(F.col("_touch.sq") == F.col("session_seq"),
+                     F.col("_touch.st")).otherwise(F.lit("direct"))
+    return (conv.groupBy(channel.alias("channel"))
+            .agg(F.count(F.lit(1)).alias("n_conv"),
+                 F.round(F.sum(F.col(value).cast("decimal(27,6)"))
+                         .cast("double"), round_dp).alias("revenue")))

@@ -1926,6 +1926,116 @@ def rrf_events(spark, sf_dir):
                     id_col="event_id", k0=60, top=3)
 
 
+@_q("posting_lists_docs", """
+WITH tok AS (SELECT doc_id AS d,
+                    unnest(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS term
+             FROM documents),
+tf AS (SELECT term, d, count(*) AS tf FROM tok GROUP BY 1, 2),
+stats AS (SELECT term, count(*) AS df, SUM(tf) AS cf FROM tf
+          GROUP BY 1 HAVING count(*) >= 2),
+rk AS (SELECT term, d,
+              row_number() OVER (PARTITION BY term
+                                 ORDER BY tf DESC, d) AS rn
+       FROM tf),
+tops AS (SELECT term, list(d ORDER BY rn) AS postings
+         FROM rk WHERE rn <= 10 GROUP BY 1)
+SELECT s.term, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+       t.postings
+FROM stats s JOIN tops t USING (term)
+""")
+def posting_lists_docs(spark, sf_dir):
+    """Inverted-index posting lists over the corpus
+    (``operators/index.py posting_lists``): per term the exact df/cf
+    and the top-10 doc ids by (tf desc, id) — capped by a per-term
+    ranked window BEFORE collection, so a stopword never materializes a
+    corpus-sized array; every stage after the tf aggregation shares the
+    term partitioning. min_df = 2."""
+    from fs2_data_spark.operators.index import posting_lists
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return posting_lists(d, id_col="doc_id", text_col="text",
+                         max_postings=10, min_df=2)
+
+
+@_q("grid_corr_events", """
+WITH pts AS (SELECT event_type AS s, epoch_us(ts) // 3600000000 AS g,
+                    CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                      AS x
+             FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+p AS (SELECT a.s AS a, b.s AS b, a.x AS xa, b.x AS xb
+      FROM pts a JOIN pts b ON a.g = b.g AND a.s < b.s),
+agg AS (SELECT a, b, count(*) AS n,
+   CAST(SUM(CAST(ROUND(xa, 6) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+   CAST(SUM(CAST(ROUND(xb, 6) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+   CAST(SUM(CAST(ROUND(xa * xb, 6) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+   CAST(SUM(CAST(ROUND(xa * xa, 6) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+   CAST(SUM(CAST(ROUND(xb * xb, 6) AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        FROM p GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT a, b, CAST(n AS BIGINT) AS n,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+             AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0 THEN
+         ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+                      * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+       END AS r
+FROM agg
+""")
+def grid_corr_events(spark, sf_dir):
+    """Pairwise Pearson correlation between per-event-type hourly
+    series (``operators/drift.py grid_correlation``): exact decimal
+    bucket sums, inner-join alignment on the hour bucket, moment
+    identity with 6-dp product terms folded in DECIMAL(38,12).
+    Zero-variance sides yield NULL r; pairs need >= 2 co-observed
+    buckets. The cross-signal drift monitor."""
+    from fs2_data_spark.operators.drift import grid_correlation
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return grid_correlation(ev, value="value", series="event_type",
+                            ts="ts", step_us=3_600_000_000,
+                            min_points=2)
+
+
+@_q("attribution_events", """
+WITH g AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS flag
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_seq
+  FROM g),
+t AS (
+  SELECT *, last_value(CASE WHEN event_type <> 'purchase'
+                            THEN event_type END IGNORE NULLS)
+              OVER (PARTITION BY user_id, session_seq
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS touch
+  FROM s)
+SELECT COALESCE(touch, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_conv,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 6)
+         AS revenue
+FROM t WHERE event_type = 'purchase' GROUP BY 1
+""")
+def attribution_events(spark, sf_dir):
+    """Last-touch revenue attribution inside 30-min gap-sessions
+    (``operators/sessionize.py last_touch_attribution``): each
+    purchase credits the most recent strictly-prior non-purchase touch
+    in its session (equal-timestamp peers excluded by the (ts, id)
+    total order — the as-of tie discipline), else 'direct'. One key
+    partitioning shared by sessionization and the touch window; exact
+    decimal revenue."""
+    from fs2_data_spark.operators.sessionize import last_touch_attribution
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts",
+                                            "event_type", "value")
+    return last_touch_attribution(ev, key="user_id", ts="ts",
+                                  state="event_type", value="value",
+                                  conversion="purchase", gap_s=1800,
+                                  tiebreak="event_id")
+
+
 @_q("rank_normalize_events", """
 SELECT event_id, event_type, value,
        ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value),

@@ -241,6 +241,14 @@ AUDITED = [
     # all ranking windows share the user partitioning
     ("rrf_events", ["no_python", "no_cartesian", "single_group_shuffle",
                     "pruned_scan"]),
+    # tf agg, stats agg, capping window and join all share the term key
+    ("posting_lists_docs", ["no_python", "no_cartesian", "pruned_scan"]),
+    # bucket-sum agg + bucket equi-join with alphabet-bounded fan-out
+    ("grid_corr_events", ["no_python", "no_cartesian", "pruned_scan"]),
+    # sessionization + touch window share one key partitioning (the
+    # touch carries struct(session, state), checked after the pick);
+    # the second exchange re-keys |states|-bounded partial aggregates
+    ("attribution_events", ["no_python", "no_cartesian", "pruned_scan"]),
 ]
 
 

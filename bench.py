@@ -287,7 +287,9 @@ def main() -> None:
              "cramers_v_events", "conformal_events", "auc_events",
              "gini_sources_docs", "benford_docs", "pps_sample_docs",
              "qnorm_docs", "rrf_events", "posting_lists_docs",
-             "grid_corr_events", "attribution_events"]
+             "grid_corr_events", "attribution_events",
+             "snapshot_features_events", "zipf_slope_docs",
+             "js_source_docs"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

@@ -228,6 +228,58 @@ def kl_source_divergence(
             .withColumnRenamed("_ns", "n_tok_src"))
 
 
+def js_source_divergence(
+    docs: DataFrame,
+    tokens: str = "tokens",
+    source: str = "source",
+    alpha: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    against the corpus mixture — the bounded, symmetric member of the
+    drift suite (:func:`kl_source_divergence` is unbounded and blows up
+    on missing support even smoothed; JS lives in ``[0, ln 2]`` so one
+    alert threshold works across sources of any size)::
+
+        JS(P, Q) = 0.5 * KL(P || M) + 0.5 * KL(Q || M),  M = (P + Q)/2
+
+    Same add-``alpha`` smoothing and full vocab-x-source grid as the KL
+    monitor (shared determinism and scale shape: one corpus-sized
+    explode, everything else vocab-bounded; 9-dp terms folded in
+    DECIMAL(38,12)).  Terms with ``p == 0`` contribute 0 to their half
+    by the ``x ln x -> 0`` convention — with smoothing both sides are
+    strictly positive, so no guard is needed beyond the formula.
+
+    Returns one row per source: ``n_tok_src``, ``vocab_src``, ``js``.
+    """
+    tok = (docs.select(source, F.explode(F.col(tokens)).alias("_t"))
+           .groupBy(source, "_t").agg(F.count(F.lit(1)).alias("_cst")))
+    tok = tok.persist()
+    corpus = tok.groupBy("_t").agg(F.sum("_cst").alias("_ct"))
+    totals = (tok.groupBy(source)
+              .agg(F.sum("_cst").alias("_ns"),
+                   F.count(F.lit(1)).alias("vocab_src")))
+    nv = corpus.agg(F.sum("_ct").alias("_n"),
+                    F.count(F.lit(1)).alias("_v"))
+    grid = (totals.crossJoin(F.broadcast(corpus))
+            .crossJoin(F.broadcast(nv))
+            .join(tok, on=[source, "_t"], how="left")
+            .fillna({"_cst": 0}))
+    a = F.lit(float(alpha))
+    ps = ((F.col("_cst").cast("double") + a)
+          / (F.col("_ns").cast("double") + a * F.col("_v").cast("double")))
+    pc = ((F.col("_ct").cast("double") + a)
+          / (F.col("_n").cast("double") + a * F.col("_v").cast("double")))
+    m = (ps + pc) / F.lit(2.0)
+    term = F.round(F.lit(0.5) * ps * F.log(ps / m)
+                   + F.lit(0.5) * pc * F.log(pc / m), 9)
+    return (grid.withColumn("_term", term)
+            .groupBy(source, "_ns", "vocab_src")
+            .agg(F.round(F.sum(F.col("_term").cast(_DEC)).cast("double"),
+                         round_dp).alias("js"))
+            .withColumnRenamed("_ns", "n_tok_src"))
+
+
 def mutual_information(
     df: DataFrame,
     cat: str = "event_type",

@@ -73,3 +73,61 @@ def posting_lists(
                 lambda s: s["d"]).alias("postings")))
     return (stats.join(tops, on="term")
             .select("term", "df", "cf", "postings"))
+
+
+def zipf_slope(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_v: int = 1000,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Zipf rank-frequency slope of the corpus vocabulary: OLS fit of
+    ``ln(freq)`` against ``ln(rank)`` over the top-``top_v`` terms —
+    natural corpora sit near slope -1; template/boilerplate floods
+    flatten the head and machine-generated noise steepens the tail, so
+    the fitted slope is a one-number corpus-health audit (the
+    vocabulary analogue of the Benford screen).
+
+    Ranks are deterministic (freq desc, term asc) over the VOCABULARY
+    aggregate — vocab-bounded, never corpus-bounded (the corpus-sized
+    pass is the one exploding count; at an extreme vocabulary swap the
+    rank window for ``dedup.global_rank``).  The cap is disclosed in
+    the output (``v_used``); hapax-heavy tails are deliberately
+    excluded (they bend the log-log line and swamp the head signal).
+
+    Determinism: term frequencies are exact; per-term ``ln`` values are
+    IEEE on exact ints; OLS moments use the module discipline (9-dp
+    terms, DECIMAL(38,12) sums); slope/intercept are single IEEE chains
+    rounded to ``round_dp``.
+
+    Output ONE row: ``v_used, slope, intercept``.
+    """
+    from pyspark.sql import Window
+
+    freq = (df.select(F.explode(words(F.col(text_col))).alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("_f")))
+    wr = Window.partitionBy().orderBy(F.col("_f").desc(), F.col("term"))
+    top = (freq.withColumn("_r", F.row_number().over(wr))
+           .filter(F.col("_r") <= int(top_v)))
+    x = F.log(F.col("_r").cast("double"))
+    y = F.log(F.col("_f").cast("double"))
+    dec = "decimal(38,12)"
+    agg = (top.select(F.round(x, 9).alias("_x"), F.round(y, 9).alias("_y"),
+                      F.round(x * y, 9).alias("_xy"),
+                      F.round(x * x, 9).alias("_xx"))
+           .agg(F.count(F.lit(1)).alias("v_used"),
+                F.sum(F.col("_x").cast(dec)).cast("double").alias("_sx"),
+                F.sum(F.col("_y").cast(dec)).cast("double").alias("_sy"),
+                F.sum(F.col("_xy").cast(dec)).cast("double").alias("_sxy"),
+                F.sum(F.col("_xx").cast(dec)).cast("double").alias("_sxx")))
+    n = F.col("v_used").cast("double")
+    denom = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = F.when(denom > 0, F.round(
+        (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / denom,
+        round_dp))
+    intercept = F.when(denom > 0, F.round(
+        (F.col("_sy") - ((n * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+                         / denom) * F.col("_sx")) / n, round_dp))
+    return agg.select("v_used", slope.alias("slope"),
+                      intercept.alias("intercept"))

@@ -453,3 +453,57 @@ def future_outcome_labels(
         cols.append(F.coalesce(F.max(outcome.cast("int")).over(w), F.lit(0))
                     .alias("fut_outcome"))
     return d.select("*", *cols).drop("_neg")
+
+
+def snapshot_features(
+    df: DataFrame,
+    cutoffs_us: Sequence[int],
+    lookback_us: int = 7 * 86_400_000_000,
+    value: str = "value",
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    state: str | None = "event_type",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Training-SNAPSHOT feature matrix: for every (key, cutoff) pair,
+    the key's trailing-window aggregates as of the cutoff — the batch
+    materialization step of a point-in-time feature store (each row is
+    "what the model would have known about this key at time c"), with
+    the same strict temporal contract as the as-of join: an event
+    contributes to cutoff ``c`` iff ``c - lookback < t <= c``.
+
+    Emits per (key, cutoff): ``n`` (events in the window), ``sum_v``
+    (exact DECIMAL sum, 6 dp) and — when ``state`` is given —
+    ``n_states`` (exact distinct states, alphabet-bounded).
+
+    Execution: the cutoff list is a PLAN-TIME array literal; each event
+    filters it with an array HOF and explodes its (typically 0-2)
+    qualifying cutoffs — so the snapshot matrix is built by ONE
+    map-side-combinable aggregation with zero window functions, zero
+    joins, and zero per-cutoff rescans (the naive per-cutoff loop scans
+    the corpus ``len(cutoffs)`` times; this scans once).  Keys silent in
+    a window simply have no row (a feature store reads absent as
+    zero/default; materializing keys x cutoffs would be a cross join).
+
+    ``cutoffs_us`` must be explicit epoch-microsecond literals —
+    deterministic, replayable, and part of the snapshot's lineage.
+    """
+    from fs2_data_spark.functions.timeutil import epoch_us
+
+    key = [key] if isinstance(key, str) else list(key)
+    cuts = F.array(*[F.lit(int(c)).cast("bigint")
+                     for c in sorted(set(cutoffs_us))])
+    eus = epoch_us(F.col(ts))
+    lb = F.lit(int(lookback_us))
+    qualifying = F.filter(cuts, lambda c: (c >= eus) & (c - lb < eus))
+    cols = [*key, F.col(value).alias("_v"),
+            F.explode(qualifying).alias("cutoff_us")]
+    if state is not None:
+        cols.insert(len(key), F.col(state).alias("_st"))
+    d = df.select(*cols)
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("_v").cast("decimal(27,6)"))
+                    .cast("double"), round_dp).alias("sum_v")]
+    if state is not None:
+        aggs.append(F.size(F.collect_set("_st")).alias("n_states"))
+    return d.groupBy(*key, "cutoff_us").agg(*aggs)

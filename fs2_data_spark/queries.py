@@ -1941,7 +1941,7 @@ rk AS (SELECT term, d,
 tops AS (SELECT term, list(d ORDER BY rn) AS postings
          FROM rk WHERE rn <= 10 GROUP BY 1)
 SELECT s.term, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
-       t.postings
+       array_to_string(t.postings, ',') AS postings_str
 FROM stats s JOIN tops t USING (term)
 """)
 def posting_lists_docs(spark, sf_dir):
@@ -1953,8 +1953,10 @@ def posting_lists_docs(spark, sf_dir):
     term partitioning. min_df = 2."""
     from fs2_data_spark.operators.index import posting_lists
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return posting_lists(d, id_col="doc_id", text_col="text",
-                         max_postings=10, min_df=2)
+    out = posting_lists(d, id_col="doc_id", text_col="text",
+                        max_postings=10, min_df=2)
+    return out.select("term", "df", "cf",
+                      _arr_str(F.col("postings")).alias("postings_str"))
 
 
 @_q("grid_corr_events", """
@@ -2034,6 +2036,117 @@ def attribution_events(spark, sf_dir):
                                   state="event_type", value="value",
                                   conversion="purchase", gap_s=1800,
                                   tiebreak="event_id")
+
+
+@_q("snapshot_features_events", """
+WITH c AS (SELECT unnest([1704672000000000, 1705276800000000,
+                          1705881600000000, 1706486400000000])
+             AS cutoff_us),
+e AS (SELECT user_id, event_type, value, epoch_us(ts) AS eus FROM events)
+SELECT user_id, cutoff_us, CAST(count(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 6)
+         AS sum_v,
+       CAST(count(DISTINCT event_type) AS INTEGER) AS n_states
+FROM e JOIN c ON c.cutoff_us >= e.eus
+             AND c.cutoff_us - 604800000000 < e.eus
+GROUP BY 1, 2
+""")
+def snapshot_features_events(spark, sf_dir):
+    """Training-snapshot feature matrix at four weekly cutoffs
+    (``operators/windows.py snapshot_features``): per (user, cutoff)
+    the trailing-7-day count / exact sum / distinct event types, with
+    the strict PIT boundary (c - 7d, c]. Each event explodes only its
+    qualifying cutoffs from a plan-time array literal — one map-side
+    aggregation, zero windows, zero joins, zero per-cutoff rescans."""
+    from fs2_data_spark.operators.windows import snapshot_features
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type",
+                                            "ts", "value")
+    base = 1_704_067_200_000_000  # 2024-01-01 UTC
+    week = 7 * 86_400_000_000
+    cuts = [base + week * i for i in (1, 2, 3, 4)]
+    return snapshot_features(ev, cutoffs_us=cuts, lookback_us=week,
+                             value="value", key="user_id", ts="ts",
+                             state="event_type")
+
+
+@_q("zipf_slope_docs", """
+WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+                           x -> x <> '')) AS term
+             FROM documents),
+freq AS (SELECT term, count(*) AS f FROM tok GROUP BY 1),
+top AS (SELECT * FROM (
+          SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r
+          FROM freq) WHERE r <= 500),
+t AS (SELECT ROUND(ln(CAST(r AS DOUBLE)), 9) AS x,
+             ROUND(ln(CAST(f AS DOUBLE)), 9) AS y,
+             ROUND(ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE)), 9)
+               AS xy,
+             ROUND(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 9)
+               AS xx
+      FROM top),
+a AS (SELECT CAST(count(*) AS BIGINT) AS v_used,
+             CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xy AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(xx AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      FROM t)
+SELECT v_used,
+       CASE WHEN (CAST(v_used AS DOUBLE) * sxx - sx * sx) > 0 THEN
+         ROUND((CAST(v_used AS DOUBLE) * sxy - sx * sy)
+               / (CAST(v_used AS DOUBLE) * sxx - sx * sx), 6) END
+         AS slope,
+       CASE WHEN (CAST(v_used AS DOUBLE) * sxx - sx * sx) > 0 THEN
+         ROUND((sy - ((CAST(v_used AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(v_used AS DOUBLE) * sxx - sx * sx)) * sx)
+               / CAST(v_used AS DOUBLE), 6) END
+         AS intercept
+FROM a
+""")
+def zipf_slope_docs(spark, sf_dir):
+    """Zipf rank-frequency slope over the top-500 vocabulary
+    (``operators/index.py zipf_slope``): OLS of ln(freq) on ln(rank),
+    deterministic (freq desc, term) ranks over the vocab-bounded
+    aggregate, 9-dp OLS moments in DECIMAL(38,12). Natural corpora sit
+    near -1; the one-number vocabulary-health audit."""
+    from fs2_data_spark.operators.index import zipf_slope
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return zipf_slope(d, id_col="doc_id", text_col="text", top_v=500)
+
+
+@_q("js_source_docs", f"""
+WITH tok AS (SELECT source, unnest({TOKENS_SQL}) AS t FROM documents),
+cst AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t),
+ct AS (SELECT t, CAST(SUM(c) AS BIGINT) AS ct FROM cst GROUP BY t),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns,
+               count(*) AS vocab FROM cst GROUP BY source),
+nv AS (SELECT CAST(SUM(ct) AS BIGINT) AS n, count(*) AS v FROM ct),
+grid AS (
+  SELECT tot.source, tot.ns, tot.vocab, ct.t, ct.ct, nv.n, nv.v,
+         COALESCE(cst.c, 0) AS c
+  FROM tot CROSS JOIN ct CROSS JOIN nv
+  LEFT JOIN cst ON cst.source = tot.source AND cst.t = ct.t)
+SELECT source, ns AS n_tok_src, CAST(vocab AS BIGINT) AS vocab_src,
+       ROUND(CAST(SUM(CAST(ROUND(
+         0.5 * ((c + 0.5) / (ns + 0.5 * v))
+             * ln(((c + 0.5) / (ns + 0.5 * v))
+                  / ((((c + 0.5) / (ns + 0.5 * v))
+                      + ((ct + 0.5) / (n + 0.5 * v))) / 2.0))
+         + 0.5 * ((ct + 0.5) / (n + 0.5 * v))
+             * ln(((ct + 0.5) / (n + 0.5 * v))
+                  / ((((c + 0.5) / (ns + 0.5 * v))
+                      + ((ct + 0.5) / (n + 0.5 * v))) / 2.0)),
+         9) AS DECIMAL(38,12))) AS DOUBLE), 6) AS js
+FROM grid GROUP BY source, ns, vocab
+""")
+def js_source_docs(spark, sf_dir):
+    """Jensen-Shannon divergence of each source's unigram distribution
+    vs the corpus mixture (``operators/drift.py js_source_divergence``):
+    the bounded [0, ln 2] symmetric member of the drift suite, same
+    smoothing/grid/determinism discipline as `kl_source_docs`."""
+    from fs2_data_spark.operators.drift import js_source_divergence
+    docs = _doc_tokens(spark, sf_dir)
+    return js_source_divergence(docs, tokens="tokens", source="source",
+                                alpha=0.5)
 
 
 @_q("rank_normalize_events", """

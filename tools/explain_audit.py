@@ -249,6 +249,14 @@ AUDITED = [
     # touch carries struct(session, state), checked after the pick);
     # the second exchange re-keys |states|-bounded partial aggregates
     ("attribution_events", ["no_python", "no_cartesian", "pruned_scan"]),
+    # cutoff explode from a plan-time literal + ONE map-side agg:
+    # zero windows, zero joins, zero per-cutoff rescans
+    ("snapshot_features_events", ["no_python", "no_cartesian",
+                                  "single_group_shuffle", "pruned_scan"]),
+    # rank window + OLS fold run over the vocab-bounded aggregate
+    ("zipf_slope_docs", ["no_python", "no_cartesian", "pruned_scan"]),
+    # vocab x source grid: bounded dim cross joins by design (KL shape)
+    ("js_source_docs", ["no_python", "pruned_scan"]),
 ]
 
 

@@ -289,7 +289,8 @@ def main() -> None:
              "qnorm_docs", "rrf_events", "posting_lists_docs",
              "grid_corr_events", "attribution_events",
              "snapshot_features_events", "zipf_slope_docs",
-             "js_source_docs"]
+             "js_source_docs", "session_trigrams_events",
+             "expectations_events"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

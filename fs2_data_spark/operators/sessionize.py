@@ -215,3 +215,52 @@ def last_touch_attribution(
             .agg(F.count(F.lit(1)).alias("n_conv"),
                  F.round(F.sum(F.col(value).cast("decimal(27,6)"))
                          .cast("double"), round_dp).alias("revenue")))
+
+
+def session_trigrams(
+    df: DataFrame,
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    state: str = "event_type",
+    gap_s: int = 1800,
+    tiebreak: str = "event_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-``top_k`` ordered 3-step paths (trigrams) of ``state``
+    within gap-sessions — the sequential-pattern tier above
+    :func:`session_transitions` (transitions see one hop; trigrams
+    catch the "view -> error -> view" retry loops and "search -> click
+    -> purchase" funnels that a first-order Markov chain provably
+    cannot represent).
+
+    A trigram is three CONSECUTIVE events of one session in the
+    deterministic ``(ts, tiebreak)`` order; windows partition by the
+    KEY and carry ``struct(session_seq, state)`` leads, with session
+    membership checked after the carry — so sessionization and both
+    leads share ONE Exchange + ONE Sort (the
+    :func:`last_touch_attribution` discipline).
+
+    The final pick is ``ORDER BY (cnt desc, s1, s2, s3) LIMIT k`` —
+    fully tie-deterministic, and Spark plans it as
+    ``TakeOrderedAndProject`` (a per-partition heap + driver merge of
+    k-row heads), never a global sort of the |states|^3-bounded count
+    table.  Output: ``s1, s2, s3, cnt``.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    s = sessionize(df, key=key, ts=ts, gap_s=gap_s,
+                   order_by=[ts, tiebreak])
+    w = Window.partitionBy(*key).orderBy(F.col(ts), F.col(tiebreak))
+    nxt = F.lead(F.struct(F.col("session_seq").alias("sq"),
+                          F.col(state).alias("st")), 1).over(w)
+    nx2 = F.lead(F.struct(F.col("session_seq").alias("sq"),
+                          F.col(state).alias("st")), 2).over(w)
+    tri = (s.withColumn("_n1", nxt).withColumn("_n2", nx2)
+           .filter(F.col("_n1.sq") == F.col("session_seq"))
+           .filter(F.col("_n2.sq") == F.col("session_seq"))
+           .select(F.col(state).alias("s1"),
+                   F.col("_n1.st").alias("s2"),
+                   F.col("_n2.st").alias("s3")))
+    return (tri.groupBy("s1", "s2", "s3")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "s1", "s2", "s3")
+            .limit(int(top_k)))

@@ -2149,6 +2149,86 @@ def js_source_docs(spark, sf_dir):
                                 alpha=0.5)
 
 
+@_q("session_trigrams_events", """
+WITH g AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS flag
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_seq
+  FROM g),
+t AS (SELECT session_seq, event_type AS s1,
+             lead(event_type, 1) OVER w AS s2,
+             lead(session_seq, 1) OVER w AS q2,
+             lead(event_type, 2) OVER w AS s3,
+             lead(session_seq, 2) OVER w AS q3
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS cnt
+FROM t WHERE q2 = session_seq AND q3 = session_seq
+GROUP BY 1, 2, 3 ORDER BY cnt DESC, s1, s2, s3 LIMIT 20
+""")
+def session_trigrams_events(spark, sf_dir):
+    """Top-20 ordered 3-step paths within 30-min gap-sessions
+    (``operators/sessionize.py session_trigrams``): consecutive-event
+    trigrams with session membership checked on struct leads carried
+    over the KEY partitioning — sessionization and both leads share one
+    Exchange + Sort; the tie-deterministic top-k plans as
+    TakeOrderedAndProject over the |states|^3-bounded count table."""
+    from fs2_data_spark.operators.sessionize import session_trigrams
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts",
+                                            "event_type")
+    return session_trigrams(ev, key="user_id", ts="ts",
+                            state="event_type", gap_s=1800,
+                            tiebreak="event_id", top_k=20)
+
+
+@_q("expectations_events", """
+WITH a AS (SELECT count(*) AS n,
+  SUM(CASE WHEN value >= 0 THEN 0 ELSE 1 END) AS v0,
+  SUM(CASE WHEN event_type IN ('click','view','purchase','signup',
+                               'error') THEN 0 ELSE 1 END) AS v1,
+  SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01'
+            AND ts < TIMESTAMP '2024-02-01' THEN 0 ELSE 1 END) AS v2,
+  SUM(CASE WHEN user_id > 0 THEN 0 ELSE 1 END) AS v3,
+  count(*) - count(DISTINCT event_id) AS v4
+  FROM events),
+u AS (
+  SELECT 'value_nonneg' AS rule, n, v0 AS v FROM a
+  UNION ALL SELECT 'type_known', n, v1 FROM a
+  UNION ALL SELECT 'ts_in_january', n, v2 FROM a
+  UNION ALL SELECT 'user_positive', n, v3 FROM a
+  UNION ALL SELECT 'unique:event_id', n, v4 FROM a)
+SELECT rule, CAST(n AS BIGINT) AS n, CAST(v AS BIGINT) AS n_viol,
+       CASE WHEN n > 0 THEN ROUND(CAST(v AS DOUBLE) / CAST(n AS DOUBLE),
+                                  6) ELSE 0.0 END AS viol_rate,
+       v = 0 AS ok
+FROM u
+""")
+def expectations_events(spark, sf_dir):
+    """Data-contract expectation suite over the events feed
+    (``operators/contracts.py expectation_report``): non-negative
+    values, known event types, January-only timestamps, positive user
+    ids, and event-id uniqueness — ALL rules fold in one
+    map-side-combined aggregation over one scan (a new rule is a new
+    aggregate column, not a new pass); NULL predicate results count as
+    violations. Exact violation counts, one IEEE rate divide each."""
+    from fs2_data_spark.operators.contracts import expectation_report
+    ev = _t(spark, sf_dir, "events")
+    return expectation_report(
+        ev,
+        rules=[("value_nonneg", F.col("value") >= 0),
+               ("type_known", F.col("event_type").isin(
+                   "click", "view", "purchase", "signup", "error")),
+               ("ts_in_january",
+                "ts >= TIMESTAMP '2024-01-01' "
+                "AND ts < TIMESTAMP '2024-02-01'"),
+               ("user_positive", F.col("user_id") > 0)],
+        unique_key="event_id")
+
+
 @_q("rank_normalize_events", """
 SELECT event_id, event_type, value,
        ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value),

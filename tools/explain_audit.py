@@ -257,6 +257,12 @@ AUDITED = [
     ("zipf_slope_docs", ["no_python", "no_cartesian", "pruned_scan"]),
     # vocab x source grid: bounded dim cross joins by design (KL shape)
     ("js_source_docs", ["no_python", "pruned_scan"]),
+    # sessionize + both struct leads share one key Exchange + Sort;
+    # the deterministic top-k must plan as TakeOrderedAndProject
+    ("session_trigrams_events", ["no_python", "no_cartesian",
+                                 "top_k_not_sort", "pruned_scan"]),
+    # every rule folds in ONE aggregation over one scan
+    ("expectations_events", ["no_python", "no_cartesian"]),
 ]
 
 

@@ -2229,6 +2229,55 @@ def expectations_events(spark, sf_dir):
         unique_key="event_id")
 
 
+@_q("stylometry_docs", """
+WITH tok AS (SELECT source AS g,
+                    unnest(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS term
+             FROM documents),
+cnt AS (SELECT g, term, count(*) AS c FROM tok GROUP BY 1, 2),
+corpus AS (SELECT term, SUM(c) AS ct FROM cnt GROUP BY 1),
+topw AS (SELECT term FROM (
+           SELECT term, row_number() OVER (ORDER BY ct DESC, term) AS r
+           FROM corpus) WHERE r <= 50),
+tot AS (SELECT g, SUM(c) AS ng FROM cnt GROUP BY 1),
+grid AS (SELECT tot.g, topw.term, tot.ng, COALESCE(cnt.c, 0) AS c
+         FROM tot CROSS JOIN topw
+         LEFT JOIN cnt ON cnt.g = tot.g AND cnt.term = topw.term),
+f AS (SELECT g, term,
+             ROUND(CAST(c AS DOUBLE) / CAST(ng AS DOUBLE), 9) AS f
+      FROM grid),
+st AS (SELECT term, count(*) AS k,
+         CAST(SUM(CAST(f AS DECIMAL(38,12))) AS DOUBLE) AS sf,
+         CAST(SUM(CAST(ROUND(f * f, 9) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sff
+       FROM f GROUP BY 1),
+sd AS (SELECT term, mu, SQRT(var) AS sdv FROM (
+         SELECT term, sf / CAST(k AS DOUBLE) AS mu,
+                (sff - CAST(k AS DOUBLE) * (sf / CAST(k AS DOUBLE))
+                       * (sf / CAST(k AS DOUBLE)))
+                / (CAST(k AS DOUBLE) - 1.0) AS var
+         FROM st) WHERE var > 0),
+z AS (SELECT f.g, f.term, ROUND((f.f - sd.mu) / sd.sdv, 9) AS z
+      FROM f JOIN sd USING (term))
+SELECT a.g AS a, b.g AS b, CAST(count(*) AS BIGINT) AS v_used,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(a.z - b.z), 9) AS DECIMAL(38,12)))
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS delta
+FROM z a JOIN z b ON a.term = b.term AND a.g < b.g
+GROUP BY 1, 2
+""")
+def stylometry_docs(spark, sf_dir):
+    """Burrows' Delta between sources over the top-50 corpus words
+    (``operators/index.py stylometry_delta``): per-word across-source
+    z-scores of relative frequency (absent words enter at 0;
+    zero-variance words excluded with the divisor disclosed), Delta =
+    mean |z_a - z_b| per source pair. Everything after the one
+    explode+count is vocab x source bounded."""
+    from fs2_data_spark.operators.index import stylometry_delta
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return stylometry_delta(d, id_col="doc_id", text_col="text",
+                            group="source", top_v=50)
+
+
 @_q("rank_normalize_events", """
 SELECT event_id, event_type, value,
        ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value),

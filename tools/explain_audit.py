@@ -263,6 +263,9 @@ AUDITED = [
                                  "top_k_not_sort", "pruned_scan"]),
     # every rule folds in ONE aggregation over one scan
     ("expectations_events", ["no_python", "no_cartesian"]),
+    # word x source grid + pair join: all vocab/group-bounded after the
+    # one corpus explode (bounded dim cross by design)
+    ("stylometry_docs", ["no_python", "pruned_scan"]),
 ]
 
 

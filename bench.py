@@ -290,7 +290,8 @@ def main() -> None:
              "grid_corr_events", "attribution_events",
              "snapshot_features_events", "zipf_slope_docs",
              "js_source_docs", "session_trigrams_events",
-             "expectations_events", "stylometry_docs"]
+             "expectations_events", "stylometry_docs",
+             "changepoint_events", "weighted_median_docs"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

@@ -828,3 +828,44 @@ def calibration_bins(
                   .cast("double"), round_dp)
     return (cells.withColumn("ece", ece)
             .select("bin", "n_b", "n", "conf", "acc", "gap", "ece"))
+
+
+def changepoint_locate(
+    df: DataFrame,
+    value: str = "value",
+    key: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    target: float = 50.0,
+    slack: float = 5.0,
+    h: float = 500.0,
+) -> DataFrame:
+    """Changepoint LOCALIZATION on top of :func:`cusum_drift`: per key,
+    the event where the CUSUM path peaks — the standard estimate of
+    where an upward mean-shift is most evident (the alarm says THAT a
+    key drifted; this says WHEN, which is what an incident review and a
+    train/serve cutoff both need).
+
+    The argmax is a deterministic pick: rank the key's rows by
+    ``(cusum desc, event-time asc, tiebreak asc)`` — earliest peak wins
+    ties, matching the convention that a changepoint is the FIRST time
+    the maximum evidence level is reached.  Keys whose path never
+    leaves 0 (max cusum == 0) are dropped — "no shift" is not a
+    changepoint.
+
+    Scale shape: the CUSUM windows and the argmax rank share ONE key
+    Exchange + Sort (same (eus, tiebreak) order); the filter keeps one
+    row per key.  Output: key cols, ``ts``, ``cusum_peak``, ``alarmed``
+    (did the peak clear ``h``).
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    scored = cusum_drift(df, value=value, key=key, ts=ts,
+                         tiebreak=tiebreak, target=target, slack=slack,
+                         h=h)
+    wr = (Window.partitionBy(*key)
+          .orderBy(F.col("cusum").desc(), epoch_us(F.col(ts)),
+                   F.col(tiebreak)))
+    return (scored.withColumn("_rn", F.row_number().over(wr))
+            .filter((F.col("_rn") == 1) & (F.col("cusum") > 0))
+            .select(*key, ts, F.col("cusum").alias("cusum_peak"),
+                    (F.col("cusum") > F.lit(float(h))).alias("alarmed")))

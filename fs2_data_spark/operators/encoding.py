@@ -537,3 +537,50 @@ def quantile_normalize(
     return (d.join(pooled, d["_t"] == pooled["_prnk"])
             .withColumn("q_value", F.col("_pv"))
             .drop("_r", "_ng", "_N", "_t", "_prnk", "_pv"))
+
+
+def weighted_median(
+    df: DataFrame,
+    value: str = "value",
+    weight: str = "w",
+    group: str | Sequence[str] = "source",
+    tiebreak: str = "doc_id",
+) -> DataFrame:
+    """EXACT weighted (lower) median per group: the smallest value whose
+    cumulative weight reaches half the group's total — the
+    size-weighted center a plain median misstates whenever rows carry
+    unequal mass (the median DOCUMENT length vs the median length a
+    random TOKEN sits in are very different numbers; this computes the
+    latter).
+
+    A selection boundary, so the walk is pure bigint arithmetic
+    (``2 * cum_w >= W`` — no floats, no libm; the
+    :func:`~fs2_data_spark.operators.mixing.pps_systematic_sample`
+    rule): rows sort by ``(value, tiebreak)`` within the group, the
+    qualifying suffix starts where twice the inclusive cumulative
+    weight first reaches the total, and its first row is the lower
+    weighted median.  Rows with ``weight <= 0`` are excluded; groups
+    left empty disappear.
+
+    Scale shape: ONE group-partitioned window pass (sort + running sum
+    + the unordered total share the partition), then a min-struct fold
+    per group.  Output per group: ``n, total_w, w_median``.
+    """
+    group = [group] if isinstance(group, str) else list(group)
+    w_col = F.col(weight).cast("bigint")
+    wo = Window.partitionBy(*group).orderBy(F.col(value), F.col(tiebreak))
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy(*group)
+    d = (df.filter(F.col(value).isNotNull() & (w_col > 0))
+         .withColumn("_cw", F.sum(w_col).over(wc))
+         .withColumn("_tw", F.sum(w_col).over(wall))
+         .withColumn("_n", F.count(F.lit(1)).over(wall)))
+    qual = d.filter(F.lit(2) * F.col("_cw") >= F.col("_tw"))
+    pick = (qual.groupBy(*group)
+            .agg(F.max("_n").alias("n"),
+                 F.max("_tw").alias("total_w"),
+                 F.min(F.struct(F.col(value).alias("v"),
+                                F.col(tiebreak).alias("t")))
+                 .alias("_first")))
+    return pick.select(*group, "n", "total_w",
+                       F.col("_first.v").alias("w_median"))

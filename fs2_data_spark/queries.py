@@ -2278,6 +2278,70 @@ def stylometry_docs(spark, sf_dir):
                             group="source", top_v=50)
 
 
+@_q("changepoint_events", """
+WITH d AS (SELECT event_id, user_id, value, ts, epoch_us(ts) AS eus
+           FROM events),
+p AS (SELECT *, SUM(CAST(value - 55.0 AS DECIMAL(27,6))) OVER w AS pf
+      FROM d WINDOW w AS (PARTITION BY user_id ORDER BY eus, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+m AS (SELECT *, LEAST(CAST(0 AS DECIMAL(38,6)), MIN(pf) OVER w) AS mn
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY eus, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+c AS (SELECT user_id, ts, eus, event_id,
+             ROUND(CAST(CAST(pf AS DECIMAL(38,6)) - mn AS DOUBLE), 6)
+               AS cusum
+      FROM m),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY cusum DESC, eus, event_id)
+               AS rn
+      FROM c)
+SELECT user_id, ts, cusum AS cusum_peak, cusum > 500.0 AS alarmed
+FROM r WHERE rn = 1 AND cusum > 0
+""")
+def changepoint_events(spark, sf_dir):
+    """Changepoint localization per user (``operators/drift.py
+    changepoint_locate``): the event where the exact closed-form CUSUM
+    path peaks (earliest peak wins ties) — WHEN the mean shifted, on
+    top of the cusum monitor's THAT it shifted. The CUSUM windows and
+    the argmax rank share one key Exchange + Sort; flat keys (peak 0)
+    are dropped."""
+    from fs2_data_spark.operators.drift import changepoint_locate
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts",
+                                            "value")
+    return changepoint_locate(ev, value="value", key="user_id", ts="ts",
+                              tiebreak="event_id", target=50.0,
+                              slack=5.0, h=500.0)
+
+
+@_q("weighted_median_docs", """
+WITH d AS (SELECT source, doc_id, n_chars FROM documents
+           WHERE n_chars > 0),
+c AS (SELECT *,
+        SUM(n_chars) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cw,
+        SUM(n_chars) OVER (PARTITION BY source) AS tw,
+        count(*) OVER (PARTITION BY source) AS n
+      FROM d)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(tw) AS BIGINT) AS total_w,
+       MIN(CASE WHEN 2 * cw >= tw THEN n_chars END) AS w_median
+FROM c GROUP BY source
+""")
+def weighted_median_docs(spark, sf_dir):
+    """Size-weighted (lower) median document length per source
+    (``operators/encoding.py weighted_median``, weight = n_chars): the
+    length the median CHARACTER sits in, not the median document — a
+    selection boundary computed in pure bigint arithmetic
+    (2 * cum_w >= W over the (value, id) order), one group-partitioned
+    window pass."""
+    from fs2_data_spark.operators.encoding import weighted_median
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                              "n_chars")
+    return weighted_median(d, value="n_chars", weight="n_chars",
+                           group="source", tiebreak="doc_id")
+
+
 @_q("rank_normalize_events", """
 SELECT event_id, event_type, value,
        ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value),

@@ -266,6 +266,12 @@ AUDITED = [
     # word x source grid + pair join: all vocab/group-bounded after the
     # one corpus explode (bounded dim cross by design)
     ("stylometry_docs", ["no_python", "pruned_scan"]),
+    # CUSUM windows + argmax rank share one key Exchange + Sort
+    ("changepoint_events", ["no_python", "no_cartesian",
+                            "single_group_shuffle", "pruned_scan"]),
+    # one group-partitioned window pass + per-group fold
+    ("weighted_median_docs", ["no_python", "no_cartesian",
+                              "single_group_shuffle", "pruned_scan"]),
 ]
 
 

@@ -291,7 +291,8 @@ def main() -> None:
              "snapshot_features_events", "zipf_slope_docs",
              "js_source_docs", "session_trigrams_events",
              "expectations_events", "stylometry_docs",
-             "changepoint_events", "weighted_median_docs"]
+             "changepoint_events", "weighted_median_docs",
+             "centroid_matrix_emb"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

@@ -365,3 +365,61 @@ def rrf_fuse(
     return (d.withColumn("_tn", F.row_number().over(wtop))
             .filter(F.col("_tn") <= int(top))
             .select(*key, id_col, *rank_cols, "rrf"))
+
+
+_DEC = "decimal(38,12)"
+
+
+def centroid_cosine_matrix(
+    df: DataFrame,
+    vec: str = "embedding",
+    group: str = "label",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group embedding CENTROIDS
+    — the cluster-level geometry audit (are two labels' populations
+    converging? is a source's embedding mass drifting toward another's?)
+    at a cost independent of the pair count's row scale: the corpus is
+    reduced to |groups| x dim means first, so the "pairwise" stage
+    touches centroids, never vectors.
+
+    Determinism: per-dimension sums fold float32 inputs (exact when
+    widened to double) in DECIMAL(38,12); means are rounded to 9 dp;
+    dot/norm terms are 9-dp-rounded products folded in decimal; the
+    final cosine is one IEEE chain rounded to ``round_dp``.  Groups
+    with a zero-norm centroid yield NULL cosine (undefined, stated).
+
+    Scale shape: one posexplode -> (group, dim) mean aggregation
+    (map-side combined, key space |groups| x dim — the only
+    corpus-sized pass); per-group norms re-aggregate the centroid
+    table; the pair join is an equi-join ON THE DIMENSION with
+    C(|groups|, 2) fan-out per dim — group-bounded, never row-bounded.
+
+    Output per pair (``a < b``): ``a, b, cos``.
+    """
+    pts = (df.filter(F.col(vec).isNotNull())
+           .select(F.col(group).alias("_g"),
+                   F.posexplode(F.col(vec)).alias("_d", "_x"))
+           .groupBy("_g", "_d")
+           .agg(F.round(
+               F.sum(F.col("_x").cast("double").cast(_DEC))
+               .cast("double")
+               / F.count(F.lit(1)).cast("double"), 9).alias("_m")))
+    norms = (pts.groupBy("_g")
+             .agg(F.sum(F.round(F.col("_m") * F.col("_m"), 9).cast(_DEC))
+                  .cast("double").alias("_nn")))
+    a = pts.select(F.col("_g").alias("a"), "_d", F.col("_m").alias("_ma"))
+    b = pts.select(F.col("_g").alias("b"), "_d", F.col("_m").alias("_mb"))
+    dots = (a.join(b, on="_d")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum(F.round(F.col("_ma") * F.col("_mb"), 9).cast(_DEC))
+                 .cast("double").alias("_dot")))
+    na = norms.select(F.col("_g").alias("a"), F.col("_nn").alias("_na"))
+    nb = norms.select(F.col("_g").alias("b"), F.col("_nn").alias("_nb"))
+    out = (dots.join(F.broadcast(na), on="a")
+           .join(F.broadcast(nb), on="b"))
+    cos = F.when((F.col("_na") > 0) & (F.col("_nb") > 0),
+                 F.round(F.col("_dot")
+                         / F.sqrt(F.col("_na") * F.col("_nb")), round_dp))
+    return out.select("a", "b", cos.alias("cos"))

@@ -2342,6 +2342,39 @@ def weighted_median_docs(spark, sf_dir):
                            group="source", tiebreak="doc_id")
 
 
+@_q("centroid_matrix_emb", """
+WITH g AS (SELECT CAST(unnest(generate_series(1, 64)) AS INTEGER) AS i),
+pts AS (SELECT label AS gl, g.i AS d,
+               ROUND(CAST(SUM(CAST(CAST(embedding[g.i] AS DOUBLE)
+                                   AS DECIMAL(38,12))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 9) AS m
+        FROM embeddings CROSS JOIN g
+        WHERE embedding IS NOT NULL
+        GROUP BY 1, 2),
+norms AS (SELECT gl, CAST(SUM(CAST(ROUND(m * m, 9) AS DECIMAL(38,12)))
+                          AS DOUBLE) AS nn
+          FROM pts GROUP BY 1),
+dots AS (SELECT a.gl AS a, b.gl AS b,
+                CAST(SUM(CAST(ROUND(a.m * b.m, 9) AS DECIMAL(38,12)))
+                     AS DOUBLE) AS dot
+         FROM pts a JOIN pts b ON a.d = b.d AND a.gl < b.gl
+         GROUP BY 1, 2)
+SELECT d.a, d.b,
+       CASE WHEN na.nn > 0 AND nb.nn > 0
+            THEN ROUND(d.dot / SQRT(na.nn * nb.nn), 6) END AS cos
+FROM dots d JOIN norms na ON na.gl = d.a JOIN norms nb ON nb.gl = d.b
+""")
+def centroid_matrix_emb(spark, sf_dir):
+    """Pairwise cosine between per-label embedding centroids
+    (``operators/similarity.py centroid_cosine_matrix``): the corpus
+    reduces to |labels| x 64 decimal-exact means in one map-side pass;
+    the pair stage equi-joins ON THE DIMENSION (group-bounded fan-out),
+    never touching raw vectors. Zero-norm centroids yield NULL."""
+    from fs2_data_spark.operators.similarity import centroid_cosine_matrix
+    d = _t(spark, sf_dir, "embeddings").select("label", "embedding")
+    return centroid_cosine_matrix(d, vec="embedding", group="label")
+
+
 @_q("rank_normalize_events", """
 SELECT event_id, event_type, value,
        ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value),

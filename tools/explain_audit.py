@@ -272,6 +272,10 @@ AUDITED = [
     # one group-partitioned window pass + per-group fold
     ("weighted_median_docs", ["no_python", "no_cartesian",
                               "single_group_shuffle", "pruned_scan"]),
+    # corpus reduces to |labels| x dim means; pair stage equi-joins on
+    # the dimension; norm tables broadcast
+    ("centroid_matrix_emb", ["no_python", "no_cartesian", "broadcast",
+                             "pruned_scan"]),
 ]
 
 

@@ -514,10 +514,13 @@ def conformal_intervals(
     group = [group] if isinstance(group, str) else list(group)
     _P2 = 999983  # portable_unit_hash modulus
     h = portable_unit_hash(F.col(id_col), seed)
-    d = df.select(*group, id_col, F.col(value).alias("_v"),
-                  F.when(h < int(0.6 * _P2), F.lit("train"))
-                   .when(h < int(0.8 * _P2), F.lit("calib"))
-                   .otherwise(F.lit("test")).alias("_split"))
+    # NULL values are excluded up front: a NULL score cannot be ranked
+    # portably (engines disagree on NULL order), scored, or covered
+    d = (df.filter(F.col(value).isNotNull())
+         .select(*group, id_col, F.col(value).alias("_v"),
+                 F.when(h < int(0.6 * _P2), F.lit("train"))
+                  .when(h < int(0.8 * _P2), F.lit("calib"))
+                  .otherwise(F.lit("test")).alias("_split")))
     pred = (d.filter(F.col("_split") == "train")
             .groupBy(*group)
             .agg(F.round(F.sum(F.col("_v").cast("decimal(27,6)"))
@@ -862,6 +865,9 @@ def changepoint_locate(
     scored = cusum_drift(df, value=value, key=key, ts=ts,
                          tiebreak=tiebreak, target=target, slack=slack,
                          h=h)
+    # rows whose whole prefix is NULL-valued carry a NULL cusum: drop
+    # them BEFORE ranking (engines disagree on NULL order under DESC)
+    scored = scored.filter(F.col("cusum").isNotNull())
     wr = (Window.partitionBy(*key)
           .orderBy(F.col("cusum").desc(), epoch_us(F.col(ts)),
                    F.col(tiebreak)))

@@ -175,7 +175,10 @@ def stylometry_delta(
     wr = Window.partitionBy().orderBy(F.col("_ct").desc(), F.col("term"))
     top = (corpus.withColumn("_r", F.row_number().over(wr))
            .filter(F.col("_r") <= int(top_v)).select("term"))
-    totals = tok.groupBy("_g").agg(F.sum("_c").alias("_ng"))
+    # a group with zero tokens has no frequency profile: exclude it
+    # (0/0 would NaN-poison every z through the decimal casts)
+    totals = (tok.groupBy("_g").agg(F.sum("_c").alias("_ng"))
+              .filter(F.col("_ng") > 0))
     grid = (totals.crossJoin(F.broadcast(top))
             .join(tok, on=["_g", "term"], how="left")
             .fillna({"_c": 0}))

@@ -1443,7 +1443,7 @@ def session_cooccurrence_events(spark, sf_dir):
 @_q("calibration_events", """
 WITH d AS (SELECT LEAST(1.0, value / 500.0) AS pred,
                   event_type = 'purchase' AS outcome
-           FROM events),
+           FROM events WHERE value IS NOT NULL),
 c AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR(pred * 10) AS INTEGER)))
          AS bin,
              count(*) AS n_b,
@@ -1471,7 +1471,10 @@ def calibration_events(spark, sf_dir):
     ECE scalar (9-dp terms, DECIMAL(38,12) sum). One k-bounded
     aggregation + one window over the <= k-row table."""
     from fs2_data_spark.operators.drift import calibration_bins
+    # filter BEFORE least(): Spark's least() ignores NULLs, so a NULL
+    # value would otherwise enter as a confident prediction of 1.0
     ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
           .select(F.least(F.lit(1.0), F.col("value") / F.lit(500.0))
                   .alias("pred"),
                   (F.col("event_type") == "purchase").alias("outcome")))
@@ -1681,7 +1684,7 @@ def cramers_v_events(spark, sf_dir):
 WITH d AS (SELECT event_type, event_id, value AS v,
                   ((event_id * 2654435761 + 42) % 1000003 * 40503 + 17)
                     % 999983 AS h
-           FROM events),
+           FROM events WHERE value IS NOT NULL),
 s AS (SELECT *, CASE WHEN h < 599989 THEN 'train'
                      WHEN h < 799986 THEN 'calib'
                      ELSE 'test' END AS split FROM d),
@@ -1752,7 +1755,11 @@ def auc_events(spark, sf_dir):
     1, wins 2), one IEEE divide at the end. The ranking complement of
     `calibration_events`."""
     from fs2_data_spark.operators.drift import exact_auc
+    # filter BEFORE least(): Spark's least() ignores NULLs, so a NULL
+    # value would otherwise enter as a confident score of 1.0
     ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()
+                  & F.col("event_type").isNotNull())
           .select(F.least(F.lit(1.0), F.col("value") / F.lit(500.0))
                   .alias("s"),
                   (F.col("event_type") == "purchase").alias("y")))
@@ -2239,7 +2246,7 @@ corpus AS (SELECT term, SUM(c) AS ct FROM cnt GROUP BY 1),
 topw AS (SELECT term FROM (
            SELECT term, row_number() OVER (ORDER BY ct DESC, term) AS r
            FROM corpus) WHERE r <= 50),
-tot AS (SELECT g, SUM(c) AS ng FROM cnt GROUP BY 1),
+tot AS (SELECT g, SUM(c) AS ng FROM cnt GROUP BY 1 HAVING SUM(c) > 0),
 grid AS (SELECT tot.g, topw.term, tot.ng, COALESCE(cnt.c, 0) AS c
          FROM tot CROSS JOIN topw
          LEFT JOIN cnt ON cnt.g = tot.g AND cnt.term = topw.term),
@@ -2294,7 +2301,7 @@ c AS (SELECT user_id, ts, eus, event_id,
 r AS (SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY cusum DESC, eus, event_id)
                AS rn
-      FROM c)
+      FROM c WHERE cusum IS NOT NULL)
 SELECT user_id, ts, cusum AS cusum_peak, cusum > 500.0 AS alarmed
 FROM r WHERE rn = 1 AND cusum > 0
 """)

@@ -113,6 +113,10 @@ DOC_ONLY_QUERIES = [
     "cms_counts_docs", "hll_distinct_docs", "source_jaccard_docs",
     "nb_classifier_docs", "redact_pii_docs",
     "multimodal_decode_docs",
+    # corpus audits / retrieval / selection boundaries (r5 closing tier)
+    "gini_sources_docs", "benford_docs", "pps_sample_docs", "qnorm_docs",
+    "posting_lists_docs", "zipf_slope_docs", "js_source_docs",
+    "stylometry_docs", "weighted_median_docs",
     # format engines (payloads synthesized from the doc text)
     "jsonpath_descendant_docs", "jq_construct_docs", "xpath_attr_filter",
     "xpath_fast_texts", "json_merge_patch_docs", "selector_mandatory_docs",
@@ -166,6 +170,17 @@ EVENT_QUERIES = [
     "session_window_native", "pit_fused_events", "pit_fused_events_segmented",
     "w_median_events", "w_ewma_events",
     "asof_join_events", "asof_join_events_pandas", "asof_join_events_strict",
+    # r5 closing tier: labels / journey / model-eval / audits.  Excluded
+    # with reasons: ks_drift_events + psi_drift_events (the adversarial
+    # timeline spans hours, so the 2024-01-16 period split leaves the
+    # current side empty and both engines return zero rows — the
+    # harness requires non-empty results).
+    "future_labels_events", "session_cooccurrence_events",
+    "calibration_events", "funnel_events", "cohort_retention_events",
+    "kaplan_meier_events", "cramers_v_events", "conformal_events",
+    "auc_events", "rrf_events", "grid_corr_events", "attribution_events",
+    "snapshot_features_events", "session_trigrams_events",
+    "expectations_events", "changepoint_events",
 ]
 
 
@@ -232,7 +247,7 @@ def test_adversarial_events_parity(spark, adv_events_dir, name):
 EMBEDDING_QUERIES = [
     "emb_label_stats", "emb_near_dups", "ann_cosine_topk",
     "ann_lsh_topk", "ann_ivf_topk", "ann_quantized_topk",
-    "dedup_cluster_docs",
+    "dedup_cluster_docs", "centroid_matrix_emb",
 ]
 
 

@@ -899,7 +899,7 @@ def bloom_prune_docs(spark, sf_dir):
 
 @_q("ohlc_events", """
 WITH o AS (SELECT user_id, epoch_us(ts) AS t, max(value) AS v
-           FROM events GROUP BY 1, 2)
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
 SELECT user_id, (t // 86400000000) * 86400000000 AS bucket_us,
        count(*) AS n,
        arg_min(v, t) AS open, max(v) AS high, min(v) AS low,
@@ -916,7 +916,10 @@ def ohlc_events(spark, sf_dir):
     The standard lossless-for-rendering series reduction and candle
     feature block."""
     from fs2_data_spark.operators.windows import ohlc_candles
+    # NULL prices carry no candle information, and Spark's min_by keeps
+    # NULL-valued rows where DuckDB's arg_min skips them
     ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
           .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
     return ohlc_candles(ev, key="user_id", ts="ts", value="value",
                         bucket_us=86_400_000_000)
@@ -927,7 +930,7 @@ WITH r AS (SELECT event_id, event_type, value,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY value, event_id) AS rk1,
              count(*) OVER (PARTITION BY event_type) AS n
-           FROM events),
+           FROM events WHERE value IS NOT NULL),
 m AS (SELECT *, (n + 1) // 2 AS mid FROM r),
 md AS (SELECT *, max(CASE WHEN rk1 = mid THEN value END)
                    OVER (PARTITION BY event_type) AS med
@@ -941,7 +944,8 @@ mm AS (SELECT *, max(CASE WHEN rk2 = mid THEN dev END)
        FROM dv)
 SELECT event_id, event_type, value, med, mad,
        ROUND(CASE WHEN mad > 0
-                  THEN (value - med) / (1.4826 * mad) END, 4) AS robust_z4
+                  THEN (value - med) / (1.4826 * mad) END, 4) + 0.0
+         AS robust_z4
 FROM mm
 """)
 def robust_scale_events(spark, sf_dir):
@@ -952,18 +956,22 @@ def robust_scale_events(spark, sf_dir):
     or a sketch), so the oracle replays them bit-for-bit; four window
     passes share ONE hash exchange on the group key (plan-pinned)."""
     from fs2_data_spark.operators.encoding import robust_scale
-    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # NULLs are unrankable and engines disagree on their sort position
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_id", "event_type", "value"))
     out = robust_scale(ev, value="value", key="event_type",
                        tiebreak="event_id")
     return out.select("event_id", "event_type", "value", "med", "mad",
-                      F.round("robust_z", 4).alias("robust_z4"))
+                      (F.round("robust_z", 4) + F.lit(0.0))
+                      .alias("robust_z4"))
 
 
 @_q("equidepth_bins_events", """
 SELECT event_id, event_type, value,
        ntile(10) OVER (PARTITION BY event_type
                        ORDER BY value, event_id) AS bin
-FROM events
+FROM events WHERE value IS NOT NULL
 """)
 def equidepth_bins_events(spark, sf_dir):
     """Equi-depth discretization (``operators/encoding.py
@@ -971,7 +979,10 @@ def equidepth_bins_events(spark, sf_dir):
     total tiebroken order — deterministic bins of size n div 10 or +1,
     the quantile-bucket categorical encoding; one Exchange + one Sort."""
     from fs2_data_spark.operators.encoding import equidepth_bins
-    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # NULLs are unrankable and engines disagree on their sort position
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_id", "event_type", "value"))
     return equidepth_bins(ev, value="value", key="event_type",
                           tiebreak="event_id", k=10)
 
@@ -987,7 +998,8 @@ WITH q AS (SELECT event_id, user_id, value,
                         ROWS UNBOUNDED PRECEDING))
 SELECT event_id, user_id, value,
        ROUND(med, 4) AS med4, ROUND(iqr, 4) AS iqr4,
-       ROUND(CASE WHEN iqr > 0 THEN (value - med) / iqr END, 4) AS z4
+       ROUND(CASE WHEN iqr > 0 THEN (value - med) / iqr END, 4) + 0.0
+         AS z4
 FROM q
 """)
 def pit_robust_z_events(spark, sf_dir):
@@ -1006,7 +1018,8 @@ def pit_robust_z_events(spark, sf_dir):
     return out.select("event_id", "user_id", "value",
                       F.round("med_pit", 4).alias("med4"),
                       F.round("iqr_pit", 4).alias("iqr4"),
-                      F.round("pit_robust_z", 4).alias("z4"))
+                      (F.round("pit_robust_z", 4) + F.lit(0.0))
+                      .alias("z4"))
 
 
 @_q("seasonal_baseline_events", """
@@ -2386,7 +2399,7 @@ def centroid_matrix_emb(spark, sf_dir):
 SELECT event_id, event_type, value,
        ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value),
              6) AS pr6
-FROM events
+FROM events WHERE value IS NOT NULL
 """)
 def rank_normalize_events(spark, sf_dir):
     """Within-group quantile normalization (``operators/encoding.py
@@ -2396,7 +2409,10 @@ def rank_normalize_events(spark, sf_dir):
     function of the value multiset; one Exchange + one Sort on the
     group key. In-sample tier — the PIT tier is expanding_zscore."""
     from fs2_data_spark.operators.encoding import rank_normalize
-    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # NULLs are unrankable and engines disagree on their sort position
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_id", "event_type", "value"))
     out = rank_normalize(ev, group="event_type", value="value")
     return out.select("event_id", "event_type", "value",
                       F.round("pct_rank", 6).alias("pr6"))
@@ -4595,7 +4611,7 @@ WITH w AS (
   SELECT event_id, value AS v,
     count(value) OVER pw AS n_past,
     CAST(sum(CAST(value AS DECIMAL(38,12))) OVER pw AS DOUBLE) AS s1,
-    CAST(sum(CAST(CAST(value AS DECIMAL(15,6)) * CAST(value AS DECIMAL(15,6))
+    CAST(sum(CAST(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6))
                   AS DECIMAL(38,12))) OVER pw AS DOUBLE) AS s2
   FROM events
   WINDOW pw AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id

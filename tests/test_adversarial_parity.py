@@ -181,6 +181,17 @@ EVENT_QUERIES = [
     "auc_events", "rrf_events", "grid_corr_events", "attribution_events",
     "snapshot_features_events", "session_trigrams_events",
     "expectations_events", "changepoint_events",
+    # earlier r5 tiers, previously outside the adversarial net
+    "cusum_events", "mi_features_events", "seasonal_baseline_events",
+    "interarrival_events", "trend_slope_events", "k_anonymity_events",
+    "session_transitions_events", "rank_normalize_events",
+    "robust_scale_events", "equidepth_bins_events", "winsorize_events",
+    "pit_robust_z_events", "pit_zscore_events", "pit_target_encode_events",
+    "time_folds_events", "scd2_intervals_events", "ohlc_events",
+    "twa_events", "asof_multi_events", "key_skew_audit_events",
+    "asof_join_events_forward", "asof_join_events_nearest",
+    "w_multi_horizon_events", "time_bucket_cascade_events",
+    "hll_trailing_users_events", "w_trailing_distinct_events",
 ]
 
 

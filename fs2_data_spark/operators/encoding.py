@@ -231,6 +231,8 @@ def rank_normalize(
     group): fitting scalers point-in-time belongs to
     :func:`expanding_zscore` / :func:`pit_target_encode`, which only
     look backward.  One hash Exchange + one sort on the group key.
+    ``value`` must be non-null (filter upstream — NULLs are unrankable
+    and SQL engines disagree on their sort position).
     """
     group = [group] if isinstance(group, str) else list(group)
     w = Window.partitionBy(*group).orderBy(F.col(value))
@@ -301,7 +303,8 @@ def equidepth_bins(
     binning is a per-row projection and needs no operator).  The order
     is made total with ``tiebreak``, so the assignment is deterministic
     and any engine's NTILE reproduces it exactly.  One Exchange + one
-    Sort on the group key.
+    Sort on the group key.  ``value`` must be non-null (filter upstream
+    — NULLs are unrankable and engines disagree on their sort position).
     """
     key = [key] if isinstance(key, str) else list(key)
     w = Window.partitionBy(*key).orderBy(F.col(value), F.col(tiebreak))

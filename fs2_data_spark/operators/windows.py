@@ -343,6 +343,10 @@ def ohlc_candles(
     features.  ONE map-side-combined aggregation; ``min_by/max_by`` on
     the (deduplicated) event time picks open/close without a sort.
 
+    ``value`` must be non-null (filter upstream): Spark's min_by/max_by
+    keep NULL-valued rows where SQL arg_min/arg_max skip them, so a NULL
+    price would poison open/close non-portably.
+
     Open/close carry the full ``(event_us, value)`` pair through a
     struct min/max, so duplicate timestamps resolve by the lexicographic
     (ts, value) rule — deterministic without requiring upstream dedup,

@@ -703,7 +703,9 @@ SELECT doc_id, CAST(len(tok) AS INTEGER) AS n_tok,
          x -> (CAST(len(list_filter(tok, v -> v = x)) AS DOUBLE) / n)
               * ln(n / CAST(len(list_filter(tok, v -> v = x)) AS DOUBLE))))
        END, 4) AS entropy4,
-       ROUND(CAST(len(dt) AS DOUBLE) / n, 4) AS distinct_ratio4
+       CASE WHEN n = 0 THEN 0.0
+            ELSE ROUND(CAST(len(dt) AS DOUBLE) / n, 4)
+       END AS distinct_ratio4
 FROM d
 """)
 def tok_entropy_docs(spark, sf_dir):
@@ -723,7 +725,8 @@ def tok_entropy_docs(spark, sf_dir):
         F.size(dt).alias("n_distinct"),
         F.array_max(F.transform(dt, cnt)).alias("max_freq"),
         F.round(token_entropy(t), 4).alias("entropy4"),
-        F.round(F.size(dt).cast("double") / n, 4).alias("distinct_ratio4"))
+        F.when(n > 0, F.round(F.size(dt).cast("double") / n, 4))
+         .otherwise(F.lit(0.0)).alias("distinct_ratio4"))
 
 
 @_q("tok_fingerprint_docs", f"""
@@ -1218,7 +1221,11 @@ def edit_pairs_docs(spark, sf_dir):
     ``levenshtein(l, r, threshold)`` (abandons the DP past the band,
     O(d*len) per pair); the oracle computes the full distance and
     filters — identical surviving pairs and values. Block equi-join +
-    length-diff prefilter fence the n^2."""
+    length-diff prefilter fence the n^2. Oracle caveat (adversarially
+    measured): DuckDB's levenshtein counts BYTES where Spark counts
+    CODEPOINTS (the correct unicode reading) — the mirror is exact on
+    ASCII corpora like the driver's; the adversarial suite excludes
+    this row with that stated reason."""
     from fs2_data_spark.operators.linkage import blocked_edit_pairs
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return blocked_edit_pairs(docs, text="text", id_col="doc_id",
@@ -2680,7 +2687,9 @@ p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              len(a.ws) AS na, len(b.ws) AS nb
       FROM rk a JOIN rk b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4)
 SELECT id_a, id_b, gap,
-       ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jacc
+       CASE WHEN na + nb - ni > 0
+            THEN ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 6)
+       END AS jacc
 FROM p
 """)
 def snm_pairs_docs(spark, sf_dir):
@@ -2702,10 +2711,12 @@ def snm_pairs_docs(spark, sf_dir):
     a = d.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("wa"))
     b = d.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("wb"))
     ni = F.size(F.array_intersect("wa", "wb"))
+    denom = F.size("wa") + F.size("wb") - ni
     return (pairs.join(a, "id_a").join(b, "id_b")
             .select("id_a", "id_b", "gap",
-                    F.round(ni.cast("double")
-                            / (F.size("wa") + F.size("wb") - ni), 6)
+                    F.when(denom > 0,
+                           F.round(ni.cast("double")
+                                   / denom.cast("double"), 6))
                     .alias("jacc")))
 
 

@@ -117,6 +117,18 @@ DOC_ONLY_QUERIES = [
     "gini_sources_docs", "benford_docs", "pps_sample_docs", "qnorm_docs",
     "posting_lists_docs", "zipf_slope_docs", "js_source_docs",
     "stylometry_docs", "weighted_median_docs",
+    # earlier r5 docs tiers, previously outside the adversarial net
+    # edit_pairs_docs is EXCLUDED: DuckDB levenshtein counts BYTES
+    # (levenshtein('über','uber') = 2) where Spark counts CODEPOINTS
+    # (= 1, the correct unicode semantics) — the oracle is ASCII-valid
+    # only, which the driver corpus satisfies and this corpus does not.
+    "tok_entropy_docs", "bloom_prune_docs", "kl_source_docs",
+    "skipgram_pairs_docs", "exact_split_docs",
+    "epoch_shuffle_docs", "snm_pairs_docs", "oov_rate_docs",
+    "pmi_bigrams_docs", "cdc_dedup_stats_docs", "negative_pairs_docs",
+    "length_buckets_docs", "loss_mask_docs", "fim_docs",
+    "hashed_bow_docs", "top_ngram_docs", "boilerplate_segments_docs",
+    "hist_quantiles_docs",
     # format engines (payloads synthesized from the doc text)
     "jsonpath_descendant_docs", "jq_construct_docs", "xpath_attr_filter",
     "xpath_fast_texts", "json_merge_patch_docs", "selector_mandatory_docs",
@@ -258,6 +270,13 @@ def test_adversarial_events_parity(spark, adv_events_dir, name):
 EMBEDDING_QUERIES = [
     "emb_label_stats", "emb_near_dups", "ann_cosine_topk",
     "ann_lsh_topk", "ann_ivf_topk", "ann_quantized_topk",
+    # emb_jl_project is EXCLUDED: its 3-dp synthetic vectors manufacture
+    # doubles that land EXACTLY on a 6-dp rounding boundary, where Spark
+    # ROUND (decimal HALF_UP) and DuckDB round (FP nearbyint, half-to-
+    # even) legitimately differ by one ulp of the last printed digit
+    # (measured: 1 cell of 200 rows, 32.505546 vs 32.505545).  On
+    # continuous-valued corpora like the driver's the boundary has
+    # measure zero; the row stays oracle-checked there.
     "dedup_cluster_docs", "centroid_matrix_emb",
 ]
 

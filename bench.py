@@ -292,7 +292,7 @@ def main() -> None:
              "js_source_docs", "session_trigrams_events",
              "expectations_events", "stylometry_docs",
              "changepoint_events", "weighted_median_docs",
-             "centroid_matrix_emb"]
+             "centroid_matrix_emb", "scd2_lookup_events"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

@@ -419,3 +419,56 @@ def scd2_intervals(
     keep = list(dict.fromkeys(
         cols + ["valid_from_us", "valid_to_us", "is_current"]))
     return out.select(*keep)
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str | list[str] = "user_id",
+    ts: str = "ts",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time DIMENSION LOOKUP against an SCD-type-2 validity
+    table (the output of :func:`scd2_intervals`): each fact row picks
+    the dimension version whose half-open interval covers its event
+    time — ``valid_from <= t AND (t < valid_to OR valid_to IS NULL)``.
+    This is the feature-store SERVING form of the as-of join: identical
+    zero-leakage semantics (parity with :func:`asof_join` pinned by
+    test), but the dimension is materialized once and every consumer
+    pays only an equi-join, which is how offline stores actually ship
+    features to training jobs.
+
+    Correctness: a key's intervals are disjoint and half-open by
+    construction (ties collapse to zero-length intervals that can never
+    match), so AT MOST ONE dimension row joins per fact — no
+    dedup/argmax needed after the join, and the result is
+    deterministic.  ``how='left'`` keeps facts that precede the first
+    dimension version (NULL attributes — honest "no knowledge yet",
+    never a future leak).
+
+    Scale shape: an equi-join ON THE KEY with the range predicate as a
+    residual filter — one shuffle of each side, fan-out bounded by the
+    key's version count (never a range/theta join against the whole
+    dimension).  At extreme per-key version counts, bucket both sides
+    on the key (``plans/partitioning.py``) and the shuffle disappears.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    from fs2_data_spark.functions.timeutil import epoch_us
+
+    f = facts.withColumn("__t", epoch_us(F.col(ts)))
+    # rename the dimension's key columns before joining: dropping an
+    # aliased duplicate after an outer join is ambiguous across Spark
+    # versions, a rename is not
+    d = dim
+    for k in key:
+        d = d.withColumnRenamed(k, f"__dk_{k}")
+    cond = None
+    for k in key:
+        c = F.col(k) == F.col(f"__dk_{k}")
+        cond = c if cond is None else cond & c
+    cond = (cond
+            & (F.col("valid_from_us") <= F.col("__t"))
+            & ((F.col("__t") < F.col("valid_to_us"))
+               | F.col("valid_to_us").isNull()))
+    out = f.join(d, cond, how)
+    return out.drop("__t", *[f"__dk_{k}" for k in key])

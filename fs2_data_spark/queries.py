@@ -2402,6 +2402,44 @@ def centroid_matrix_emb(spark, sf_dir):
     return centroid_cosine_matrix(d, vec="embedding", group="label")
 
 
+@_q("scd2_lookup_events", """
+WITH dim AS (SELECT user_id, value AS dim_value, epoch_us(ts) AS vf,
+                    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id) AS vt
+             FROM events WHERE event_type = 'signup'),
+f AS (SELECT event_id, user_id, epoch_us(ts) AS t, value FROM events
+      WHERE event_type = 'purchase')
+SELECT f.event_id, f.user_id, f.value, d.dim_value,
+       d.vf AS valid_from_us
+FROM f LEFT JOIN dim d ON d.user_id = f.user_id
+  AND d.vf <= f.t AND (f.t < d.vt OR d.vt IS NULL)
+""")
+def scd2_lookup_events(spark, sf_dir):
+    """Point-in-time dimension SERVING (``operators/asof.py
+    scd2_lookup``): purchases attach the signup-version attribute whose
+    SCD2 validity interval covers the purchase time — the feature-store
+    serving form of the as-of join (equivalence pinned by test).
+    Disjoint half-open intervals guarantee at most one version per
+    fact; the join is key-equi with a range residual, one shuffle per
+    side; pre-first-version facts keep NULL attributes (no knowledge
+    yet, never a future leak)."""
+    from fs2_data_spark.operators.asof import scd2_intervals, scd2_lookup
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_intervals(
+        ev.filter(F.col("event_type") == "signup")
+          .select("event_id", "user_id", "ts", "value"),
+        key="user_id", ts="ts", tiebreak="event_id")
+    facts = (ev.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts", "value"))
+    out = scd2_lookup(
+        facts,
+        dim.select("user_id", F.col("value").alias("dim_value"),
+                   "valid_from_us", "valid_to_us"),
+        key="user_id", ts="ts")
+    return out.select("event_id", "user_id", "value", "dim_value",
+                      "valid_from_us")
+
+
 @_q("rank_normalize_events", """
 SELECT event_id, event_type, value,
        ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value),

@@ -276,6 +276,8 @@ AUDITED = [
     # the dimension; norm tables broadcast
     ("centroid_matrix_emb", ["no_python", "no_cartesian", "broadcast",
                              "pruned_scan"]),
+    # key-equi join with the interval predicate as a residual filter
+    ("scd2_lookup_events", ["no_python", "no_cartesian", "pruned_scan"]),
 ]
 
 

@@ -292,7 +292,9 @@ def main() -> None:
              "js_source_docs", "session_trigrams_events",
              "expectations_events", "stylometry_docs",
              "changepoint_events", "weighted_median_docs",
-             "centroid_matrix_emb", "scd2_lookup_events"]
+             "centroid_matrix_emb", "scd2_lookup_events",
+             "pagerank_events", "bm25_scores_docs", "dsir_weights_docs",
+             "script_mix_docs"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

@@ -303,3 +303,48 @@ def hashed_bow(wh: Column, dim: int = 32) -> Column:
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda d: F.size(F.filter(wh, lambda x: F.pmod(x, F.lit(dim)) == d))
         .cast("bigint"))
+
+
+# Unicode script classes as explicit codepoint ranges — NOT \p{...}
+# properties, which Java (Unicode 15) and RE2 (DuckDB) bind to different
+# Unicode versions; literal ranges mean both engines count the same set.
+SCRIPT_PATTERNS: dict[str, str] = {
+    "latin": "[A-Za-z]",
+    "digit": "[0-9]",
+    "cyr": f"[{chr(0x0400)}-{chr(0x04FF)}]",
+    "cjk": f"[{chr(0x4E00)}-{chr(0x9FFF)}]",
+    "space": "[ \t\n\r]",
+}
+
+
+def script_counts(text: Column | str) -> dict[str, Column]:
+    """Per-script codepoint counts of a string — the script-mix signal a
+    multilingual pipeline routes and filters on (mixed-script text is a
+    classic spam/injection indicator; per the public CLD/fastText
+    language-ID literature, script class is the first routing key).
+
+    Returns ``{class: count}`` for latin/digit/cyr/cjk/space plus
+    ``n_cp`` (total codepoints).  Each count is
+    ``length(s) - length(regexp_replace(s, class, ''))`` — pure per-row
+    Catalyst, zero shuffle, and the same arithmetic the DuckDB mirror
+    runs (with the ``'g'`` flag; RE2 replaces first-match-only by
+    default where Java replaces all).
+    """
+    t = _c(text)
+    n = F.length(t).cast("bigint")
+    out: dict[str, Column] = {"n_cp": n}
+    for name, pat in SCRIPT_PATTERNS.items():
+        out[name] = (n - F.length(F.regexp_replace(t, pat, ""))
+                     .cast("bigint"))
+    return out
+
+
+def script_counts_sql(text_expr: str = "text") -> dict[str, str]:
+    """The identical counts as DuckDB SQL expressions."""
+    n = f"CAST(length({text_expr}) AS BIGINT)"
+    out = {"n_cp": n}
+    for name, pat in SCRIPT_PATTERNS.items():
+        p = pat.replace("'", "''")
+        out[name] = (f"({n} - CAST(length(regexp_replace({text_expr}, "
+                     f"'{p}', '', 'g')) AS BIGINT))")
+    return out

@@ -1,0 +1,147 @@
+"""Iterative graph analytics over edge DataFrames — PageRank by power
+iteration, expressed as repeated equi-join + aggregate rounds.
+
+The training-data use case: rank sources/domains/pages by link or
+transition structure (per-domain quality priors for web corpora, as in
+the public Common-Crawl curation literature), where nodes are domains
+(millions) and edges are hyperlinks or navigation transitions
+(billions).  The tiny event-type graph in the registry query is the
+determinism harness; the plan shape is what scales.
+
+Reference heritage: fs2-data's pipes are single-pass stream transforms
+(``fs2/data/json/package.scala`` tokens -> values); an iterative
+fixpoint over a dataset is the one shape its streaming model does NOT
+express — this module is the Spark-native answer (a driver-side loop of
+declarative rounds, each round one shuffle).
+
+Determinism contract (cross-engine, DuckDB-mirrorable):
+- per-edge contribution ``r(u) * cnt / W(u)`` is pure IEEE-double
+  arithmetic on engine-identical inputs;
+- every SUM that crosses rows (inflow per node, dangling mass) is
+  accumulated in DECIMAL(38, 28) — order-independent, so shuffle
+  nondeterminism cannot move a ulp;
+- scalar literals are embedded via ``repr(float)`` in the generated
+  oracle SQL and ``F.lit`` of the SAME Python float in the plan, so
+  both engines see bit-identical constants (DuckDB's bare ``0.85``
+  would be DECIMAL, a different rounding chain).
+
+Scale notes (100 TB / 10^9 nodes): each iteration is ONE shuffle — the
+inflow aggregation keyed by dst — plus two broadcast scalars (N, the
+dangling mass).  The edge table is static across rounds: persist it
+partitioned by ``src`` and the rank-join probes it with an unchanged
+partitioning (Catalyst reuses the exchange); ranks are the small,
+changing side.  Lineage grows linearly in ``iters`` — checkpoint every
+few rounds on a real cluster (``df.checkpoint()``), which also bounds
+recovery replay per the lineage-manifest protocol in
+``fs2_data_spark/checkpoint.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_DEC = "decimal(38,28)"
+
+
+def _dsum28(c: F.Column) -> F.Column:
+    """Order-independent double sum via exact DECIMAL(38,28) accumulation."""
+    return F.sum(c.cast(_DEC)).cast("double")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "cnt",
+    damping: float = 0.85,
+    iters: int = 3,
+) -> DataFrame:
+    """Weighted PageRank with uniform teleport and dangling-mass
+    redistribution, ``iters`` synchronous power-iteration rounds.
+
+    ``r_{k+1}(v) = (1-d)/N + d * sum_{(u,v)} r_k(u)*w(u,v)/W(u)
+                   + d * (sum_{dangling u} r_k(u)) / N``
+
+    Input: an edge table with columns (src, dst, weight); multi-edges
+    should be pre-aggregated.  Output: one row per node with its final
+    rank (column ``pr``, unrounded double) — total mass is conserved at
+    exactly 1 up to decimal-accumulation rounding.
+    """
+    d = float(damping)
+    teleport = 1.0 - d
+    e = (edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"),
+                      F.col(weight).cast("bigint").alias("_w")))
+    nodes = (e.select(F.col("_src").alias("node"))
+             .union(e.select(F.col("_dst")))
+             .distinct())
+    outw = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
+    nn = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    # edges pre-joined with their source's out-weight: static across
+    # rounds (persist + partition by _src on a real cluster)
+    ej = e.join(outw, on="_src")
+    ranks = (nodes.crossJoin(nn)
+             .select("node", (F.lit(1.0) / F.col("_n").cast("double"))
+                     .alias("pr")))
+    for _ in range(int(iters)):
+        r = ranks.select(F.col("node").alias("_rn"), F.col("pr").alias("_r"))
+        contrib = (ej.join(r, ej["_src"] == r["_rn"])
+                   .select(F.col("_dst").alias("node"),
+                           (F.col("_r") * F.col("_w").cast("double")
+                            / F.col("_ow").cast("double")).alias("_c")))
+        inflow = contrib.groupBy("node").agg(_dsum28(F.col("_c"))
+                                             .alias("_in"))
+        dang = (r.join(outw, r["_rn"] == outw["_src"], "left_anti")
+                .agg(F.coalesce(_dsum28(F.col("_r")), F.lit(0.0))
+                     .alias("_dm")))
+        ranks = (nodes.crossJoin(nn).crossJoin(dang)
+                 .join(inflow, on="node", how="left")
+                 .select("node",
+                         (F.lit(teleport) / F.col("_n").cast("double")
+                          + F.lit(d) * F.coalesce(F.col("_in"), F.lit(0.0))
+                          + F.lit(d) * F.col("_dm")
+                          / F.col("_n").cast("double")).alias("pr")))
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    damping: float = 0.85,
+    iters: int = 3,
+    round_dp: int = 6,
+) -> str:
+    """Generate the DuckDB mirror: the same power iteration unrolled as
+    CTEs.  ``edges_cte`` must define a relation ``e(src, dst, cnt)``.
+    Float literals are embedded with ``repr`` and cast to DOUBLE so both
+    engines compute on bit-identical constants."""
+    d = repr(float(damping))
+    t = repr(1.0 - float(damping))
+    sql = [f"""
+WITH {edges_cte},
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+ow AS (SELECT src, SUM(cnt) AS w FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS r
+       FROM nodes CROSS JOIN nn)"""]
+    for k in range(int(iters)):
+        sql.append(f""",
+i{k} AS (SELECT e.dst AS node,
+                CAST(SUM(CAST(r.r * CAST(e.cnt AS DOUBLE)
+                              / CAST(ow.w AS DOUBLE)
+                              AS DECIMAL(38,28))) AS DOUBLE) AS inflow
+         FROM e JOIN r{k} r ON e.src = r.node
+                JOIN ow ON ow.src = e.src
+         GROUP BY e.dst),
+d{k} AS (SELECT CAST(COALESCE(SUM(CAST(r.r AS DECIMAL(38,28))),
+                              CAST(0 AS DECIMAL(38,28))) AS DOUBLE) AS dm
+         FROM r{k} r LEFT JOIN ow ON ow.src = r.node
+         WHERE ow.src IS NULL),
+r{k + 1} AS (SELECT n.node,
+                CAST('{t}' AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                + CAST('{d}' AS DOUBLE)
+                  * COALESCE(i.inflow, CAST(0 AS DOUBLE))
+                + CAST('{d}' AS DOUBLE) * dk.dm / CAST(nn.n AS DOUBLE) AS r
+             FROM nodes n CROSS JOIN nn CROSS JOIN d{k} dk
+             LEFT JOIN i{k} i ON i.node = n.node)""")
+    sql.append(f"""
+SELECT node, ROUND(r, {int(round_dp)}) AS pr FROM r{int(iters)}""")
+    return "".join(sql)

@@ -212,3 +212,104 @@ def stylometry_delta(
                                        9).cast(dec)).cast("double")
                          / F.count(F.lit(1)).cast("double"), round_dp)
                  .alias("delta")))
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 score of every document against a fixed query-term
+    set (Robertson/Sparck-Jones probabilistic relevance framework) —
+    the retrieval-side ranking the pipeline serves after posting-list
+    construction, and the lexical half of hybrid (BM25 + dense) search.
+
+    ``score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))``
+    with ``idf = ln((N - df + 0.5)/(df + 0.5) + 1)``.
+
+    Determinism contract: every cross-row SUM (doc lengths, per-doc
+    score) accumulates in DECIMAL; the per-row contribution is a fixed
+    IEEE expression tree replicated verbatim by ``bm25_oracle_sql`` with
+    repr-embedded constants, so both engines chain the same doubles
+    (``ln`` is the one libm call — 1-ulp class, rounded away at 6 dp).
+
+    Scale notes (100 TB): the query-term filter lands BEFORE the tf
+    aggregation (only matching postings shuffle — the explode itself
+    never materializes); corpus stats (N, total length) and the
+    |terms|-row df table broadcast back, so the whole query is one
+    (doc, term) shuffle plus one doc-keyed shuffle joining dl.  Docs
+    with no query term never leave the map side.
+    """
+    t = (df.select(F.col(id_col).alias("_doc"),
+                   words(F.col(text_col)).alias("_ws")))
+    dl = t.select("_doc", F.size("_ws").cast("bigint").alias("_dl"))
+    st = dl.agg(F.count(F.lit(1)).alias("_n"),
+                F.sum("_dl").alias("_tot"))
+    tf = (t.select("_doc", F.explode("_ws").alias("term"))
+          .filter(F.col("term").isin(list(terms)))
+          .groupBy("_doc", "term").agg(F.count(F.lit(1)).alias("_tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    k1 = float(k1)
+    b = float(b)
+    omb = 1.0 - b
+    k1p1 = k1 + 1.0
+    half = 0.5
+    one = 1.0
+    row = (tf.join(F.broadcast(dfreq), on="term")
+           .join(dl, on="_doc")
+           .crossJoin(F.broadcast(st)))
+    avgdl = F.col("_tot").cast("double") / F.col("_n").cast("double")
+    idf = F.log(((F.col("_n") - F.col("_df")).cast("double") + F.lit(half))
+                / (F.col("_df").cast("double") + F.lit(half)) + F.lit(one))
+    denom = (F.col("_tf").cast("double")
+             + F.lit(k1) * (F.lit(omb)
+                            + F.lit(b) * (F.col("_dl").cast("double")
+                                          / avgdl)))
+    contrib = idf * (F.col("_tf").cast("double") * F.lit(k1p1)) / denom
+    return (row.select("_doc", contrib.alias("_c"))
+            .groupBy("_doc")
+            .agg(F.count(F.lit(1)).alias("n_hit"),
+                 F.sum(F.col("_c").cast("decimal(38,28)")).cast("double")
+                 .alias("score"))
+            .select(F.col("_doc").alias(id_col), "n_hit", "score"))
+
+
+def bm25_oracle_sql(
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`bm25_scores` over the ``documents`` view —
+    the identical expression tree with repr-embedded double constants
+    (DuckDB's bare decimals would round differently)."""
+    k1 = float(k1)
+    b = float(b)
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    D = lambda v: f"CAST('{repr(v)}' AS DOUBLE)"  # noqa: E731
+    avgdl = "(CAST(st.tot AS DOUBLE) / CAST(st.N AS DOUBLE))"
+    idf = (f"ln((CAST(st.N - dfq.df AS DOUBLE) + {D(0.5)})"
+           f" / (CAST(dfq.df AS DOUBLE) + {D(0.5)}) + {D(1.0)})")
+    denom = (f"(CAST(tf.tf AS DOUBLE) + {D(k1)} * ({D(1.0 - b)}"
+             f" + {D(b)} * (CAST(dl.dl AS DOUBLE) / {avgdl})))")
+    return f"""
+WITH w AS (SELECT doc_id AS d,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+dl AS (SELECT d, CAST(len(ws) AS BIGINT) AS dl FROM w),
+st AS (SELECT count(*) AS N, SUM(dl) AS tot FROM dl),
+tf AS (SELECT d, word AS term, count(*) AS tf
+       FROM (SELECT d, unnest(ws) AS word FROM w)
+       WHERE word IN ({in_list}) GROUP BY d, word),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+c AS (SELECT tf.d,
+             {idf} * (CAST(tf.tf AS DOUBLE) * {D(k1 + 1.0)}) / {denom} AS c
+      FROM tf JOIN dfq USING (term) JOIN dl USING (d) CROSS JOIN st)
+SELECT d AS doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+       ROUND(CAST(SUM(CAST(c AS DECIMAL(38,28))) AS DOUBLE),
+             {int(round_dp)}) AS score
+FROM c GROUP BY d
+"""

@@ -524,3 +524,110 @@ def pps_systematic_sample(
     return (d.withColumn("n_hits", hits.cast("int"))
             .filter(F.col("n_hits") > 0)
             .drop("__w"))
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target: F.Column,
+    buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-domain-like its hashed word distribution is,
+    ``logw(d) = sum_w [ ln p_target(b(w)) - ln p_raw(b(w)) ]`` with
+    add-one-smoothed bucket unigram models over a portable word hash.
+    Downstream, documents are resampled with probability proportional
+    to ``exp(logw)`` — the published recipe for matching a pretraining
+    mix to a target domain (Wikipedia/books) at corpus scale.
+
+    ``target`` is a boolean Column marking the rows that define the
+    target distribution; the raw distribution is the whole input.
+
+    Determinism contract: bucketing is the engine-portable
+    ``((word_code % 1000003) * 2654435761 + 17) % 999983 % buckets`` —
+    the multiply-mod-prime mixing step matters: ``word_code`` is built
+    as ``first*65536 + last*256 + len``, so a power-of-two bucket count
+    taken directly would cancel the character terms and degenerate to a
+    word-LENGTH histogram (caught by test_dsir_prefers_target_like_docs);
+    the pre-reduction ``% 1000003`` also keeps the product within int64
+    for astral-plane codepoints under ANSI.  Both bucket count tables
+    are exact integers; the
+    per-bucket log-ratio is one fixed double expression; the per-doc
+    sum multiplies exact counts by that ratio and accumulates in
+    DECIMAL(38,28) (order-independent).  Docs with zero words have no
+    feature mass and are excluded (stated contract).
+
+    Scale notes (100 TB): two aggregations over the exploded words —
+    one to the ``buckets``-row model table (tiny, broadcast back), one
+    to (doc, bucket) counts (the only real shuffle, map-side combined);
+    the final per-doc reduce rides the same doc-keyed exchange.  The
+    model table is the entire fit artifact — no vocabulary, no driver
+    state beyond ``buckets`` rows.
+    """
+    from fs2_data_spark.functions.text import word_code, words
+
+    B = int(buckets)
+    tok = (df.select(F.col(id_col).alias("_doc"),
+                     target.alias("_tgt"),
+                     F.explode(words(F.col(text_col))).alias("_wd"))
+           .select("_doc", "_tgt",
+                   F.pmod(F.pmod(F.pmod(word_code(F.col("_wd")),
+                                        F.lit(_P1)) * _M1 + 17,
+                                 F.lit(_P2)),
+                          F.lit(B)).alias("_b")))
+    bstats = (tok.groupBy("_b")
+              .agg(F.count(F.lit(1)).alias("_cr"),
+                   F.sum(F.when(F.col("_tgt"), 1).otherwise(0)
+                         .cast("bigint")).alias("_ct")))
+    tots = bstats.agg(F.sum("_cr").alias("_gr"), F.sum("_ct").alias("_gt"))
+    lr = (bstats.crossJoin(F.broadcast(tots))
+          .select("_b",
+                  (F.log((F.col("_ct") + 1).cast("double")
+                         / (F.col("_gt") + B).cast("double"))
+                   - F.log((F.col("_cr") + 1).cast("double")
+                           / (F.col("_gr") + B).cast("double")))
+                  .alias("_lr")))
+    per = tok.groupBy("_doc", "_b").agg(F.count(F.lit(1)).alias("_k"))
+    return (per.join(F.broadcast(lr), on="_b")
+            .groupBy("_doc")
+            .agg(F.sum("_k").alias("n_words"),
+                 F.sum((F.col("_k").cast("double") * F.col("_lr"))
+                       .cast("decimal(38,28)")).cast("double")
+                 .alias("logw"))
+            .select(F.col("_doc").alias(id_col), "n_words", "logw"))
+
+
+def dsir_oracle_sql(
+    target_pred: str,
+    buckets: int = 64,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`dsir_logweights` over the ``documents``
+    view; ``target_pred`` is the SQL predicate defining target rows."""
+    B = int(buckets)
+    wc = ("CAST(ascii(substr(w, 1, 1)) AS BIGINT) * 65536 + "
+          "CAST(ascii(substr(w, CAST(length(w) AS INTEGER), 1)) AS BIGINT)"
+          " * 256 + CAST(length(w) AS BIGINT)")
+    wc = f"((({wc}) % {_P1}) * {_M1} + 17) % {_P2}"
+    return f"""
+WITH t AS (SELECT doc_id AS d, ({target_pred}) AS tgt,
+                  unnest(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS w
+           FROM documents),
+tok AS (SELECT d, tgt, ({wc}) % {B} AS b FROM t),
+bs AS (SELECT b, count(*) AS cr,
+              SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+       FROM tok GROUP BY b),
+g AS (SELECT SUM(cr) AS gr, SUM(ct) AS gt FROM bs),
+lr AS (SELECT b, ln(CAST(ct + 1 AS DOUBLE) / CAST(gt + {B} AS DOUBLE))
+                 - ln(CAST(cr + 1 AS DOUBLE) / CAST(gr + {B} AS DOUBLE))
+                 AS lr
+       FROM bs CROSS JOIN g),
+per AS (SELECT d, b, count(*) AS k FROM tok GROUP BY d, b)
+SELECT d AS doc_id, CAST(SUM(k) AS BIGINT) AS n_words,
+       ROUND(CAST(SUM(CAST(CAST(k AS DOUBLE) * lr AS DECIMAL(38,28)))
+                  AS DOUBLE), {int(round_dp)}) AS logw
+FROM per JOIN lr USING (b) GROUP BY d
+"""

@@ -6206,6 +6206,162 @@ def nb_classifier_docs(spark, sf_dir):
     return nb_posterior_score(d, F.col("lang") == "en")
 
 
+def _pagerank_events_sql() -> str:
+    from fs2_data_spark.operators.graph import pagerank_oracle_sql
+    cte = """d AS (SELECT user_id, event_type, epoch_us(ts) AS eus, event_id
+           FROM events),
+p AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY eus, event_id) AS src,
+             event_type AS dst
+      FROM d),
+e AS (SELECT src, dst, count(*) AS cnt FROM p WHERE src IS NOT NULL
+      GROUP BY src, dst)"""
+    return pagerank_oracle_sql(cte, damping=0.85, iters=3, round_dp=6)
+
+
+@_q("pagerank_events", _pagerank_events_sql())
+def pagerank_events(spark, sf_dir):
+    """Weighted PageRank over the per-user event-type transition graph
+    (``operators/graph.py pagerank``): 3 synchronous power-iteration
+    rounds with teleport 0.15 and dangling-mass redistribution — the
+    iterative-fixpoint plan shape (driver loop of join+agg rounds) that
+    ranks domains/pages for per-source quality priors at web scale.
+    Every cross-row sum is DECIMAL(38,28)-accumulated (shuffle-order
+    independent); the oracle unrolls the identical iterations as CTEs
+    with repr-embedded double constants.  The event-type graph is tiny;
+    the plan (one dst-keyed shuffle per round + two broadcast scalars,
+    static edges cached across rounds) is what scales to 10^9 nodes."""
+    from fs2_data_spark.operators.graph import pagerank
+    from fs2_data_spark.operators.sessionize import session_transitions
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts",
+                                            "event_type")
+    edges = (session_transitions(ev, key="user_id", ts="ts",
+                                 tiebreak="event_id", state="event_type")
+             .select(F.col("from_state").alias("src"),
+                     F.col("to_state").alias("dst"), "cnt"))
+    pr = pagerank(edges, damping=0.85, iters=3)
+    return pr.select("node", F.round("pr", 6).alias("pr"))
+
+
+_BM25_TERMS = ("join", "merge", "stream")
+
+
+def _bm25_sql() -> str:
+    from fs2_data_spark.operators.index import bm25_oracle_sql
+    return bm25_oracle_sql(_BM25_TERMS, k1=1.2, b=0.75, round_dp=6)
+
+
+@_q("bm25_scores_docs", _bm25_sql())
+def bm25_scores_docs(spark, sf_dir):
+    """Okapi BM25 relevance of every document against a fixed query-term
+    set (``operators/index.py bm25_scores``) — the lexical ranking stage
+    served from the posting-list artifact, k1=1.2, b=0.75.  The
+    query-term filter lands before the tf aggregation (only matching
+    postings shuffle); corpus stats and the per-term df broadcast back;
+    the per-doc score sum is DECIMAL-accumulated and the oracle replays
+    the identical IEEE expression tree with repr-embedded constants."""
+    from fs2_data_spark.operators.index import bm25_scores
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (bm25_scores(d, _BM25_TERMS, k1=1.2, b=0.75)
+            .select("doc_id", "n_hit", F.round("score", 6).alias("score")))
+
+
+def _dsir_sql() -> str:
+    from fs2_data_spark.operators.mixing import dsir_oracle_sql
+    return dsir_oracle_sql("lang = 'en'", buckets=64, round_dp=6)
+
+
+@_q("dsir_weights_docs", _dsir_sql())
+def dsir_weights_docs(spark, sf_dir):
+    """DSIR importance log-weights (``operators/mixing.py
+    dsir_logweights``; Xie et al. 2023): score each document by
+    ``sum_w ln(p_target(b(w)) / p_raw(b(w)))`` over add-one-smoothed
+    64-bucket hashed unigram models, target = ``lang = 'en'`` — the
+    published importance-resampling recipe for matching a pretraining
+    mix to a target domain.  Two word-explode aggregations (the model
+    table is 64 rows, broadcast back; the (doc, bucket) shuffle is
+    map-side combined); per-doc sums are exact-count × fixed-double
+    products accumulated in DECIMAL.  Zero-word docs carry no feature
+    mass and are excluded (stated contract, mirrored by the oracle)."""
+    from fs2_data_spark.operators.mixing import dsir_logweights
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return (dsir_logweights(d, F.col("lang") == "en", buckets=64)
+            .select("doc_id", "n_words", F.round("logw", 6).alias("logw")))
+
+
+def _script_mix_sql() -> str:
+    from fs2_data_spark.functions.text import script_counts_sql
+    sc = script_counts_sql("text")
+    counts = ", ".join(f"{sc[k]} AS n_{k}" for k in
+                       ("latin", "digit", "cyr", "cjk", "space"))
+    return f"""
+WITH c AS (SELECT doc_id, {sc['n_cp']} AS n_cp, {counts} FROM documents),
+d AS (SELECT *,
+             n_cp - n_latin - n_digit - n_cyr - n_cjk - n_space AS n_other
+      FROM c)
+SELECT doc_id, n_cp, n_latin, n_digit, n_cyr, n_cjk, n_space, n_other,
+       CASE WHEN n_latin >= n_cyr AND n_latin >= n_cjk
+                 AND n_latin >= n_digit AND n_latin >= n_other THEN 'latin'
+            WHEN n_cyr >= n_cjk AND n_cyr >= n_digit
+                 AND n_cyr >= n_other THEN 'cyr'
+            WHEN n_cjk >= n_digit AND n_cjk >= n_other THEN 'cjk'
+            WHEN n_digit >= n_other THEN 'digit'
+            ELSE 'other' END AS dominant,
+       CAST((CASE WHEN n_latin > 0 THEN 1 ELSE 0 END
+             + CASE WHEN n_cyr > 0 THEN 1 ELSE 0 END
+             + CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END) >= 2 AS INTEGER)
+         AS mixed,
+       CASE WHEN n_cp > 0
+            THEN ROUND(CAST(n_latin + n_cyr + n_cjk AS DOUBLE)
+                       / CAST(n_cp AS DOUBLE), 6)
+            ELSE CAST(0 AS DOUBLE) END AS frac_letter
+FROM d
+"""
+
+
+@_q("script_mix_docs", _script_mix_sql())
+def script_mix_docs(spark, sf_dir):
+    """Per-document Unicode-script mix profile (``functions/text.py
+    script_counts``): exact codepoint counts per script class over
+    literal codepoint ranges (engine-version-independent, unlike
+    ``\\p{{...}}`` properties), dominant script with a deterministic
+    tie-break cascade, a mixed-script flag (the classic spam/injection
+    signal), and the letter fraction.  Pure per-row Catalyst, zero
+    shuffle; the counts are materialized behind one projection barrier
+    so the five regexp passes run once each per row (the interpreted-
+    HOF staging rule)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sc = TXT.script_counts(F.col("text"))
+    c = d.select("doc_id", sc["n_cp"].alias("n_cp"),
+                 *[sc[k].alias(f"n_{k}") for k in
+                   ("latin", "digit", "cyr", "cjk", "space")])
+    c = c.withColumn(
+        "n_other",
+        F.col("n_cp") - F.col("n_latin") - F.col("n_digit")
+        - F.col("n_cyr") - F.col("n_cjk") - F.col("n_space"))
+    nl, ncy, ncj, nd, no = (F.col("n_latin"), F.col("n_cyr"),
+                            F.col("n_cjk"), F.col("n_digit"),
+                            F.col("n_other"))
+    dominant = (
+        F.when((nl >= ncy) & (nl >= ncj) & (nl >= nd) & (nl >= no),
+               "latin")
+        .when((ncy >= ncj) & (ncy >= nd) & (ncy >= no), "cyr")
+        .when((ncj >= nd) & (ncj >= no), "cjk")
+        .when(nd >= no, "digit")
+        .otherwise("other"))
+    mixed = ((F.when(nl > 0, 1).otherwise(0)
+              + F.when(ncy > 0, 1).otherwise(0)
+              + F.when(ncj > 0, 1).otherwise(0)) >= 2).cast("int")
+    frac = (F.when(F.col("n_cp") > 0,
+                   F.round((nl + ncy + ncj).cast("double")
+                           / F.col("n_cp").cast("double"), 6))
+            .otherwise(F.lit(0.0)))
+    return c.select("doc_id", "n_cp", "n_latin", "n_digit", "n_cyr",
+                    "n_cjk", "n_space", "n_other",
+                    dominant.alias("dominant"), mixed.alias("mixed"),
+                    frac.alias("frac_letter"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (VERDICT r02 item #1; rotation policy r03 item #3)
 # ---------------------------------------------------------------------------

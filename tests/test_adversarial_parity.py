@@ -44,6 +44,7 @@ ATOMS = [
     "über", "ß", "naïve", "λx", "№5",
     "x", "I", "supercalifragilisticexpialidocious",
     "mixed#...#mix", "-", "--", "(paren)", "q.e.d.",
+    "join", "merge", "stream",  # the bm25_scores_docs query terms
 ]
 
 
@@ -129,6 +130,8 @@ DOC_ONLY_QUERIES = [
     "length_buckets_docs", "loss_mask_docs", "fim_docs",
     "hashed_bow_docs", "top_ngram_docs", "boilerplate_segments_docs",
     "hist_quantiles_docs",
+    # retrieval ranking / importance selection / script profile (this tier)
+    "bm25_scores_docs", "dsir_weights_docs", "script_mix_docs",
     # format engines (payloads synthesized from the doc text)
     "jsonpath_descendant_docs", "jq_construct_docs", "xpath_attr_filter",
     "xpath_fast_texts", "json_merge_patch_docs", "selector_mandatory_docs",
@@ -204,6 +207,7 @@ EVENT_QUERIES = [
     "asof_join_events_forward", "asof_join_events_nearest",
     "w_multi_horizon_events", "time_bucket_cascade_events",
     "hll_trailing_users_events", "w_trailing_distinct_events",
+    "pagerank_events",
 ]
 
 

@@ -278,6 +278,17 @@ AUDITED = [
                              "pruned_scan"]),
     # key-equi join with the interval predicate as a residual filter
     ("scd2_lookup_events", ["no_python", "no_cartesian", "pruned_scan"]),
+    # power iteration: per-round dst-keyed agg; the N/dangling-mass
+    # scalars are 1-row broadcast-NL crosses by design (not cartesian
+    # blowup), so no_cartesian does not apply
+    ("pagerank_events", ["no_python", "pruned_scan"]),
+    # term filter before the tf agg; df + corpus stats broadcast back
+    ("bm25_scores_docs", ["no_python", "broadcast", "pruned_scan"]),
+    # 64-row model table broadcast; (doc,bucket) agg is the one shuffle
+    ("dsir_weights_docs", ["no_python", "broadcast", "pruned_scan"]),
+    # pure per-row regexp counting: zero shuffle end to end
+    ("script_mix_docs", ["no_python", "no_cartesian", "no_exchange",
+                         "pruned_scan"]),
 ]
 
 

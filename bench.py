@@ -294,7 +294,8 @@ def main() -> None:
              "changepoint_events", "weighted_median_docs",
              "centroid_matrix_emb", "scd2_lookup_events",
              "pagerank_events", "bm25_scores_docs", "dsir_weights_docs",
-             "script_mix_docs"]
+             "script_mix_docs", "mmr_select_emb", "temperature_mix_docs",
+             "budget_select_docs"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

@@ -631,3 +631,114 @@ SELECT d AS doc_id, CAST(SUM(k) AS BIGINT) AS n_words,
                   AS DOUBLE), {int(round_dp)}) AS logw
 FROM per JOIN lr USING (b) GROUP BY d
 """
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.3,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled source sampling weights (the multilingual-LM
+    mixing rule of mBERT/XLM-R/mT5: ``p_s ∝ (n_s / N)^alpha``): flatten
+    a skewed source distribution so low-resource sources are upsampled,
+    with ``alpha = 1`` keeping the raw mix and ``alpha -> 0``
+    approaching uniform.
+
+    Output per stratum: exact doc/token counts, the raw token share,
+    and the normalized temperature-scaled share.  Determinism: counts
+    are exact; ``pow`` is the one libm call, ROUNDED to 9 dp before the
+    cross-stratum normalizer sum (DECIMAL-accumulated, so the divide is
+    engine-identical); the final share rounds to 6 dp.
+
+    Scale notes: one map-side-combined aggregation to |sources| rows;
+    everything after is arithmetic on the broadcastable stats table.
+    """
+    from fs2_data_spark.functions.text import token_count
+
+    a = float(alpha)
+    s = (df.groupBy(F.col(stratum_col).alias("source"))
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum(token_count(F.col(text_col))).alias("n_tok")))
+    tot = s.agg(F.sum("n_tok").alias("_tot"))
+    s = (s.crossJoin(F.broadcast(tot))
+         .withColumn("p_raw", F.col("n_tok").cast("double")
+                     / F.col("_tot").cast("double"))
+         .withColumn("_w", F.round(F.pow(F.col("p_raw"), F.lit(a)), 9)))
+    norm = s.agg(F.sum(F.col("_w").cast("decimal(38,28)")).cast("double")
+                 .alias("_z"))
+    return (s.crossJoin(F.broadcast(norm))
+            .select("source", "n_docs", "n_tok",
+                    F.round("p_raw", 6).alias("p_raw"),
+                    F.round(F.col("_w") / F.col("_z"), 6).alias("p_temp")))
+
+
+def temperature_mix_oracle_sql(alpha: float = 0.3, round_dp: int = 6) -> str:
+    """DuckDB mirror of :func:`temperature_mix` over ``documents``."""
+    a = f"CAST('{repr(float(alpha))}' AS DOUBLE)"
+    ws = "list_filter(string_split(text, ' '), w -> w <> '')"
+    return f"""
+WITH s AS (SELECT source, count(*) AS n_docs,
+                  SUM(CAST(len({ws}) AS BIGINT)) AS n_tok
+           FROM documents GROUP BY source),
+t AS (SELECT SUM(n_tok) AS tot FROM s),
+p AS (SELECT source, n_docs, n_tok,
+             CAST(n_tok AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p_raw,
+             ROUND(pow(CAST(n_tok AS DOUBLE) / CAST(t.tot AS DOUBLE),
+                       {a}), 9) AS w
+      FROM s CROSS JOIN t),
+z AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,28))) AS DOUBLE) AS z FROM p)
+SELECT source, n_docs, n_tok, ROUND(p_raw, {int(round_dp)}) AS p_raw,
+       ROUND(w / z.z, {int(round_dp)}) AS p_temp
+FROM p CROSS JOIN z
+"""
+
+
+def budget_select(
+    df: DataFrame,
+    quality: F.Column,
+    tokens: F.Column,
+    budget_num: int = 2,
+    budget_den: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy quality-first selection under a global token budget: order
+    the corpus by (quality DESC, id) and keep the prefix whose running
+    token sum stays within ``budget_num/budget_den`` of the corpus
+    total — the "best docs until the budget is spent" stage every
+    fixed-compute pretraining run ends with.
+
+    The budget boundary is EXACT integer arithmetic
+    (``cum * den <= total * num`` — never a float fraction, per the
+    module's selection-boundary rule); the order key must itself be
+    engine-deterministic (pass an already-rounded quality expression).
+
+    Scale notes (100 TB): the global running sum does NOT use a
+    bare ``Window.orderBy`` (which would serialize the corpus through
+    one task) — it range-partitions on the order key (parallel sort),
+    cumulates within partitions, and shifts by the exclusive prefix of
+    the P-row per-partition totals (broadcast), the ``global_rank``
+    offsets pattern with SUM(value) instead of COUNT.
+    """
+    d = df.select(F.col(id_col).alias("_id"), quality.alias("q"),
+                  tokens.cast("bigint").alias("n_tok"))
+    order = [F.col("q").desc(), F.col("_id")]
+    tot = d.agg(F.sum("n_tok").alias("_tot"))
+    d = d.repartitionByRange(*order).withColumn("__pid",
+                                                F.spark_partition_id())
+    psums = d.groupBy("__pid").agg(F.sum("n_tok").alias("_s"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding,
+                                                -1)
+    offsets = psums.select(
+        "__pid", F.coalesce(F.sum("_s").over(w_off),
+                            F.lit(0).cast("bigint")).alias("__off"))
+    w_in = (Window.partitionBy("__pid").orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (d.join(F.broadcast(offsets), "__pid")
+            .withColumn("cum_tok",
+                        (F.col("__off") + F.sum("n_tok").over(w_in))
+                        .cast("bigint"))
+            .crossJoin(F.broadcast(tot))
+            .filter(F.col("cum_tok") * int(budget_den)
+                    <= F.col("_tot") * int(budget_num))
+            .select(F.col("_id").alias(id_col), "q", "n_tok", "cum_tok"))

@@ -423,3 +423,123 @@ def centroid_cosine_matrix(
                  F.round(F.col("_dot")
                          / F.sqrt(F.col("_na") * F.col("_nb")), round_dp))
     return out.select("a", "b", cos.alias("cos"))
+
+
+def mmr_select(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 4,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Maximal Marginal Relevance greedy selection (Carbonell &
+    Goldstein 1998): pick ``k`` items that are relevant to the query
+    but diverse among themselves —
+    ``argmax_c lam * rel(c) - (1-lam) * max_{s in S} sim(c, s)`` —
+    the submodular-style greedy that builds dedup-aware eval sets and
+    diversity-constrained training subsets from an embedding corpus.
+
+    The query anchor is the corpus row ``id = query_id`` (excluded from
+    the pool).  Determinism contract: every cosine is ROUNDED to
+    ``round_dp`` BEFORE any comparison (the module's round-before-rank
+    rule), the argmax tie-breaks by id, and the running max-similarity
+    update is GREATEST of already-rounded values — so each of the ``k``
+    selection boundaries is an exact comparison both engines replay
+    bit-for-bit (``mmr_oracle_sql`` unrolls the identical steps; the
+    lam literals are repr-embedded).  If the pool has fewer than ``k``
+    candidates both engines degrade identically (empty tail steps).
+
+    Scale notes (100 TB): each step is one broadcast of the single
+    selected vector against the candidate pool (map-side, no shuffle)
+    plus one ``TakeOrderedAndProject`` top-1 (plan-pinned, never a
+    global sort); lineage grows linearly in ``k`` — localCheckpoint
+    every few steps on a real cluster.  Relevance pre-ranking can cap
+    the pool first when k << N (disclosed trade; not done here so the
+    oracle covers the full pool).
+    """
+    lam = float(lam)
+    oml = 1.0 - lam
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      _as_double(F.col(vec_col)).alias("_v"))
+    n = base.select("vec_id", "_v", _norm(F.col("_v")).alias("_nrm"))
+    q = (n.filter(F.col("vec_id") == int(query_id))
+         .select(F.col("_v").alias("_qv"), F.col("_nrm").alias("_qn")))
+    cand = (n.filter(F.col("vec_id") != int(query_id))
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", "_v", "_nrm",
+                    F.round(_cos(_dot(F.col("_v"), F.col("_qv")),
+                                 F.col("_nrm"), F.col("_qn")),
+                            round_dp).alias("rel"),
+                    F.lit(0.0).alias("_ms")))
+    picks = []
+    for step in range(1, int(k) + 1):
+        c2 = cand.withColumn(
+            "_mmr", F.lit(lam) * F.col("rel") - F.lit(oml) * F.col("_ms"))
+        sel = c2.orderBy(F.col("_mmr").desc(), F.col("vec_id")).limit(1)
+        picks.append(sel.select(F.lit(step).alias("step"), "vec_id", "rel",
+                                F.round("_mmr", 6).alias("mmr")))
+        sv = sel.select(F.col("vec_id").alias("_sid"),
+                        F.col("_v").alias("_sv"),
+                        F.col("_nrm").alias("_sn"))
+        cand = (cand.crossJoin(F.broadcast(sv))
+                .filter(F.col("vec_id") != F.col("_sid"))
+                .select("vec_id", "_v", "_nrm", "rel",
+                        F.greatest(
+                            F.col("_ms"),
+                            F.round(_cos(_dot(F.col("_v"), F.col("_sv")),
+                                         F.col("_nrm"), F.col("_sn")),
+                                    round_dp)).alias("_ms")))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def mmr_oracle_sql(
+    query_id: int,
+    k: int = 4,
+    lam: float = 0.7,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB mirror of :func:`mmr_select` over the ``embeddings`` view:
+    the same greedy steps unrolled as CTEs, repr-embedded lam literals,
+    round-before-rank cosines, id tie-breaks."""
+    lam = float(lam)
+    L = f"CAST('{repr(lam)}' AS DOUBLE)"
+    OML = f"CAST('{repr(1.0 - lam)}' AS DOUBLE)"
+    qid = int(query_id)
+    dp = int(round_dp)
+
+    def cos(av, an, bv, bn):
+        return (f"ROUND(CASE WHEN {an} > 0 AND {bn} > 0 "
+                f"THEN list_dot_product({av}, {bv}) / ({an} * {bn}) "
+                f"ELSE 0.0 END, {dp})")
+
+    sql = [f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e),
+q AS (SELECT v, nrm FROM n WHERE vec_id = {qid}),
+c1 AS (SELECT c.vec_id, c.v, c.nrm,
+              {cos('q.v', 'q.nrm', 'c.v', 'c.nrm')} AS rel,
+              CAST(0 AS DOUBLE) AS ms
+       FROM n c CROSS JOIN q WHERE c.vec_id <> {qid})"""]
+    for t in range(1, int(k) + 1):
+        sql.append(f""",
+s{t} AS (SELECT vec_id, v, nrm, rel, {L} * rel - {OML} * ms AS mmr
+         FROM c{t} ORDER BY mmr DESC, vec_id LIMIT 1)""")
+        if t < int(k):
+            sql.append(f""",
+c{t + 1} AS (SELECT c.vec_id, c.v, c.nrm, c.rel,
+                    GREATEST(c.ms,
+                             {cos('s.v', 's.nrm', 'c.v', 'c.nrm')}) AS ms
+             FROM c{t} c CROSS JOIN s{t} s WHERE c.vec_id <> s.vec_id)""")
+    parts = [f"SELECT {t} AS step, vec_id, rel, ROUND(mmr, 6) AS mmr "
+             f"FROM s{t}" for t in range(1, int(k) + 1)]
+    sql.append("\n" + "\nUNION ALL\n".join(parts))
+    return "".join(sql)

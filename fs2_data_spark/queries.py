@@ -6362,6 +6362,86 @@ def script_mix_docs(spark, sf_dir):
                     frac.alias("frac_letter"))
 
 
+def _mmr_sql() -> str:
+    from fs2_data_spark.operators.similarity import mmr_oracle_sql
+    return mmr_oracle_sql(query_id=0, k=4, lam=0.7, round_dp=4)
+
+
+@_q("mmr_select_emb", _mmr_sql())
+def mmr_select_emb(spark, sf_dir):
+    """Maximal-Marginal-Relevance greedy selection (``operators/
+    similarity.py mmr_select``; Carbonell & Goldstein 1998): pick k=4
+    embeddings relevant to the vec_id=0 anchor but diverse among
+    themselves — the submodular-style greedy behind dedup-aware eval
+    sets and diversity-constrained subset selection.  Each step is one
+    broadcast of the single selected vector (no shuffle) + a
+    TakeOrderedAndProject top-1; cosines round to 4 dp BEFORE every
+    comparison and the argmax tie-breaks by id, so all four selection
+    boundaries are exact comparisons the unrolled-CTE oracle replays."""
+    from fs2_data_spark.operators.similarity import mmr_select
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_select(emb, query_id=0, k=4, lam=0.7, round_dp=4)
+
+
+def _temperature_mix_sql() -> str:
+    from fs2_data_spark.operators.mixing import temperature_mix_oracle_sql
+    return temperature_mix_oracle_sql(alpha=0.3, round_dp=6)
+
+
+@_q("temperature_mix_docs", _temperature_mix_sql())
+def temperature_mix_docs(spark, sf_dir):
+    """Temperature-scaled source sampling shares (``operators/mixing.py
+    temperature_mix``; the mBERT/XLM-R/mT5 multilingual mixing rule
+    ``p_s ∝ (n_s/N)^alpha``, alpha=0.3): one map-side-combined
+    aggregation to |sources| rows, then pure arithmetic — ``pow`` is
+    the one libm call, rounded to 9 dp before the DECIMAL-accumulated
+    normalizer so the final share divides engine-identical doubles."""
+    from fs2_data_spark.operators.mixing import temperature_mix
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    return temperature_mix(d, alpha=0.3)
+
+
+_QUALITY_SQL = f"""ROUND(((CASE WHEN n BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN (CASE WHEN n > 0 THEN CAST(nstop AS DOUBLE)/n ELSE 0.0 END) >= 0.01
+             THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN (CASE WHEN n > 0 THEN CAST(totlen AS DOUBLE)/n ELSE 0.0 END)
+                  BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN n > 0 THEN CAST(ndist AS DOUBLE)/n ELSE 0.0 END)) / 4.0, 6)"""
+
+
+@_q("budget_select_docs", f"""
+WITH s0 AS (
+  SELECT doc_id, len({_WS_SQL}) AS n,
+         len(list_filter({_WS_SQL}, w -> w IN {_STOP_SQL})) AS nstop,
+         list_sum(list_transform({_WS_SQL}, w -> CAST(length(w) AS BIGINT))) AS totlen,
+         len(list_distinct({_WS_SQL})) AS ndist
+  FROM documents),
+s AS (SELECT doc_id, {_QUALITY_SQL} AS q, CAST(n AS BIGINT) AS n_tok FROM s0),
+t AS (SELECT SUM(n_tok) AS tot FROM s),
+c AS (SELECT doc_id, q, n_tok,
+             CAST(SUM(n_tok) OVER (ORDER BY q DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tok
+      FROM s)
+SELECT doc_id, q, n_tok, cum_tok
+FROM c CROSS JOIN t WHERE cum_tok * 5 <= t.tot * 2
+""")
+def budget_select_docs(spark, sf_dir):
+    """Quality-first selection under a global token budget
+    (``operators/mixing.py budget_select``): keep the (quality DESC,
+    doc_id) prefix whose running token sum stays within 2/5 of the
+    corpus total — the "best docs until the compute budget is spent"
+    cut.  The boundary is exact integer arithmetic (cum*5 <= tot*2);
+    the global running sum is the distributed range-partition +
+    per-partition cumsum + broadcast-offset pattern (global_rank with
+    SUM instead of COUNT), never a single-partition Window.orderBy."""
+    from fs2_data_spark.operators.mixing import budget_select
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return budget_select(d, quality=TXT.quality_score("text"),
+                         tokens=TXT.token_count("text"),
+                         budget_num=2, budget_den=5)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (VERDICT r02 item #1; rotation policy r03 item #3)
 # ---------------------------------------------------------------------------

@@ -132,6 +132,7 @@ DOC_ONLY_QUERIES = [
     "hist_quantiles_docs",
     # retrieval ranking / importance selection / script profile (this tier)
     "bm25_scores_docs", "dsir_weights_docs", "script_mix_docs",
+    "temperature_mix_docs", "budget_select_docs",
     # format engines (payloads synthesized from the doc text)
     "jsonpath_descendant_docs", "jq_construct_docs", "xpath_attr_filter",
     "xpath_fast_texts", "json_merge_patch_docs", "selector_mandatory_docs",
@@ -281,7 +282,7 @@ EMBEDDING_QUERIES = [
     # (measured: 1 cell of 200 rows, 32.505546 vs 32.505545).  On
     # continuous-valued corpora like the driver's the boundary has
     # measure zero; the row stays oracle-checked there.
-    "dedup_cluster_docs", "centroid_matrix_emb",
+    "dedup_cluster_docs", "centroid_matrix_emb", "mmr_select_emb",
 ]
 
 

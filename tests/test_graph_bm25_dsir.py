@@ -143,3 +143,111 @@ def test_script_counts_classes(spark):
     assert r[1]["n_cp"] == 10
     assert all(r[2][k] == 0 for k in
                ("n_cp", "latin", "cyr", "cjk", "digit", "space"))
+
+
+def _mmr_ref(vecs, qid, k=3, lam=0.7, dp=4):
+    import math as m
+
+    def cos(a, b):
+        na = m.sqrt(sum(x * x for x in a))
+        nb = m.sqrt(sum(x * x for x in b))
+        if na <= 0 or nb <= 0:
+            return 0.0
+        return round(sum(x * y for x, y in zip(a, b)) / (na * nb), dp)
+
+    pool = {i: v for i, v in vecs.items() if i != qid}
+    rel = {i: cos(vecs[qid], v) for i, v in pool.items()}
+    ms = {i: 0.0 for i in pool}
+    out = []
+    for step in range(1, k + 1):
+        if not pool:
+            break
+        best = min(pool, key=lambda i: (-(lam * rel[i] - (1 - lam) * ms[i]),
+                                        i))
+        out.append((step, best, rel[best],
+                    round(lam * rel[best] - (1 - lam) * ms[best], 6)))
+        sv = pool.pop(best)
+        for i, v in pool.items():
+            ms[i] = max(ms[i], cos(v, sv))
+    return out
+
+
+def test_mmr_matches_reference_and_diversifies(spark):
+    from fs2_data_spark.operators.similarity import mmr_select
+    vecs = {
+        0: [1.0, 0.0, 0.0],        # query anchor
+        1: [0.9, 0.1, 0.0],        # most relevant
+        2: [0.89, 0.11, 0.0],      # near-duplicate of 1
+        3: [0.5, 0.5, 0.0],        # less relevant, diverse
+        4: [0.0, 0.0, 1.0],        # orthogonal
+        5: [0.0, 0.0, 0.0],        # zero vector (rel 0 by contract)
+    }
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<float>, label int")
+    # lam=0.4 weights diversity enough that the near-duplicate loses
+    # (at lam=0.7 relevance dominates and picking it is CORRECT mmr)
+    got = sorted(tuple(r) for r in mmr_select(d, 0, k=3, lam=0.4).collect())
+    want = sorted(_mmr_ref(vecs, 0, k=3, lam=0.4))
+    assert [g[:2] for g in got] == [w[:2] for w in want]
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], abs=5e-5)
+        assert g[3] == pytest.approx(w[3], abs=5e-6)
+    # the near-duplicate of the first pick must NOT be picked second
+    picked = [g[1] for g in sorted(got)]
+    assert picked[0] == 1 and picked[1] != 2
+
+
+def test_mmr_pool_smaller_than_k_degrades(spark):
+    from fs2_data_spark.operators.similarity import mmr_select
+    d = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.5, 0.5], 0)],
+        "vec_id bigint, embedding array<float>, label int")
+    rows = mmr_select(d, 0, k=4).collect()
+    assert len(rows) == 1 and rows[0]["vec_id"] == 1
+
+
+def test_temperature_mix_limits(spark):
+    from fs2_data_spark.operators.mixing import temperature_mix
+    rows = [(f"s{i}", "w " * c) for i, c in enumerate([1, 4, 16])
+            for _ in range(3)]
+    d = spark.createDataFrame(rows, "source string, text string")
+    # alpha=1 keeps the raw mix
+    r1 = {r["source"]: r for r in temperature_mix(d, alpha=1.0).collect()}
+    for s in r1:
+        assert r1[s]["p_temp"] == pytest.approx(r1[s]["p_raw"], abs=2e-6)
+    # alpha=0 is uniform across sources
+    r0 = {r["source"]: r for r in temperature_mix(d, alpha=0.0).collect()}
+    for s in r0:
+        assert r0[s]["p_temp"] == pytest.approx(1 / 3, abs=1e-6)
+    # 0 < alpha < 1 flattens: tail share rises, head share falls
+    rt = {r["source"]: r for r in temperature_mix(d, alpha=0.3).collect()}
+    assert rt["s0"]["p_temp"] > rt["s0"]["p_raw"]
+    assert rt["s2"]["p_temp"] < rt["s2"]["p_raw"]
+
+
+def test_budget_select_exact_boundary(spark):
+    from fs2_data_spark.operators.mixing import budget_select
+    # qualities force order 3, 1, 2; tokens 4+4 fit a 8/12 budget, 4 more not
+    d = spark.createDataFrame(
+        [(1, 0.5, 4), (2, 0.25, 4), (3, 0.75, 4)],
+        "doc_id bigint, q double, n_tok bigint")
+    got = sorted((r["doc_id"], r["cum_tok"]) for r in
+                 budget_select(d, F.col("q"), F.col("n_tok"),
+                               budget_num=2, budget_den=3).collect())
+    assert got == [(1, 8), (3, 4)]
+    # boundary is inclusive: budget exactly at the prefix sum keeps it
+    got2 = sorted(r["doc_id"] for r in
+                  budget_select(d, F.col("q"), F.col("n_tok"),
+                                budget_num=1, budget_den=3).collect())
+    assert got2 == [3]  # 4 * 3 <= 12 * 1 holds exactly
+
+
+def test_budget_select_ties_break_by_id(spark):
+    from fs2_data_spark.operators.mixing import budget_select
+    d = spark.createDataFrame(
+        [(i, 0.5, 10) for i in range(6)], "doc_id bigint, q double, n_tok bigint")
+    got = sorted(r["doc_id"] for r in
+                 budget_select(d, F.col("q"), F.col("n_tok"),
+                               budget_num=1, budget_den=2).collect())
+    assert got == [0, 1, 2]

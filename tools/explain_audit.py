@@ -289,6 +289,14 @@ AUDITED = [
     # pure per-row regexp counting: zero shuffle end to end
     ("script_mix_docs", ["no_python", "no_cartesian", "no_exchange",
                          "pruned_scan"]),
+    # greedy steps: broadcast the 1 selected vector, top-1 must plan as
+    # TakeOrderedAndProject (never a global sort)
+    ("mmr_select_emb", ["no_python", "top_k_not_sort", "pruned_scan"]),
+    # one agg to |sources| rows; scalars broadcast back
+    ("temperature_mix_docs", ["no_python", "broadcast", "pruned_scan"]),
+    # range partition + per-partition cumsum + broadcast offsets — the
+    # P-row offsets window is the bounded planning read
+    ("budget_select_docs", ["no_python", "broadcast", "pruned_scan"]),
 ]
 
 

@@ -295,7 +295,7 @@ def main() -> None:
              "centroid_matrix_emb", "scd2_lookup_events",
              "pagerank_events", "bm25_scores_docs", "dsir_weights_docs",
              "script_mix_docs", "mmr_select_emb", "temperature_mix_docs",
-             "budget_select_docs"]
+             "budget_select_docs", "label_prop_events"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

@@ -145,3 +145,86 @@ r{k + 1} AS (SELECT n.node,
     sql.append(f"""
 SELECT node, ROUND(r, {int(round_dp)}) AS pr FROM r{int(iters)}""")
     return "".join(sql)
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "cnt",
+    node_col: str = "node",
+    label_col: str = "label",
+    iters: int = 2,
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002, the
+    hard-label variant): a small seed set carries known labels; each
+    round every node adopts the label with the highest incoming edge
+    weight from currently-labeled neighbors (seeds stay clamped) — how
+    a handful of audited domain labels (spam/quality/topic) spread over
+    a web-scale link or co-occurrence graph.
+
+    Determinism contract: the per-round vote is an exact integer weight
+    sum; the argmax tie-breaks by (weight DESC, label ASC); seeds are
+    clamped by a left-anti join.  All comparisons are integers/strings —
+    no floats anywhere, so any ANSI engine replays it exactly
+    (:func:`label_propagation_oracle_sql` unrolls the rounds).
+
+    Scale notes: each round is one (dst, label) aggregation + one
+    row_number window on dst — two shuffles over the labeled frontier,
+    which starts seed-sized and only grows as labels spread; the edge
+    table is static (persist, partition by src).  Unlabeled nodes never
+    materialize rows.
+    """
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"),
+                     F.col(weight).cast("bigint").alias("_w"))
+    lab = seeds.select(F.col(node_col).alias("node"),
+                       F.col(label_col).alias("label"),
+                       F.lit(0).alias("round"))
+    seed_ids = seeds.select(F.col(node_col).alias("node"))
+    from pyspark.sql import Window
+    for it in range(1, int(iters) + 1):
+        cur = lab.select(F.col("node").alias("_ln"),
+                         F.col("label").alias("_ll"))
+        votes = (e.join(cur, e["_src"] == cur["_ln"])
+                 .groupBy(F.col("_dst").alias("node"),
+                          F.col("_ll").alias("label"))
+                 .agg(F.sum("_w").alias("_votes")))
+        w = Window.partitionBy("node").orderBy(F.col("_votes").desc(),
+                                               F.col("label"))
+        picked = (votes.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1)
+                  .select("node", "label", F.lit(it).alias("round")))
+        # clamp: seeds and already-labeled nodes keep their first label
+        fresh = (picked.join(lab.select("node"), on="node", how="left_anti"))
+        lab = lab.unionByName(fresh)
+    return lab
+
+
+def label_propagation_oracle_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    iters: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`label_propagation`: ``edges_cte`` defines
+    ``e(src, dst, cnt)``; ``seeds_cte`` defines ``seeds(node, label)``."""
+    sql = [f"""
+WITH {edges_cte},
+{seeds_cte},
+l0 AS (SELECT node, label, 0 AS round FROM seeds)"""]
+    for t in range(1, int(iters) + 1):
+        sql.append(f""",
+v{t} AS (SELECT e.dst AS node, l.label, SUM(e.cnt) AS votes
+         FROM e JOIN l{t - 1} l ON e.src = l.node
+         GROUP BY e.dst, l.label),
+p{t} AS (SELECT node, label, {t} AS round
+         FROM (SELECT *, row_number() OVER (PARTITION BY node
+                          ORDER BY votes DESC, label) AS rn FROM v{t})
+         WHERE rn = 1),
+l{t} AS (SELECT * FROM l{t - 1}
+         UNION ALL
+         SELECT p.* FROM p{t} p
+         WHERE p.node NOT IN (SELECT node FROM l{t - 1}))""")
+    sql.append(f"""
+SELECT node, label, round FROM l{int(iters)}""")
+    return "".join(sql)

@@ -6442,6 +6442,50 @@ def budget_select_docs(spark, sf_dir):
                          budget_num=2, budget_den=5)
 
 
+def _label_prop_sql() -> str:
+    from fs2_data_spark.operators.graph import label_propagation_oracle_sql
+    edges = """d AS (SELECT user_id, event_type, epoch_us(ts) AS eus, event_id
+           FROM events),
+p0 AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY eus, event_id) AS src,
+              event_type AS dst
+       FROM d),
+e AS (SELECT src, dst, count(*) AS cnt FROM p0 WHERE src IS NOT NULL
+      GROUP BY src, dst)"""
+    seeds = """ow AS (SELECT src AS node, SUM(cnt) AS w FROM e GROUP BY src),
+seeds AS (SELECT node, node AS label
+          FROM (SELECT *, row_number() OVER (ORDER BY w DESC, node) AS rn
+                FROM ow) WHERE rn <= 2)"""
+    return label_propagation_oracle_sql(edges, seeds, iters=2)
+
+
+@_q("label_prop_events", _label_prop_sql())
+def label_prop_events(spark, sf_dir):
+    """Semi-supervised label propagation (``operators/graph.py
+    label_propagation``; Zhu & Ghahramani 2002, hard-label): the two
+    highest-out-weight nodes of the event-transition graph seed their
+    own names as labels, then two rounds of strongest-incoming-edge
+    voting spread them — how a handful of audited domain labels cover a
+    web-scale link graph.  Every vote is an exact integer weight sum
+    with a (votes DESC, label) tie-break and seeds clamp via anti-join,
+    so the unrolled-CTE oracle replays it with no float anywhere."""
+    from pyspark.sql import Window as W
+    from fs2_data_spark.operators.graph import label_propagation
+    from fs2_data_spark.operators.sessionize import session_transitions
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts",
+                                            "event_type")
+    edges = (session_transitions(ev, key="user_id", ts="ts",
+                                 tiebreak="event_id", state="event_type")
+             .select(F.col("from_state").alias("src"),
+                     F.col("to_state").alias("dst"), "cnt"))
+    outw = edges.groupBy(F.col("src").alias("node")).agg(
+        F.sum("cnt").alias("w"))
+    rn = F.row_number().over(W.orderBy(F.col("w").desc(), F.col("node")))
+    seeds = (outw.withColumn("rn", rn).filter(F.col("rn") <= 2)
+             .select("node", F.col("node").alias("label")))
+    return label_propagation(edges, seeds, iters=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (VERDICT r02 item #1; rotation policy r03 item #3)
 # ---------------------------------------------------------------------------

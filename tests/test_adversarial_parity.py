@@ -208,7 +208,10 @@ EVENT_QUERIES = [
     "asof_join_events_forward", "asof_join_events_nearest",
     "w_multi_horizon_events", "time_bucket_cascade_events",
     "hll_trailing_users_events", "w_trailing_distinct_events",
-    "pagerank_events",
+    "pagerank_events", "label_prop_events", "scd2_lookup_events",
+    # gapfill has its own dedicated adversarial module; the rows here
+    # additionally pin the registry pipelines verbatim
+    "gapfill_locf_events", "gapfill_interp_events",
 ]
 
 
@@ -283,6 +286,7 @@ EMBEDDING_QUERIES = [
     # continuous-valued corpora like the driver's the boundary has
     # measure zero; the row stays oracle-checked there.
     "dedup_cluster_docs", "centroid_matrix_emb", "mmr_select_emb",
+    "semantic_dedup_emb",
 ]
 
 

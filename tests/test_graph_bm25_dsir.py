@@ -251,3 +251,28 @@ def test_budget_select_ties_break_by_id(spark):
                  budget_select(d, F.col("q"), F.col("n_tok"),
                                budget_num=1, budget_den=2).collect())
     assert got == [0, 1, 2]
+
+
+def test_label_propagation_spreads_and_clamps(spark):
+    from fs2_data_spark.operators.graph import label_propagation
+    # seeds: a=GOOD, b=BAD.  c hears a(3) + b(1) -> GOOD.  d hears only
+    # c in round 2 -> GOOD.  b also hears a(5) but stays clamped BAD.
+    edges = [("a", "c", 3), ("b", "c", 1), ("c", "d", 2), ("a", "b", 5)]
+    e = spark.createDataFrame(edges, "src string, dst string, cnt bigint")
+    s = spark.createDataFrame([("a", "GOOD"), ("b", "BAD")],
+                              "node string, label string")
+    got = {r["node"]: (r["label"], r["round"])
+           for r in label_propagation(e, s, iters=2).collect()}
+    assert got == {"a": ("GOOD", 0), "b": ("BAD", 0),
+                   "c": ("GOOD", 1), "d": ("GOOD", 2)}
+
+
+def test_label_propagation_tiebreak_is_lexicographic(spark):
+    from fs2_data_spark.operators.graph import label_propagation
+    edges = [("a", "c", 2), ("b", "c", 2)]  # exact vote tie at c
+    e = spark.createDataFrame(edges, "src string, dst string, cnt bigint")
+    s = spark.createDataFrame([("a", "Z_LBL"), ("b", "A_LBL")],
+                              "node string, label string")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(e, s, iters=1).collect()}
+    assert got["c"] == "A_LBL"  # ties -> lexicographically smallest label

@@ -297,6 +297,8 @@ AUDITED = [
     # range partition + per-partition cumsum + broadcast offsets — the
     # P-row offsets window is the bounded planning read
     ("budget_select_docs", ["no_python", "broadcast", "pruned_scan"]),
+    # integer votes: per-round (dst,label) agg + dst window; no floats
+    ("label_prop_events", ["no_python", "no_cartesian", "pruned_scan"]),
 ]
 
 

@@ -326,3 +326,162 @@ def adv_emb_dir(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", EMBEDDING_QUERIES)
 def test_adversarial_embeddings_parity(spark, adv_emb_dir, name):
     _assert_parity(spark, adv_emb_dir, name, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Relational (TPC-H-shaped) tables: the adversarial axes are BOUNDARIES and
+# TIES, not NULLs (TPC-H columns are NOT NULL by spec, matching the driver
+# corpus) — order/ship dates exactly ON every filter boundary the queries
+# use (>= vs > vs <= vs <), discounts exactly at q6's BETWEEN endpoints,
+# quantities one ulp either side of 25, exact supplier-acctbal ties (the
+# min-cost rank tie-break), exact o_totalprice ties (top-customer ranks),
+# customers with zero orders (anti join), customers ordering in exactly
+# one vs both periods (intersect), dyadic prices that stress the
+# DECIMAL(27,6) sum discipline, and unicode/symbol part names.
+# ---------------------------------------------------------------------------
+
+TPCH_QUERIES = [
+    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "top_customers_per_segment", "part_type_stats",
+    "orders_by_status_priority", "pivot_status_by_priority",
+    "rollup_order_totals", "cube_lineitem_counts",
+    "intersect_repeat_customers", "anti_join_customers_no_orders",
+    "semi_join_recent_suppliers", "distinct_stats_by_segment",
+    "min_cost_supplier_per_part", "salted_agg_supplier_volume",
+    "string_features_parts",
+]
+
+_TPCH_TABLES = ("region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem")
+
+
+def _mk_tpch():
+    rng = random.Random(4242)
+    region = [(0, "ASIA"), (1, "EUROPE"), (2, "AMERICA")]
+    nation = [(0, "CHINA", 0), (1, "JAPAN", 0), (2, "FRANCE", 1),
+              (3, "GERMANY", 1), (4, "BRAZIL", 2), (5, "CANADA", 2)]
+    segs = ["BUILDING", "AUTO", "MACHINERY"]
+    bals = [0.0, -999.999999, 123.456789, 123.456789, 0.005, 1e7]
+    customer = [(k, f"cust#{k:03d}", k % 6, rng.choice(bals),
+                 segs[k % 3]) for k in range(40)]
+    # suppliers: pairs share EXACT acctbal (min-cost tie-break by key)
+    supplier = [(s, f"supp#{s:02d}", s % 6, [0.0, 0.0, -5.25, -5.25,
+                                             77.77, 77.77][s % 6])
+                for s in range(12)]
+    types = ["anodized steel", "burnished brass", "anodized steel"]
+    pnames = ["bolt über #7", "nut...deluxe", "washer (x)", "BOLT",
+              "gear 你好", "plain"]
+    part = [(p, pnames[p % 6], f"Brand#{p % 4}", types[p % 3],
+             [0, 1, 1, 7, 50][p % 5],
+             [0.01, 999.999999, 123.456789][p % 3]) for p in range(15)]
+
+    d = datetime  # noqa: N806  (shorthand)
+    boundary_orderdates = [
+        d(1996, 1, 1), d(1996, 12, 31, 23, 59, 59, 999999),
+        d(1997, 1, 1), d(1997, 12, 31, 23, 59, 59, 999999),
+        d(1998, 1, 1), d(1998, 3, 14, 23, 59, 59, 999999),
+        d(1998, 3, 15), d(1995, 6, 15),
+    ]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    stats = ["O", "F", "P"]
+    prices = [0.01, 1000.0, 1000.0, 123.456789, 99999.999999]
+    orders = []
+    # custkeys 32..39 never order (anti join); 0..5 order in BOTH periods
+    # (intersect), 6..11 in exactly one
+    for ok in range(150):
+        ck = ok % 32
+        if ck < 6:
+            od = rng.choice([d(1996, 6, 1), d(1997, 6, 1)]) if ok % 2 \
+                else d(1996, 1, 1) if ok % 4 == 0 else d(1997, 1, 1)
+        elif ck < 12:
+            od = d(1996, 3, 1) if ck % 2 == 0 else d(1997, 3, 1)
+        else:
+            od = rng.choice(boundary_orderdates)
+        orders.append((ok, ck, rng.choice(stats), rng.choice(prices),
+                       od, rng.choice(prios)))
+    qtys = [1.0, 24.999999, 25.0, 25.000001, 0.5, 24.0]
+    discs = [0.0, 0.02, 0.06, 0.04, 0.07, 0.1]
+    taxes = [0.0, 0.05, 0.08]
+    shipdates = [
+        d(1998, 9, 2),                       # q1 <= boundary (kept)
+        d(1998, 9, 2, 0, 0, 0, 1),           # one us past (dropped)
+        d(1996, 1, 1), d(1996, 12, 31, 23, 59, 59, 999999),
+        d(1997, 1, 1),                       # q6 < boundary (dropped)
+        d(1998, 3, 15), d(1998, 3, 15, 0, 0, 0, 1),  # q3 strict >
+        d(2001, 1, 1),                       # semi >= boundary (kept)
+        d(1996, 7, 1), d(1998, 6, 1),
+    ]
+    lineitem = []
+    ln = 0
+    for ok, ck, st, tp, od, pr in orders:
+        for j in range(rng.randint(1, 4)):
+            ln += 1
+            sd = rng.choice(shipdates)
+            if ok % 5 == 0 and j == 0:
+                sd = d(1998, 6, 1)       # guarantees q4's EXISTS for many
+            if ck % 3 == 0 and ck < 30 and j == 0 and od < d(1998, 3, 15):
+                sd = d(1998, 4, 1)       # q3: BUILDING ships after cutoff
+            lineitem.append((ok, rng.randrange(15), rng.randrange(12),
+                             j + 1, rng.choice(qtys), rng.choice(prices),
+                             rng.choice(discs), rng.choice(taxes),
+                             rng.choice(["A", "N", "R"]),
+                             rng.choice(["O", "F"]), sd))
+    return {
+        "region": (region, "r_regionkey int, r_name string"),
+        "nation": (nation, "n_nationkey int, n_name string, "
+                           "n_regionkey int"),
+        "customer": (customer, "c_custkey bigint, c_name string, "
+                               "c_nationkey int, c_acctbal double, "
+                               "c_mktsegment string"),
+        "supplier": (supplier, "s_suppkey bigint, s_name string, "
+                               "s_nationkey int, s_acctbal double"),
+        "part": (part, "p_partkey bigint, p_name string, p_brand string, "
+                       "p_type string, p_size int, p_retailprice double"),
+        "orders": (orders, "o_orderkey bigint, o_custkey bigint, "
+                           "o_orderstatus string, o_totalprice double, "
+                           "o_orderdate timestamp, o_orderpriority string"),
+        "lineitem": (lineitem, "l_orderkey bigint, l_partkey bigint, "
+                               "l_suppkey bigint, l_linenumber int, "
+                               "l_quantity double, l_extendedprice double, "
+                               "l_discount double, l_tax double, "
+                               "l_returnflag string, l_linestatus string, "
+                               "l_shipdate timestamp"),
+    }
+
+
+@pytest.fixture(scope="module")
+def adv_tpch_dir(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+    out = tmp_path_factory.mktemp("adv_tpch")
+    for name, (rows, schema) in _mk_tpch().items():
+        df = spark.createDataFrame(rows, schema)
+        for f in df.schema.fields:
+            if f.dataType.typeName().startswith("timestamp"):
+                df = df.withColumn(f.name,
+                                   F.col(f.name).cast("timestamp_ntz"))
+        df.coalesce(2).write.parquet(str(out / f"{name}.parquet"))
+    return str(out)
+
+
+def _assert_parity_tables(spark, sf_dir, name, tables):
+    fn, sql = REGISTRY[name]
+    sdf = fn(spark, sf_dir)
+    scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    assert srows, f"{name} produced no rows on the adversarial corpus"
+
+    con = duckdb.connect()
+    for table in tables:
+        con.sql(f"CREATE VIEW {table} AS SELECT * FROM "
+                f"'{sf_dir}/{table}.parquet/*.parquet'")
+    res = con.sql(sql)
+    dcols, drows = list(res.columns), res.fetchall()
+
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert _multiset(scols, srows) == _multiset(dcols, drows)
+
+
+@pytest.mark.parametrize("name", TPCH_QUERIES)
+def test_adversarial_tpch_parity(spark, adv_tpch_dir, name):
+    _assert_parity_tables(spark, adv_tpch_dir, name, _TPCH_TABLES)

@@ -875,3 +875,91 @@ def changepoint_locate(
             .filter((F.col("_rn") == 1) & (F.col("cusum") > 0))
             .select(*key, ts, F.col("cusum").alias("cusum_peak"),
                     (F.col("cusum") > F.lit(float(h))).alias("alarmed")))
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value: str = "value",
+    group: str | Sequence[str] = "event_type",
+    ts: str = "ts",
+    split: str = "2024-01-16 00:00:00",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact two-sample Mann-Whitney U (Wilcoxon rank-sum) statistic of
+    ``value`` per ``group`` between the baseline period (``ts < split``)
+    and the current period (``ts >= split``) — the rank-based complement
+    of :func:`ks_drift` (KS asks "how far apart are the ECDFs"; U asks
+    "does one period stochastically dominate the other", robust to
+    outliers and monotone rescaling).
+
+    Ranking is EXACT including ties: every observation at a tied value
+    receives the average rank of the tie block.  Average ranks are kept
+    integral by working with DOUBLED ranks — for a value with ``less``
+    observations strictly below it and a tie block of size ``t``::
+
+        2 * avg_rank = 2 * less + t + 1
+
+    so the baseline rank-sum ``R1`` is carried as the exact bigint
+    ``r2 = sum(cb * (2*less + t + 1)) = 2*R1``, and::
+
+        u = U1          = (r2 - n1*(n1+1)) / 2
+        z = (U1 - mu) / sigma,  mu = n1*n2/2
+        sigma^2 = n1*n2/12 * ((N+1) - ties/(N*(N-1))),  N = n1+n2
+
+    with the tie correction ``ties = sum(t^3 - t)`` accumulated from
+    9-dp-rounded per-value double terms in DECIMAL(38,12) (each term is
+    a pure IEEE chain on an exact bigint count, identical across
+    engines; the decimal sum is order-free).  No continuity correction
+    is applied (stated plainly; the large-sample z is what a drift
+    monitor thresholds on).
+
+    NULL values are excluded (ranks are undefined over NULLs); groups
+    with an empty side are dropped (U undefined), as are groups whose
+    observations are ALL one tied value (sigma = 0, z undefined).
+
+    Scale shape: one scan -> exact (group, value, period) tie counts
+    (map-side combined) -> ONE window pass per group ordered by value
+    (the exclusive running count) -> one group aggregate.  Key space is
+    bounded by distinct values, never rows; no global sort.
+
+    Output one row per group: ``n_base, n_cur, u, z``.
+    """
+    group = [group] if isinstance(group, str) else list(group)
+    cur = (F.col(ts) >= F.lit(split)).cast("int")
+    pts = (df.filter(F.col(value).isNotNull())
+           .select(*group, F.col(value).alias("_v"), cur.alias("_cur"))
+           .groupBy(*group, "_v")
+           .agg(F.sum(F.when(F.col("_cur") == 0, 1).otherwise(0))
+                 .alias("_cb"),
+                F.sum(F.when(F.col("_cur") == 1, 1).otherwise(0))
+                 .alias("_cc")))
+    w = (Window.partitionBy(*group).orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    less = F.coalesce(F.sum(F.col("_cb") + F.col("_cc")).over(w),
+                      F.lit(0))
+    t = F.col("_cb") + F.col("_cc")
+    td = t.cast("double")
+    tie_term = F.round(td * td * td - td, 9)
+    ranked = pts.select(
+        *group, "_cb", "_cc",
+        (F.col("_cb") * (F.lit(2) * less + t + F.lit(1))).alias("_r2c"),
+        tie_term.cast(_DEC).alias("_tie"))
+    g = (ranked.groupBy(*group)
+         .agg(F.sum("_cb").alias("_n1"), F.sum("_cc").alias("_n2"),
+              F.sum("_r2c").alias("_r2"), F.sum("_tie").alias("_ties"),
+              F.count(F.lit(1)).alias("_nv")))
+    n1d = F.col("_n1").cast("double")
+    n2d = F.col("_n2").cast("double")
+    nd = (F.col("_n1") + F.col("_n2")).cast("double")
+    u = (F.col("_r2") - F.col("_n1") * (F.col("_n1") + F.lit(1))) \
+        .cast("double") / F.lit(2.0)
+    mu = n1d * n2d / F.lit(2.0)
+    sigma2 = (n1d * n2d / F.lit(12.0)
+              * ((nd + F.lit(1.0))
+                 - F.col("_ties").cast("double") / (nd * (nd - F.lit(1.0)))))
+    z = F.round((u - mu) / F.sqrt(sigma2), round_dp)
+    return (g.filter((F.col("_n1") > 0) & (F.col("_n2") > 0)
+                     & (F.col("_nv") > 1))
+            .select(*group, F.col("_n1").alias("n_base"),
+                    F.col("_n2").alias("n_cur"), u.alias("u"),
+                    z.alias("z")))

@@ -228,3 +228,77 @@ l{t} AS (SELECT * FROM l{t - 1}
     sql.append(f"""
 SELECT node, label, round FROM l{int(iters)}""")
     return "".join(sql)
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact global triangle count of the UNDIRECTED simple graph induced
+    by ``edges`` — the standard density/community signal on link and
+    co-occurrence graphs (a near-dup doc cluster of size c contributes
+    C(c, 3) triangles; a random sparse graph contributes almost none).
+
+    Algorithm: compact-forward wedge counting with DEGREE-BASED edge
+    orientation (Schank & Wagner 2005; Suri & Vassilvitskii WWW'11 for
+    the MapReduce form).  Direction and multiplicity are first erased
+    (``least/greatest`` + distinct, self-loops dropped); each edge is
+    then oriented from its lower- to its higher-``(degree, node)``
+    endpoint, a total order, so every triangle is counted EXACTLY once:
+    at its minimum vertex, as a wedge ``a->b, a->c (b < c)`` closed by
+    the oriented edge ``b->c``.
+
+    Orienting by degree (not node id) is the scale-critical choice: the
+    wedge count becomes sum-of-squares of OUT-degrees, which the
+    orientation bounds by O(E^1.5) regardless of skew — a web-scale
+    star node (degree 10^7) generates ZERO wedges at its center because
+    all its edges point toward it.  Id-ordered orientation would make
+    that one node produce 10^14 wedges.
+
+    Plan shape: degree aggregation (one shuffle, map-side combined) ->
+    two equi-joins to attach endpoint degrees -> a self-equi-join on
+    the wedge apex -> one semi-join against the oriented edge set ->
+    a single count.  No cartesian product; all joins are equi-joins on
+    node or (node, node) keys.  Everything is exact integer arithmetic.
+
+    Output ONE row: ``n_nodes, n_edges, n_triangles`` (an empty edge
+    set yields ``0, 0, 0``).
+    """
+    e = (edges
+         .filter(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                 & (F.col(src) != F.col(dst)))
+         .select(F.least(src, dst).alias("_a"),
+                 F.greatest(src, dst).alias("_b"))
+         .distinct())
+    deg = (e.select(F.col("_a").alias("_n"))
+           .unionAll(e.select(F.col("_b").alias("_n")))
+           .groupBy("_n").agg(F.count(F.lit(1)).alias("_d")))
+    da = deg.select(F.col("_n").alias("_a"), F.col("_d").alias("_da"))
+    db = deg.select(F.col("_n").alias("_b"), F.col("_d").alias("_db"))
+    keyed = e.join(da, on="_a").join(db, on="_b")
+    # orient low (degree, id) -> high (degree, id): a strict total order
+    fwd = F.col("_da") < F.col("_db")
+    rev = (F.col("_db") < F.col("_da")) | \
+        ((F.col("_da") == F.col("_db")) & (F.col("_b") < F.col("_a")))
+    lo = F.when(fwd | ~rev, F.col("_a")).otherwise(F.col("_b"))
+    lo_d = F.when(fwd | ~rev, F.col("_da")).otherwise(F.col("_db"))
+    hi = F.when(fwd | ~rev, F.col("_b")).otherwise(F.col("_a"))
+    hi_d = F.when(fwd | ~rev, F.col("_db")).otherwise(F.col("_da"))
+    o = keyed.select(lo.alias("_u"), lo_d.alias("_ud"),
+                     hi.alias("_v"), hi_d.alias("_vd"))
+    l = o.select(F.col("_u").alias("_w"), F.col("_v").alias("_x"),
+                 F.col("_vd").alias("_xd"))
+    r = o.select(F.col("_u").alias("_w"), F.col("_v").alias("_y"),
+                 F.col("_vd").alias("_yd"))
+    wedges = (l.join(r, on="_w")
+              .filter((F.col("_xd") < F.col("_yd"))
+                      | ((F.col("_xd") == F.col("_yd"))
+                         & (F.col("_x") < F.col("_y")))))
+    tri = wedges.join(
+        o.select(F.col("_u").alias("_x"), F.col("_v").alias("_y")),
+        on=["_x", "_y"], how="leftsemi")
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    nt = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return nn.crossJoin(ne).crossJoin(nt)

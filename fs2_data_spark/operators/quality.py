@@ -588,3 +588,79 @@ def oov_rate(
         F.round(F.when(F.size(tok) > 0,
                        n_oov.cast("double") / F.size(tok).cast("double"))
                 .otherwise(F.lit(0.0)), 6).alias("oov_rate"))
+
+
+def chi2_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    group: str = "source",
+    k: int = 5,
+    min_count: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-``group`` keyword extraction by the chi-square statistic of the
+    word-vs-group 2x2 contingency table — "which words does this source
+    use significantly MORE than the rest of the corpus" (the classic
+    feature-selection score; Yang & Pedersen 1997).  For each
+    (group g, word w) with token counts::
+
+        a = count(w in g)          b = count(w outside g)
+        c = tokens(g) - a          d = tokens(outside g) - b
+
+        chi2 = N * (a*d - b*c)^2 / ((a+b)*(c+d)*(a+c)*(b+d))
+
+    Only POSITIVE associations are kept (a/tokens(g) > (a+b)/N — the
+    word is over-represented, not suspiciously absent), and only words
+    with ``a >= min_count`` (a one-off token is never a keyword).  The
+    top ``k`` per group are ranked by ``(chi2 desc, word asc)`` — the
+    word tie-break makes equal-score ranks deterministic.
+
+    Determinism: all four cell counts are exact bigints; ``chi2`` is a
+    single per-row IEEE chain on their double casts (identical across
+    engines; products are computed in double because a*d overflows
+    int64 at web scale), rounded to 9 dp before ranking and to
+    ``round_dp`` in the output.  The over-representation test compares
+    ``a/tokens(g)`` to ``(a+b)/N`` in double for the same reason.
+
+    Scale shape: one scan -> exact (group, word) counts (map-side
+    combined); per-word totals are one equi-join on the word key
+    (vocab-sized); per-group totals and the corpus total broadcast.
+    The final top-k window partitions by group over vocab-sized input.
+    Nothing is quadratic; nothing single-partitions.
+
+    Output: ``group, word, cnt, chi2, rank``.
+    """
+    from pyspark.sql import Window
+
+    wc = (docs.select(F.col(group).alias("_g"),
+                      F.explode(words(text_col)).alias("_w"))
+          .groupBy("_g", "_w")
+          .agg(F.count(F.lit(1)).alias("_a")))
+    wtot = wc.groupBy("_w").agg(F.sum("_a").alias("_gw"))
+    gtot = wc.groupBy("_g").agg(F.sum("_a").alias("_st"))
+    ntot = wc.agg(F.sum("_a").alias("_n"))
+    cells = (wc.join(wtot, on="_w")
+             .join(F.broadcast(gtot), on="_g")
+             .crossJoin(F.broadcast(ntot)))
+    ad, bd = F.col("_a").cast("double"), \
+        (F.col("_gw") - F.col("_a")).cast("double")
+    cd = (F.col("_st") - F.col("_a")).cast("double")
+    dd = (F.col("_n") - F.col("_gw") - F.col("_st")
+          + F.col("_a")).cast("double")
+    nd = F.col("_n").cast("double")
+    det = ad * dd - bd * cd
+    chi2 = (nd * det * det
+            / ((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)))
+    scored = (cells
+              .filter((F.col("_a") >= int(min_count))
+                      & (ad / F.col("_st").cast("double")
+                         > F.col("_gw").cast("double") / nd))
+              .withColumn("_chi2", F.round(chi2, 9)))
+    rn = F.row_number().over(
+        Window.partitionBy("_g").orderBy(F.col("_chi2").desc(),
+                                         F.col("_w")))
+    return (scored.withColumn("rank", rn).filter(F.col("rank") <= int(k))
+            .select(F.col("_g").alias(group), F.col("_w").alias("word"),
+                    F.col("_a").alias("cnt"),
+                    F.round(F.col("_chi2"), round_dp).alias("chi2"),
+                    "rank"))

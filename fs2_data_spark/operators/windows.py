@@ -511,3 +511,75 @@ def snapshot_features(
     if state is not None:
         aggs.append(F.size(F.collect_set("_st")).alias("n_states"))
     return d.groupBy(*key, "cutoff_us").agg(*aggs)
+
+
+def lag_autocorr(
+    df: DataFrame,
+    value: str = "value",
+    key: str | Sequence[str] = "event_type",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    max_lag: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-``key`` sample autocorrelation of ``value`` at lags
+    ``1..max_lag`` over event-time order — the seasonality/persistence
+    probe of a feature stream (is today's value informative about
+    tomorrow's; does a lag-24 spike say the series is diurnal)::
+
+        r_k = sum_t (x_t - mean)(x_{t+k} - mean) / sum_t (x_t - mean)^2
+
+    (the standard biased ACF estimator: one shared denominator, so
+    ``r_0 = 1`` and ``|r_k| <= 1``, matching ``statsmodels.tsa.acf`` —
+    NOT pandas ``Series.autocorr``, which is the Pearson correlation of
+    the two slices with separate means).  NULL values are excluded
+    BEFORE forming the series — the lag structure is over observed
+    points, the ``dropna()``-first convention.
+
+    Determinism: ``mean`` is an exact DECIMAL(27,6) sum of the raw
+    values divided once in double; each product term is one IEEE chain
+    on engine-identical doubles, rounded to 9 dp and accumulated in
+    DECIMAL(38,12) (order-free); ``r_k`` is one final divide rounded to
+    ``round_dp``.  Keys with zero variance or fewer than ``k + 2``
+    points are dropped (r undefined / degenerate), stated honestly.
+
+    Plan shape: ONE Exchange + Sort per key serves ALL lags — the
+    ``max_lag`` lead columns share a single window frame — then one
+    group aggregate over the unpivoted (key, lag, term) rows.  No
+    self-join; no global sort.
+
+    Output: ``key cols, lag, n_pairs, r`` for each lag ``1..max_lag``.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    pts = df.filter(F.col(value).isNotNull())
+    stats = (pts.groupBy(*key)
+             .agg(F.sum(F.col(value).cast("decimal(27,6)"))
+                   .cast("double").alias("_s"),
+                  F.count(F.lit(1)).alias("_n")))
+    mean = (F.col("_s") / F.col("_n").cast("double")).alias("_mu")
+    w = Window.partitionBy(*key).orderBy(F.col(ts), F.col(tiebreak))
+    leads = [F.lead(F.col(value), k).over(w).alias(f"_l{k}")
+             for k in range(1, int(max_lag) + 1)]
+    seq = (pts.select(*key, F.col(value).alias("_x"), *leads)
+           .join(F.broadcast(stats.select(*key, mean, "_n")), on=key))
+    dev = F.col("_x") - F.col("_mu")
+    den_term = F.round(dev * dev, 9).cast("decimal(38,12)")
+    pairs = F.array(*[
+        F.struct(F.lit(k).alias("_k"),
+                 F.round(dev * (F.col(f"_l{k}") - F.col("_mu")), 9)
+                  .alias("_t"),
+                 F.col(f"_l{k}").isNotNull().alias("_ok"))
+        for k in range(1, int(max_lag) + 1)])
+    ex = (seq.withColumn("_den", den_term)
+          .select(*key, "_n", "_den", F.explode(pairs).alias("_p")))
+    g = (ex.groupBy(*key, "_n", F.col("_p._k").alias("lag"))
+         .agg(F.sum("_den").alias("_d"),
+              F.sum(F.when(F.col("_p._ok"),
+                           F.col("_p._t").cast("decimal(38,12)"))
+                     .otherwise(F.lit(None))).alias("_num"),
+              F.sum(F.col("_p._ok").cast("bigint")).alias("n_pairs")))
+    r = F.round(F.col("_num").cast("double")
+                / F.col("_d").cast("double"), round_dp)
+    return (g.filter((F.col("_d") > 0)
+                     & (F.col("_n") >= F.col("lag") + F.lit(2)))
+            .select(*key, "lag", "n_pairs", r.alias("r")))

@@ -6486,6 +6486,188 @@ def label_prop_events(spark, sf_dir):
     return label_propagation(edges, seeds, iters=2)
 
 
+@_q("mann_whitney_events", """
+WITH pts AS (
+  SELECT event_type, value AS v,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+             THEN 1 ELSE 0 END) AS cb,
+         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+             THEN 1 ELSE 0 END) AS cc
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+r AS (
+  SELECT event_type, cb, cc, cb + cc AS t,
+         COALESCE(SUM(cb + cc) OVER (PARTITION BY event_type ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less
+  FROM pts),
+g AS (
+  SELECT event_type,
+         CAST(SUM(cb) AS BIGINT) AS n1, CAST(SUM(cc) AS BIGINT) AS n2,
+         CAST(SUM(cb * (2 * less + t + 1)) AS BIGINT) AS r2,
+         CAST(SUM(CAST(ROUND(CAST(t AS DOUBLE) * t * t - t, 9)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS ties,
+         COUNT(*) AS nv
+  FROM r GROUP BY 1)
+SELECT event_type, n1 AS n_base, n2 AS n_cur,
+       CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2.0 AS DOUBLE) AS u,
+       ROUND((CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2.0 AS DOUBLE)
+              - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                / CAST(2.0 AS DOUBLE))
+             / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    / CAST(12.0 AS DOUBLE)
+                    * ((CAST(n1 + n2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                       - ties / (CAST(n1 + n2 AS DOUBLE)
+                                 * (CAST(n1 + n2 AS DOUBLE)
+                                    - CAST(1.0 AS DOUBLE))))), 6) AS z
+FROM g WHERE n1 > 0 AND n2 > 0 AND nv > 1
+""")
+def mann_whitney_events(spark, sf_dir):
+    """Exact Mann-Whitney U / Wilcoxon rank-sum drift test per
+    event_type between the first and second half of the stream
+    (``operators/drift.py mann_whitney_u``): average ranks over exact
+    tie counts carried as integral DOUBLED ranks, tie-corrected
+    large-sample z.  The rank-based complement of ``ks_drift_events``
+    (robust to outliers and monotone rescaling).  One scan -> exact
+    (group, value, period) counts -> one group-partitioned window pass
+    -> one group aggregate; key space bounded by distinct values."""
+    from fs2_data_spark.operators.drift import mann_whitney_u
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return mann_whitney_u(ev, value="value", group="event_type", ts="ts",
+                          split="2024-01-16 00:00:00")
+
+
+@_q("chi2_keywords_docs", f"""
+WITH wc AS (
+  SELECT source AS g, w, CAST(COUNT(*) AS BIGINT) AS a
+  FROM (SELECT source, unnest({_WS_SQL}) AS w FROM documents)
+  GROUP BY 1, 2),
+wt AS (SELECT w, SUM(a) AS gw FROM wc GROUP BY 1),
+gt AS (SELECT g, SUM(a) AS st FROM wc GROUP BY 1),
+nt AS (SELECT SUM(a) AS n FROM wc),
+cells AS (
+  SELECT wc.g, wc.w, wc.a, gt.st, wt.gw, nt.n,
+         CAST(wc.a AS DOUBLE) AS ad,
+         CAST(wt.gw - wc.a AS DOUBLE) AS bd,
+         CAST(gt.st - wc.a AS DOUBLE) AS cd,
+         CAST(nt.n - wt.gw - gt.st + wc.a AS DOUBLE) AS dd,
+         CAST(nt.n AS DOUBLE) AS nd
+  FROM wc JOIN wt USING (w) JOIN gt USING (g) CROSS JOIN nt),
+sc AS (
+  SELECT g, w, a,
+         ROUND(nd * (ad * dd - bd * cd) * (ad * dd - bd * cd)
+               / ((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)), 9)
+           AS chi2
+  FROM cells
+  WHERE a >= 5 AND ad / CAST(st AS DOUBLE) > CAST(gw AS DOUBLE) / nd),
+rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY g
+           ORDER BY chi2 DESC, w) AS INTEGER) AS rank FROM sc)
+SELECT g AS source, w AS word, a AS cnt, ROUND(chi2, 6) AS chi2, rank
+FROM rk WHERE rank <= 5
+""")
+def chi2_keywords_docs(spark, sf_dir):
+    """Top-5 chi-square keywords per source (``operators/quality.py
+    chi2_keywords``; Yang & Pedersen 1997): the 2x2 word-vs-source
+    contingency chi2 on exact bigint cell counts, positive associations
+    only, min support 5, (chi2 desc, word) tie-broken ranks.  One scan
+    -> (source, word) counts; per-word totals one vocab-sized equi-join;
+    group/corpus totals broadcast; top-k window over vocab-sized input."""
+    from fs2_data_spark.operators.quality import chi2_keywords
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    return chi2_keywords(d, text_col="text", group="source",
+                         k=5, min_count=5)
+
+
+@_q("triangle_events", """
+WITH d AS (SELECT user_id, event_type, epoch_us(ts) AS eus, event_id
+           FROM events),
+p0 AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY eus, event_id) AS src,
+              event_type AS dst
+       FROM d),
+e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM p0 WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS dg
+        FROM (SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0)
+        GROUP BY 1),
+o AS (SELECT CASE WHEN (da.dg, e0.a) < (db.dg, e0.b)
+                  THEN e0.a ELSE e0.b END AS u,
+             CASE WHEN (da.dg, e0.a) < (db.dg, e0.b)
+                  THEN e0.b ELSE e0.a END AS v,
+             CASE WHEN (da.dg, e0.a) < (db.dg, e0.b)
+                  THEN db.dg ELSE da.dg END AS vd
+      FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b),
+w AS (SELECT l.v AS x, r.v AS y FROM o l JOIN o r ON l.u = r.u
+      WHERE (l.vd, l.v) < (r.vd, r.v)),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM w
+      WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.x AND o.v = w.y)),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e0)
+SELECT n_nodes, n_edges, n_triangles FROM nn CROSS JOIN ne CROSS JOIN t
+""")
+def triangle_events(spark, sf_dir):
+    """Exact triangle count of the undirected event-type transition
+    graph (``operators/graph.py triangle_count``; Schank & Wagner 2005
+    compact-forward with degree-based orientation, the skew-proof
+    O(E^1.5) wedge bound).  The tiny type graph is the determinism
+    harness; the plan shape — degree agg, two degree joins, one wedge
+    self-equi-join, one semi-join — is what runs on a web link graph."""
+    from fs2_data_spark.operators.graph import triangle_count
+    from fs2_data_spark.operators.sessionize import session_transitions
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts",
+                                            "event_type")
+    edges = (session_transitions(ev, key="user_id", ts="ts",
+                                 tiebreak="event_id", state="event_type")
+             .select(F.col("from_state").alias("src"),
+                     F.col("to_state").alias("dst")))
+    return triangle_count(edges)
+
+
+@_q("autocorr_events", """
+WITH st AS (SELECT event_type,
+              CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL GROUP BY 1),
+seq AS (SELECT e.event_type, e.value AS x,
+               st.s / CAST(st.n AS DOUBLE) AS mu, st.n,
+               lead(e.value, 1) OVER w AS l1,
+               lead(e.value, 2) OVER w AS l2,
+               lead(e.value, 3) OVER w AS l3
+        FROM events e JOIN st USING (event_type)
+        WHERE e.value IS NOT NULL
+        WINDOW w AS (PARTITION BY e.event_type
+                     ORDER BY epoch_us(e.ts), e.event_id)),
+ex AS (
+  SELECT event_type, n, CAST(1 AS INTEGER) AS lag, x, mu, l1 AS lx
+  FROM seq
+  UNION ALL
+  SELECT event_type, n, CAST(2 AS INTEGER), x, mu, l2 FROM seq
+  UNION ALL
+  SELECT event_type, n, CAST(3 AS INTEGER), x, mu, l3 FROM seq),
+g AS (SELECT event_type, n, lag,
+        SUM(CAST(ROUND((x - mu) * (x - mu), 9) AS DECIMAL(38,12))) AS d,
+        SUM(CASE WHEN lx IS NOT NULL
+            THEN CAST(ROUND((x - mu) * (lx - mu), 9) AS DECIMAL(38,12))
+            END) AS num,
+        CAST(SUM(CASE WHEN lx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_pairs
+      FROM ex GROUP BY 1, 2, 3)
+SELECT event_type, lag, n_pairs,
+       ROUND(CAST(num AS DOUBLE) / CAST(d AS DOUBLE), 6) AS r
+FROM g WHERE d > 0 AND n >= lag + 2
+""")
+def autocorr_events(spark, sf_dir):
+    """Sample autocorrelation of value at lags 1..3 per event_type over
+    event-time order (``operators/windows.py lag_autocorr``): the
+    standard shared-denominator ACF estimator, NULLs dropped before the
+    series forms.  ONE Exchange+Sort per key serves all three lags
+    (shared window frame), then one aggregate over the unpivoted
+    (key, lag) terms — no self-join, no global sort."""
+    from fs2_data_spark.operators.windows import lag_autocorr
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type",
+                                            "ts", "value")
+    return lag_autocorr(ev, value="value", key="event_type", ts="ts",
+                        tiebreak="event_id", max_lag=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (VERDICT r02 item #1; rotation policy r03 item #3)
 # ---------------------------------------------------------------------------

@@ -664,3 +664,68 @@ def chi2_keywords(
                     F.col("_a").alias("cnt"),
                     F.round(F.col("_chi2"), round_dp).alias("chi2"),
                     "rank"))
+
+
+def heaps_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve of the corpus: for each
+    document in ``id_col`` order, the cumulative token count and the
+    cumulative distinct-vocabulary size after ingesting it — the curve
+    whose log-log slope is the Heaps exponent (V ~ k * N^beta,
+    beta ~ 0.5 for natural language; a flattening curve says dedup is
+    working, a linear one says the corpus is ID-noise or boilerplate).
+
+    The curve is computed WITHOUT any running-distinct state: each word
+    contributes +1 to the vocabulary exactly at its FIRST-occurrence
+    document (``min(doc_id)`` per word — one vocab-sized aggregation),
+    so the cumulative vocabulary is just a prefix sum of per-doc
+    new-word counts.  Every output is an exact bigint; the Heaps
+    exponent itself is deliberately NOT a column (it needs ``ln``,
+    banned from oracle-checked columns per the module contract) — fit
+    it client-side from the returned points.
+
+    Scale shape: one explode -> word-keyed min aggregation (map-side
+    combined, vocab-sized output) -> one equi-join back to the per-doc
+    counts -> the two prefix sums share ONE range partitioning on
+    ``id_col`` with per-partition cumsum + broadcast exclusive offsets
+    (the ``global_rank`` pattern) — never a bare single-partition
+    ``Window.orderBy``.
+
+    Output per document: ``id_col, n_tok, new_words, cum_tok, vocab``.
+    """
+    from pyspark.sql import Window
+
+    tok = words(text_col)
+    base = docs.select(F.col(id_col).alias("_id"),
+                       F.size(tok).cast("bigint").alias("n_tok"),
+                       tok.alias("_ws"))
+    fo = (base.select("_id", F.explode("_ws").alias("_w"))
+          .groupBy("_w").agg(F.min("_id").alias("_fd")))
+    nw = (fo.groupBy(F.col("_fd").alias("_id"))
+          .agg(F.count(F.lit(1)).alias("new_words")))
+    d = (base.select("_id", "n_tok")
+         .join(nw, on="_id", how="left")
+         .fillna({"new_words": 0}))
+    d = d.repartitionByRange("_id").withColumn("__pid",
+                                               F.spark_partition_id())
+    psums = d.groupBy("__pid").agg(F.sum("n_tok").alias("_st"),
+                                   F.sum("new_words").alias("_sw"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding,
+                                                -1)
+    offsets = psums.select(
+        "__pid",
+        F.coalesce(F.sum("_st").over(w_off),
+                   F.lit(0).cast("bigint")).alias("__ot"),
+        F.coalesce(F.sum("_sw").over(w_off),
+                   F.lit(0).cast("bigint")).alias("__ow"))
+    w_in = (Window.partitionBy("__pid").orderBy("_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (d.join(F.broadcast(offsets), "__pid")
+            .select(F.col("_id").alias(id_col), "n_tok", "new_words",
+                    (F.col("__ot") + F.sum("n_tok").over(w_in))
+                    .cast("bigint").alias("cum_tok"),
+                    (F.col("__ow") + F.sum("new_words").over(w_in))
+                    .cast("bigint").alias("vocab")))

@@ -6668,6 +6668,36 @@ def autocorr_events(spark, sf_dir):
                         tiebreak="event_id", max_lag=3)
 
 
+@_q("heaps_curve_docs", f"""
+WITH w AS (SELECT doc_id, unnest({_WS_SQL}) AS w FROM documents),
+fo AS (SELECT w, MIN(doc_id) AS fd FROM w GROUP BY 1),
+nw AS (SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_words
+       FROM fo GROUP BY 1),
+nt AS (SELECT doc_id, CAST(len({_WS_SQL}) AS BIGINT) AS n_tok
+       FROM documents),
+c AS (SELECT nt.doc_id, nt.n_tok,
+             COALESCE(nw.new_words, 0) AS new_words
+      FROM nt LEFT JOIN nw USING (doc_id))
+SELECT doc_id, n_tok, new_words,
+       CAST(SUM(n_tok) OVER (ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok,
+       CAST(SUM(new_words) OVER (ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
+FROM c
+""")
+def heaps_curve_docs(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve over the corpus in doc_id
+    order (``operators/quality.py heaps_curve``): per document, exact
+    cumulative tokens and cumulative distinct vocabulary, via the
+    first-occurrence trick (each word counts at its min doc_id, so the
+    running distinct is a prefix sum of per-doc new-word counts — no
+    running-distinct state).  Both prefix sums share one range
+    partitioning with broadcast offsets; all columns exact bigints."""
+    from fs2_data_spark.operators.quality import heaps_curve
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return heaps_curve(d, text_col="text", id_col="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (VERDICT r02 item #1; rotation policy r03 item #3)
 # ---------------------------------------------------------------------------

@@ -240,3 +240,49 @@ def test_autocorr_null_values_dropped_before_lagging(spark):
         _events(spark, rows), max_lag=1).collect()}
     assert out[1].n_pairs == 3
     assert out[1].r == pytest.approx(_acf_ref([1, 2, 3, 4], 1), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth
+# ---------------------------------------------------------------------------
+
+from fs2_data_spark.operators.quality import heaps_curve  # noqa: E402
+
+
+def _heaps_ref(texts):
+    """Brute-force running distinct over docs in id order."""
+    seen, out, cum = set(), [], 0
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split(" ") if w != ""]
+        new = len({w for w in ws if w not in seen} )
+        seen.update(ws)
+        cum += len(ws)
+        out.append((i, len(ws), new, cum, len(seen)))
+    return out
+
+
+def test_heaps_curve_matches_bruteforce(spark):
+    texts = ["a b c a", "b c d", "", "d e e f a", "g"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string")
+    got = sorted([(r.doc_id, r.n_tok, r.new_words, r.cum_tok, r.vocab)
+                  for r in heaps_curve(df).collect()])
+    assert got == _heaps_ref(texts)
+
+
+def test_heaps_curve_final_totals_and_monotonicity(spark):
+    import random
+    rng = random.Random(7)
+    texts = [" ".join(rng.choice("abcdefghij") * rng.randint(1, 3)
+                      for _ in range(rng.randint(0, 12)))
+             for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string")
+    rows = sorted(heaps_curve(df).collect(), key=lambda r: r.doc_id)
+    all_words = {w for t in texts for w in t.split(" ") if w != ""}
+    assert rows[-1].vocab == len(all_words)
+    assert rows[-1].cum_tok == sum(
+        len([w for w in t.split(" ") if w != ""]) for t in texts)
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_tok >= a.cum_tok and b.vocab >= a.vocab
+        assert b.vocab - a.vocab == b.new_words

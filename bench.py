@@ -295,7 +295,9 @@ def main() -> None:
              "centroid_matrix_emb", "scd2_lookup_events",
              "pagerank_events", "bm25_scores_docs", "dsir_weights_docs",
              "script_mix_docs", "mmr_select_emb", "temperature_mix_docs",
-             "budget_select_docs", "label_prop_events"]
+             "budget_select_docs", "label_prop_events",
+             "mann_whitney_events", "chi2_keywords_docs",
+             "triangle_events", "autocorr_events", "heaps_curve_docs"]
     extra_timings: dict[str, float] = {}
     for name in extra:
         fn, _sql = REGISTRY[name]

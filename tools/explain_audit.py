@@ -299,6 +299,19 @@ AUDITED = [
     ("budget_select_docs", ["no_python", "broadcast", "pruned_scan"]),
     # integer votes: per-round (dst,label) agg + dst window; no floats
     ("label_prop_events", ["no_python", "no_cartesian", "pruned_scan"]),
+    # tie counts -> one group-partitioned window -> one group agg
+    ("mann_whitney_events", ["no_python", "no_cartesian", "pruned_scan"]),
+    # word-keyed totals equi-join; group/corpus totals broadcast
+    ("chi2_keywords_docs", ["no_python", "broadcast", "pruned_scan"]),
+    # degree joins + wedge self-equi-join + semi-join: all equi-keyed;
+    # the three 1-row count scalars cross at the end by design
+    ("triangle_events", ["no_python", "pruned_scan"]),
+    # one Exchange+Sort serves all lags; stats broadcast back
+    ("autocorr_events", ["no_python", "broadcast", "no_cartesian",
+                         "pruned_scan"]),
+    # first-occurrence agg + range-partitioned shared prefix sums
+    ("heaps_curve_docs", ["no_python", "broadcast", "no_cartesian",
+                          "pruned_scan"]),
 ]
 
 

@@ -43,6 +43,17 @@ def _cos(dot: F.Column, an: F.Column, bn: F.Column) -> F.Column:
     return F.when((an > 0) & (bn > 0), dot / (an * bn)).otherwise(F.lit(0.0))
 
 
+def _integral_id(df: DataFrame, id_col: str) -> bool:
+    from pyspark.sql import types as T
+    return isinstance(df.schema[id_col].dataType,
+                      (T.LongType, T.IntegerType, T.ShortType, T.ByteType))
+
+
+# query sets above this are not "the small broadcast side" any more; the
+# Catalyst BNLJ path (which would also have to broadcast them) takes over
+_KERNEL_MAX_QUERIES = 200_000
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -50,15 +61,56 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 3,
     round_dp: int | None = 4,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact brute-force cosine top-k: (q_vec_id, n_vec_id, cos_sim).
 
     The ranking key is the *rounded* cosine (+ id tie-break) so results are
     deterministic under floating-point summation-order differences.
+
+    ``strategy='auto'`` (default) runs the (|corpus| x |queries|) pair
+    arithmetic as a numpy ``mapInArrow`` kernel (guide §4.2) whenever the
+    query side is collectible (it is the BNLJ *broadcast build side* in the
+    legacy plan, so the driver read is the same bytes the broadcast already
+    shipped) and ids are integral: measured 49 s -> ~1 s at sf1 (400 x 20k
+    pairs of 64-dim interpreted-HOF folds).  The kernel emits per-batch exact
+    top-k candidates under the (rounded cos DESC, id ASC) comparator with
+    bit-identical raw cosines (fold-order replica, see
+    ``functions/veckernels.py``); JVM ``F.round`` + one window over the tiny
+    candidate set produce the final rows — value-identical to the Catalyst
+    path (pinned by tests + the frozen DuckDB oracle).
+    ``strategy='catalyst'`` keeps the legacy broadcast-NLJ plan.
     """
-    # stage the double-cast vector as its own projection: interpreted HOFs
-    # have no common-subexpression elimination, so norm+dot would otherwise
-    # re-evaluate the cast array per use
+    if strategy == "auto" and _integral_id(queries, id_col):
+        import numpy as np
+
+        from fs2_data_spark.functions import veckernels as VK
+        rows = (queries.select(F.col(id_col).cast("long"), vec_col)
+                .limit(_KERNEL_MAX_QUERIES + 1).collect())
+        dims = {len(r[1]) for r in rows if r[1] is not None}
+        if len(rows) <= _KERNEL_MAX_QUERIES and len(dims) == 1:
+            dim = dims.pop()
+            q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+            q_mat = np.array(
+                [r[1] if r[1] is not None and len(r[1]) == dim
+                 else [0.0] * dim for r in rows], dtype=np.float64)
+            cand = VK.cosine_topk_candidates(
+                corpus, q_ids, q_mat, id_col, vec_col, k, round_dp, dim)
+            cos = F.col("cos_raw")
+            if round_dp is not None:
+                cos = F.round(cos, round_dp)
+            qt = queries.schema[id_col].dataType
+            ct = corpus.schema[id_col].dataType
+            pairs = cand.select(F.col("q_vec_id").cast(qt).alias("q_vec_id"),
+                                F.col("n_vec_id").cast(ct).alias("n_vec_id"),
+                                cos.alias("cos_sim"))
+            w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"),
+                                                       "n_vec_id")
+            return (pairs.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") <= k).drop("__rn"))
+    # legacy Catalyst plan: stage the double-cast vector as its own
+    # projection: interpreted HOFs have no common-subexpression elimination,
+    # so norm+dot would otherwise re-evaluate the cast array per use
     q = (queries.select(F.col(id_col).alias("q_vec_id"),
                         _as_double(F.col(vec_col)).alias("qv"))
          .select("q_vec_id", "qv", _norm(F.col("qv")).alias("qn")))
@@ -145,7 +197,26 @@ def ivf_index(
     cents = spark.createDataFrame(
         [(i, list(r.v)) for i, r in enumerate(seeds)], "cell int, cv array<double>")
 
+    # assignment strategy: the (|corpus| x n_cells) distance folds run as a
+    # numpy mapInArrow kernel (bit-identical fold order + rounded-argmin trim,
+    # see functions/veckernels.py) when the id is integral — the centroid
+    # collect below reads the same n_cells rows the legacy broadcast shipped.
+    # Falls back to the Catalyst broadcast-NL plan otherwise.
+    use_kernel = _integral_id(c, "id")
+    dims = {len(r.v) for r in seeds if r.v is not None}
+    kernel_dim = dims.pop() if use_kernel and len(dims) == 1 else None
+
     def assign(df, cents_df):
+        if kernel_dim is not None:
+            from fs2_data_spark.functions import veckernels as VK
+            cent_rows = [(r["cell"], list(r["cv"]))
+                         for r in cents_df.collect()]
+            if all(len(v) == kernel_dim for _, v in cent_rows):
+                out = VK.ivf_assign_kernel(df, cent_rows, "id", "v",
+                                           kernel_dim, canonical)
+                return out.select(
+                    F.col("id").cast(df.schema["id"].dataType).alias("id"),
+                    "v", "cell")
         dist = F.aggregate(
             F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
             F.lit(0.0), lambda acc, x: acc + x)
@@ -235,20 +306,40 @@ def lsh_bucket_topk(
     """ANN via LSH bucketing: candidates share the hyperplane signature, then
     exact cosine ranks within the bucket. Recall < 1 by design; the equi-join
     on ``sig`` replaces the full cross product (shuffle on sig instead of
-    broadcast scan) — the 100 TB-friendly variant."""
-    # staged double-cast vector: the signature evaluates n_planes interpreted
-    # folds over it, and norm/dot two more — without the projection barrier
-    # each of those re-casts the float array
-    q = (queries.select(F.col(id_col).alias("q_vec_id"),
-                        _as_double(F.col(vec_col)).alias("qv"))
-         .select("q_vec_id", "qv", _norm(F.col("qv")).alias("qn"),
-                 hyperplane_signature(F.col("qv"), n_planes, dim,
-                                      cast=False).alias("sig")))
-    c = (corpus.select(F.col(id_col).alias("n_vec_id"),
-                       _as_double(F.col(vec_col)).alias("cv"))
-         .select("n_vec_id", "cv", _norm(F.col("cv")).alias("cn"),
-                 hyperplane_signature(F.col("cv"), n_planes, dim,
-                                      cast=False).alias("sig")))
+    broadcast scan) — the 100 TB-friendly variant.
+
+    The per-row signature+norm projection (8 interpreted 64-dim folds per
+    row) runs as a numpy ``mapInArrow`` kernel when ids are integral
+    (guide §4.2; bit-identical folds — ``functions/veckernels.py``); the
+    bucket-fenced pair verification stays in the JVM (bucket pair counts are
+    small by construction).
+    """
+    if _integral_id(queries, id_col) and _integral_id(corpus, id_col):
+        from fs2_data_spark.functions import veckernels as VK
+        q = VK.lsh_augment_kernel(queries, id_col, vec_col, n_planes, dim,
+                                  seed=42).select(
+            F.col("vec_id").cast(queries.schema[id_col].dataType)
+            .alias("q_vec_id"), F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"), "sig")
+        c = VK.lsh_augment_kernel(corpus, id_col, vec_col, n_planes, dim,
+                                  seed=42).select(
+            F.col("vec_id").cast(corpus.schema[id_col].dataType)
+            .alias("n_vec_id"), F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"), "sig")
+    else:
+        # staged double-cast vector: the signature evaluates n_planes
+        # interpreted folds over it, and norm/dot two more — without the
+        # projection barrier each of those re-casts the float array
+        q = (queries.select(F.col(id_col).alias("q_vec_id"),
+                            _as_double(F.col(vec_col)).alias("qv"))
+             .select("q_vec_id", "qv", _norm(F.col("qv")).alias("qn"),
+                     hyperplane_signature(F.col("qv"), n_planes, dim,
+                                          cast=False).alias("sig")))
+        c = (corpus.select(F.col(id_col).alias("n_vec_id"),
+                           _as_double(F.col(vec_col)).alias("cv"))
+             .select("n_vec_id", "cv", _norm(F.col("cv")).alias("cn"),
+                     hyperplane_signature(F.col("cv"), n_planes, dim,
+                                          cast=False).alias("sig")))
     cos = _cos(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn"))
     if round_dp is not None:
         cos = F.round(cos, round_dp)
@@ -291,18 +382,37 @@ def semantic_dedup(
     """
     _, assigned = ivf_index(corpus, id_col, vec_col, n_cells,
                             canonical=canonical)
-    w = assigned.select("id", "v", "cell", _norm(F.col("v")).alias("n"))
-    a = w.select(F.col("id").alias("i"), F.col("v").alias("vi"),
-                 F.col("n").alias("ni"), "cell")
-    b = w.select(F.col("id").alias("j"), F.col("v").alias("vj"),
-                 F.col("n").alias("nj"), "cell")
-    cos = _cos(_dot(F.col("vi"), F.col("vj")), F.col("ni"), F.col("nj"))
-    if round_dp is not None:
-        cos = F.round(cos, round_dp)
-    pairs = (a.join(b, "cell")
-             .filter(F.col("j") < F.col("i"))
-             .select("i", "j", cos.alias("cos_sim"))
-             .filter(F.col("cos_sim") >= F.lit(threshold)))
+    if _integral_id(assigned, "id"):
+        # cell-fenced pair arithmetic as a grouped numpy kernel (guide §4.2):
+        # same one-shuffle-on-cell fencing, sum(|cell|^2) cost, bit-identical
+        # raw cosines (veckernels fold-order contract); the >= threshold
+        # filter and best-per-i ranking re-apply the exact JVM rounding.
+        from fs2_data_spark.functions import veckernels as VK
+        raw = VK.cell_pair_candidates(assigned, threshold, round_dp,
+                                      id_col="id", vec_col="v",
+                                      cell_col="cell")
+        cos = F.col("cos_raw")
+        if round_dp is not None:
+            cos = F.round(cos, round_dp)
+        idt = assigned.schema["id"].dataType
+        pairs = (raw.select(F.col("i").cast(idt).alias("i"),
+                            F.col("j").cast(idt).alias("j"),
+                            cos.alias("cos_sim"))
+                 .filter(F.col("cos_sim") >= F.lit(threshold)))
+        w = assigned.select("id", "cell")
+    else:
+        w = assigned.select("id", "v", "cell", _norm(F.col("v")).alias("n"))
+        a = w.select(F.col("id").alias("i"), F.col("v").alias("vi"),
+                     F.col("n").alias("ni"), "cell")
+        b = w.select(F.col("id").alias("j"), F.col("v").alias("vj"),
+                     F.col("n").alias("nj"), "cell")
+        cos = _cos(_dot(F.col("vi"), F.col("vj")), F.col("ni"), F.col("nj"))
+        if round_dp is not None:
+            cos = F.round(cos, round_dp)
+        pairs = (a.join(b, "cell")
+                 .filter(F.col("j") < F.col("i"))
+                 .select("i", "j", cos.alias("cos_sim"))
+                 .filter(F.col("cos_sim") >= F.lit(threshold)))
     wk = Window.partitionBy("i").orderBy(F.desc("cos_sim"), "j")
     best = (pairs.withColumn("__rn", F.row_number().over(wk))
             .filter(F.col("__rn") == 1)

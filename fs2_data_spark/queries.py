@@ -1077,14 +1077,23 @@ def interarrival_events(spark, sf_dir):
     """Inter-arrival burstiness features (``operators/encoding.py
     interarrival_stats``): gap to the previous event, PIT expanding mean
     gap (exact int64 microsecond sums), and their ratio — the
-    rate-anomaly signal. One Exchange + one Sort; first events NULL."""
+    rate-anomaly signal. One Exchange + one Sort; first events NULL.
+
+    The rounded outputs use :func:`functions.rounding.round_half_away`
+    (the scaled-double half-away semantics of the oracle's DuckDB
+    ``ROUND``), not Spark ``F.round`` — the oracle rounds the true scaled
+    double while Spark's shortest-repr HALF_UP double-rounds, and
+    integer-ratio expanding means hit the disagreement boundary on ~0.4%
+    of rows (judge-reproduced r05 driver hash-fail)."""
+    from fs2_data_spark.functions.rounding import round_half_away
     from fs2_data_spark.operators.encoding import interarrival_stats
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     out = interarrival_stats(ev, key="user_id", ts="ts",
                              tiebreak="event_id")
     return out.select("event_id", "user_id", "dt_us",
-                      F.round("mean_dt_us", 4).alias("mean_dt4"),
-                      F.round("burst", 4).alias("burst4"))
+                      round_half_away(F.col("mean_dt_us"), 4)
+                      .alias("mean_dt4"),
+                      round_half_away(F.col("burst"), 4).alias("burst4"))
 
 
 @_q("psi_drift_events", """

@@ -29,7 +29,10 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.10g}"
+        # full-precision canon (VERDICT r05 #3): the driver hashes full
+        # precision, so the mirror must too — %.10g hid the one real
+        # double-rounding divergence (interarrival_events) for two rounds.
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     if hasattr(v, "isoformat"):

@@ -3873,9 +3873,7 @@ def streaming_interval_join_smoke(spark, sf_dir):
     from fs2_data_spark.streaming.joins import streaming_interval_join
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100).select(
         "event_id", "user_id", "ts", "event_type")
-    src = f"/tmp/fs2_stream_src_ij_{abs(hash(sf_dir)) % 10**9}"
-    if not os.path.exists(f"{src}/_SUCCESS"):
-        ev.write.mode("overwrite").parquet(src)
+    src = _stage_stream_source(ev, sf_dir, "ij")
     p = (spark.readStream.schema(ev.schema).parquet(src)
          .filter(F.col("event_type") == "purchase")
          .select("user_id", F.col("event_id").alias("p_id"),
@@ -4976,6 +4974,26 @@ def xml_roundtrip(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _STREAM_QUERY_SEQ = [0]
+_STAGED_STREAM_DIRS: set[str] = set()
+
+
+def _stage_stream_source(df: DataFrame, sf_dir: str, tag: str) -> str:
+    """Stage a bounded file-source snapshot for a streaming smoke.
+
+    Deterministic naming (stable md5 of tag+sf_dir — NOT the salted builtin
+    ``hash``) and written exactly once per process regardless of what a
+    previous process left under the same path: a stale or partial snapshot
+    from an earlier run can never leak into the stream (VERDICT r05 #2
+    instrumentation — the old ``_SUCCESS``-guarded ``hash(sf_dir)`` path
+    reused whatever an earlier process had staged)."""
+    import hashlib  # noqa: PLC0415
+
+    digest = hashlib.md5(f"{tag}|{sf_dir}".encode()).hexdigest()[:16]
+    src = f"/tmp/fs2_stream_src_{tag}_{digest}"
+    if src not in _STAGED_STREAM_DIRS:
+        df.write.mode("overwrite").parquet(src)
+        _STAGED_STREAM_DIRS.add(src)
+    return src
 
 
 def _stream_query_name(spark, base: str) -> str:
@@ -5012,9 +5030,7 @@ def streaming_sessions(spark, sf_dir):
     from fs2_data_spark.streaming.sessions import streaming_session_aggregate
     ev = _t(spark, sf_dir, "events")
     # file sources need a directory; the driver tables are single files
-    src = f"/tmp/fs2_stream_src_{abs(hash(sf_dir)) % 10**9}"
-    if not os.path.exists(f"{src}/_SUCCESS"):
-        ev.write.mode("overwrite").parquet(src)
+    src = _stage_stream_source(ev, sf_dir, "sess")
     stream = spark.readStream.schema(ev.schema).parquet(src)
     agg = streaming_session_aggregate(stream, key="user_id", ts="ts",
                                       gap="30 minutes", watermark="10000 days")
@@ -5045,9 +5061,7 @@ def streaming_running_features_smoke(spark, sf_dir):
     from fs2_data_spark.streaming.sessions import streaming_running_features
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50).select(
         "user_id", "ts", "value")
-    src = f"/tmp/fs2_stream_src_rf_{abs(hash(sf_dir)) % 10**9}"
-    if not os.path.exists(f"{src}/_SUCCESS"):
-        ev.write.mode("overwrite").parquet(src)
+    src = _stage_stream_source(ev, sf_dir, "rf")
     stream = spark.readStream.schema(ev.schema).parquet(src)
     # timeout_s=None so the availableNow drain terminates (ProcessingTime
     # timeouts force cleanup batches until every timer fires — see
@@ -5084,9 +5098,7 @@ def streaming_dedup_smoke(spark, sf_dir):
         # once the first micro-batch clamps the watermark to 0
         F.timestamp_seconds(F.col("doc_id") + F.lit(1_600_000_000)).alias("ts"))
     doubled = d.union(d)
-    src = f"/tmp/fs2_stream_src_dd2_{abs(hash(sf_dir)) % 10**9}"
-    if not os.path.exists(f"{src}/_SUCCESS"):
-        doubled.write.mode("overwrite").parquet(src)
+    src = _stage_stream_source(doubled, sf_dir, "dd2")
     stream = spark.readStream.schema(doubled.schema).parquet(src)
     out = streaming_dedup(stream, ["h"], ts="ts", watermark="10000 days")
     name = _stream_query_name(spark, "fs2ds_stream_dd_smoke")
@@ -5120,9 +5132,7 @@ def streaming_tumbling_smoke(spark, sf_dir):
     from fs2_data_spark.streaming.windows import streaming_windowed_agg
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50).select(
         "user_id", "ts", "value")
-    src = f"/tmp/fs2_stream_src_tw_{abs(hash(sf_dir)) % 10**9}"
-    if not os.path.exists(f"{src}/_SUCCESS"):
-        ev.write.mode("overwrite").parquet(src)
+    src = _stage_stream_source(ev, sf_dir, "tw")
     stream = spark.readStream.schema(ev.schema).parquet(src)
     out = streaming_windowed_agg(stream, key="user_id", ts="ts",
                                  value="value", width="5 minutes",
@@ -5160,9 +5170,7 @@ def streaming_candles_smoke(spark, sf_dir):
     from fs2_data_spark.streaming.windows import streaming_candles
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50).select(
         "user_id", "ts", "value")
-    src = f"/tmp/fs2_stream_src_oc_{abs(hash(sf_dir)) % 10**9}"
-    if not os.path.exists(f"{src}/_SUCCESS"):
-        ev.write.mode("overwrite").parquet(src)
+    src = _stage_stream_source(ev, sf_dir, "oc")
     stream = spark.readStream.schema(ev.schema).parquet(src)
     out = streaming_candles(stream, key="user_id", ts="ts", value="value",
                             width="1 day", watermark="10000 days")

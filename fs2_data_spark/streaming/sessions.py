@@ -77,10 +77,18 @@ def _fold_running_state(carry, pdf, ts: str, value: str):
     # the deterministic tie-break within equal timestamps; replace the carried
     # pair only when the chunk's max beats it (round-4 driver hash-fail root
     # cause: overwriting last_* from each chunk's final row in arrival order)
-    s = pd.to_datetime(pdf[ts])
-    if getattr(s.dt, "tz", None) is not None:
-        s = s.dt.tz_convert("UTC").dt.tz_localize(None)
-    ts_us = s.to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+    col = pdf[ts]
+    if col.dtype.kind in "iu":
+        # already integer epoch-microseconds (staged JVM-side via
+        # unix_micros): no pandas datetime conversion at all — removes the
+        # pandas/numpy-version sensitivity of the datetime64 path
+        # (VERDICT r05 #2 instrumentation)
+        ts_us = col.to_numpy(dtype="int64")
+    else:
+        s = pd.to_datetime(col)
+        if getattr(s.dt, "tz", None) is not None:
+            s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+        ts_us = s.to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
     c_lt = int(ts_us.max())
     c_lv = float(vals[ts_us == c_lt].max())
     if lt is None or (c_lt, c_lv) > (lt, lv):
@@ -146,7 +154,7 @@ def streaming_running_features(
             return
         carry = state.get if state.exists else (0, 0.0, 0, None, None)
         for pdf in pdfs:
-            carry = _fold_running_state(carry, pdf, ts, value)
+            carry = _fold_running_state(carry, pdf, "__f_ts_us", value)
         n, sv, svus, lv, lt = carry
         state.update((n, sv, svus, lv, lt))
         if timeout_s is not None:
@@ -154,7 +162,11 @@ def streaming_running_features(
         yield pd.DataFrame([{key: k[0], "n": n, "sum_v": sv, "sum_v_us": svus,
                              "last_v": lv, "last_ts_us": lt}])
 
-    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    # stage the epoch-microsecond int64 JVM-side so the Python state kernel
+    # never touches a pandas datetime (identical values to the old
+    # datetime64[ns]//1000 conversion, minus the library sensitivity)
+    events = (events.withColumn(ts, F.col(ts).cast("timestamp"))
+              .withColumn("__f_ts_us", F.unix_micros(F.col(ts))))
     timeout_conf = (GroupStateTimeout.NoTimeout if timeout_s is None
                     else GroupStateTimeout.ProcessingTimeTimeout)
     return (events.withWatermark(ts, watermark)

@@ -586,14 +586,20 @@ def exact_auc(
     ordered by score -> one 1-row fold.  Output ONE row:
     ``n_pos, n_neg, u2, auc``.
     """
+    from fs2_data_spark.operators.dedup import global_cumsum
+
     y = F.col(label).cast("int")
     pts = (df.filter(F.col(score).isNotNull() & F.col(label).isNotNull())
            .groupBy(F.col(score).alias("_s"))
            .agg(F.sum(y).alias("_np"),
                 F.sum(F.lit(1) - y).alias("_nn")))
-    wcum = (Window.partitionBy().orderBy("_s")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    below = F.sum("_nn").over(wcum) - F.col("_nn")
+    # parallel ECDF: range-partitioned running negatives-below count
+    # (dedup.global_cumsum) instead of a Window.partitionBy() pass that
+    # serialized |distinct scores| rows — only planning-scale for discrete
+    # scores, ~N for raw continuous ones (VERDICT r05 #5); bigint sums are
+    # re-association-exact, so u2/auc are value-identical
+    pts = global_cumsum(pts, ["_s"], ["_nn"])
+    below = F.col("cum__nn") - F.col("_nn")
     u2 = (F.col("_np") * (F.lit(2) * below + F.col("_nn")))
     out = (pts.withColumn("_u2", u2)
            .agg(F.sum("_np").alias("n_pos"), F.sum("_nn").alias("n_neg"),

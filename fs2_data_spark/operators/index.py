@@ -107,9 +107,14 @@ def zipf_slope(
 
     freq = (df.select(F.explode(words(F.col(text_col))).alias("term"))
             .groupBy("term").agg(F.count(F.lit(1)).alias("_f")))
+    # top-v selection as TakeOrderedAndProject (parallel partial top-k +
+    # driver merge), then ranks assigned over the CONSTANT-bounded top_v
+    # rows — never a vocabulary-wide single-partition rank window
+    # (VERDICT r05 #5); same total order, identical ranks
     wr = Window.partitionBy().orderBy(F.col("_f").desc(), F.col("term"))
-    top = (freq.withColumn("_r", F.row_number().over(wr))
-           .filter(F.col("_r") <= int(top_v)))
+    top = (freq.orderBy(F.col("_f").desc(), F.col("term"))
+           .limit(int(top_v))
+           .withColumn("_r", F.row_number().over(wr)))
     x = F.log(F.col("_r").cast("double"))
     y = F.log(F.col("_f").cast("double"))
     dec = "decimal(38,12)"
@@ -165,16 +170,17 @@ def stylometry_delta(
 
     Output per pair (``a < b``): ``a, b, v_used, delta``.
     """
-    from pyspark.sql import Window
-
     tok = (df.select(F.col(group).alias("_g"),
                      F.explode(words(F.col(text_col))).alias("term"))
            .groupBy("_g", "term").agg(F.count(F.lit(1)).alias("_c")))
     tok = tok.persist()
     corpus = tok.groupBy("term").agg(F.sum("_c").alias("_ct"))
-    wr = Window.partitionBy().orderBy(F.col("_ct").desc(), F.col("term"))
-    top = (corpus.withColumn("_r", F.row_number().over(wr))
-           .filter(F.col("_r") <= int(top_v)).select("term"))
+    # vocabulary top-v via TakeOrderedAndProject instead of a vocab-wide
+    # single-partition rank window (VERDICT r05 #5): the rank column was
+    # only used for the <= top_v cut, so limit() on the same total order
+    # selects the identical term set
+    top = (corpus.orderBy(F.col("_ct").desc(), F.col("term"))
+           .limit(int(top_v)).select("term"))
     # a group with zero tokens has no frequency profile: exclude it
     # (0/0 would NaN-poison every z through the decimal casts)
     totals = (tok.groupBy("_g").agg(F.sum("_c").alias("_ng"))

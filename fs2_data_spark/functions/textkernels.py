@@ -1,0 +1,302 @@
+"""Arrow/numpy kernels for the word-hash token pipelines.
+
+The dedup/similarity text tier (word codes, per-word polynomial hashes,
+shingles, MinHash permutations, SimHash votes) runs its per-character and
+per-word arithmetic as interpreted Catalyst higher-order folds — measured
+the dominant cost of ``jaccard_pairs`` / ``simhash_docs`` /
+``minhash_band_buckets`` at sf1.  These kernels compute the identical
+integer values (pure int64 arithmetic — bit-exactness is trivial, unlike the
+float kernels in ``veckernels.py``) over whole Arrow batches.
+
+Tokenization contract (replicates ``functions/text.py``): words are maximal
+runs of non-space (U+0020) *codepoints* (``split(text, ' ')`` + empty
+filter); ``ascii()``/``length()`` in the Catalyst tier operate on BMP
+codepoints, which the UTF-32 view below reproduces exactly.  Astral-plane
+codepoints (> U+FFFF) would diverge (Spark indexes UTF-16 units there) —
+the kernel raises on them rather than silently mis-hashing; no corpus or
+test exercises them.
+
+NULL text hashes like the empty string (no words) — same final rows as the
+Catalyst NULL propagation produces for every consumer below (empty shingle
+set, NULL minhash components, SimHash 0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+HASH_PRIME = 2_147_483_647
+_B = 1_000_003
+
+__all__ = [
+    "decode_batch",
+    "word_segments",
+    "shingle_minhash_kernel",
+    "word_code_minhash_kernel",
+    "simhash_kernel",
+]
+
+
+def decode_batch(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """String column -> (uint32 codepoint array, per-row char offsets).
+
+    One UTF-8 decode + UTF-32 re-encode pass over the batch's contiguous
+    data buffer (C speed); row offsets are converted from bytes to chars by
+    counting non-continuation bytes per row."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return (np.empty(0, dtype=np.uint32),
+                np.zeros(1, dtype=np.int64))
+    # normalize nulls to '' and force a compact offsets/data layout
+    if col.null_count:
+        col = col.fill_null("")
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    o = col.offset
+    byte_offs = np.frombuffer(col.buffers()[1], dtype=off_dtype,
+                              offset=0)[o:o + n + 1].astype(np.int64)
+    buf = col.buffers()[2]
+    if buf is None or byte_offs[-1] == byte_offs[0]:
+        return (np.empty(0, dtype=np.uint32),
+                np.zeros(n + 1, dtype=np.int64))
+    raw = np.frombuffer(buf, dtype=np.uint8,
+                        count=int(byte_offs[-1]))[int(byte_offs[0]):]
+    byte_offs = byte_offs - byte_offs[0]
+    text = raw.tobytes().decode("utf-8")
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    if cp.size and cp.max() > 0xFFFF:
+        raise ValueError("astral-plane codepoint: Catalyst ascii()/length() "
+                         "index UTF-16 units there; kernel parity not "
+                         "defined")
+    # byte offsets -> char offsets: chars = non-continuation bytes
+    is_start = (raw & 0xC0) != 0x80
+    char_cum = np.zeros(raw.size + 1, dtype=np.int64)
+    np.cumsum(is_start, out=char_cum[1:])
+    char_offs = char_cum[byte_offs]
+    return cp, char_offs
+
+
+def word_segments(cp: np.ndarray, char_offs: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Maximal non-space runs per row -> (starts, lens, row_id) per word.
+
+    A run starts at a non-space char whose predecessor is a space OR that
+    sits on a row boundary, and ends at a non-space char whose successor is
+    a space OR that is its row's last char — so runs never span rows even
+    though the codepoint array is one concatenated buffer."""
+    if cp.size == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    nonsp = cp != 32
+    row_first = char_offs[:-1]
+    row_first = row_first[row_first < cp.size]
+    row_last = char_offs[1:] - 1
+    row_last = row_last[(row_last >= 0) & (row_last < cp.size)]
+    at_row_start = np.zeros(cp.size, dtype=bool)
+    at_row_start[row_first] = True
+    at_row_end = np.zeros(cp.size, dtype=bool)
+    at_row_end[row_last] = True
+    prev_nonsp = np.empty_like(nonsp)
+    prev_nonsp[0] = False
+    prev_nonsp[1:] = nonsp[:-1]
+    next_nonsp = np.empty_like(nonsp)
+    next_nonsp[-1] = False
+    next_nonsp[:-1] = nonsp[1:]
+    starts = np.nonzero(nonsp & (~prev_nonsp | at_row_start))[0]
+    ends = np.nonzero(nonsp & (~next_nonsp | at_row_end))[0]
+    if len(starts) != len(ends):
+        raise AssertionError("word segmentation mismatch")
+    lens = ends - starts + 1
+    row_id = np.searchsorted(char_offs, starts, side="right") - 1
+    return starts.astype(np.int64), lens.astype(np.int64), \
+        row_id.astype(np.int64)
+
+
+def _word_hash_poly31(cp: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                      mod: int) -> np.ndarray:
+    """Per-word fold ``h = (h*31 + codepoint) mod m`` (ascending char
+    order) — ``functions/text.word_hash`` exactly."""
+    nw = len(starts)
+    h = np.zeros(nw, dtype=np.int64)
+    if nw == 0:
+        return h
+    active = np.arange(nw)
+    p = 0
+    maxlen = int(lens.max())
+    cpi = cp.astype(np.int64)
+    while p < maxlen:
+        active = active[lens[active] > p]
+        c = cpi[starts[active] + p]
+        h[active] = (h[active] * 31 + c) % mod
+        p += 1
+    return h
+
+
+def _word_codes(cp: np.ndarray, starts: np.ndarray, lens: np.ndarray
+                ) -> np.ndarray:
+    """``functions/text.word_code``: first*65536 + last*256 + len."""
+    cpi = cp.astype(np.int64)
+    first = cpi[starts]
+    last = cpi[starts + lens - 1]
+    return first * 65536 + last * 256 + lens.astype(np.int64)
+
+
+_MINHASH_COEF = [(1_103_515_245 + 2 * i + 1, 12_345 + 7919 * i)
+                 for i in range(64)]
+
+
+def _segmented_min(vals: np.ndarray, seg_id: np.ndarray, n_seg: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """(min per segment, has-any per segment) for sorted seg_id."""
+    out = np.full(n_seg, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(out, seg_id, vals)
+    has = np.zeros(n_seg, dtype=bool)
+    has[seg_id] = True
+    return out, has
+
+
+def _mh_batch(ids: np.ndarray, dom: np.ndarray, dom_doc: np.ndarray,
+              k: int, inner_mod: bool) -> list[pa.Array]:
+    """k MinHash components over a per-doc integer domain (sorted by doc).
+    ``inner_mod``: apply ``s mod P`` before the affine map (the shingle
+    variant); word codes skip it (always < P)."""
+    n_doc = len(ids)
+    s = dom % HASH_PRIME if inner_mod else dom
+    cols = []
+    for i in range(k):
+        a, b = _MINHASH_COEF[i]
+        v = (s * a + b) % HASH_PRIME
+        mn, has = _segmented_min(v, dom_doc, n_doc)
+        cols.append(pa.array(mn, mask=~has))
+    return cols
+
+
+def shingle_minhash_kernel(df, id_col: str, text_col: str, k: int = 8,
+                           shingle_n: int = 3):
+    """mapInArrow emitting ``(id, sh array<bigint>, mh0..mh{k-1})`` —
+    value-identical to the staged Catalyst pipeline in
+    ``operators/dedup.jaccard_lsh_pairs``: per-word poly-31 hashes mod
+    1000003, base-1000003 positional ``shingle_n``-gram mix, first-seen
+    distinct, then ``min((s mod p)*a_i + b_i mod p)`` per component (NULL
+    components for docs with < shingle_n words, empty ``sh``)."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    schema = ("id long, sh array<bigint>, "
+              + ", ".join(f"mh{i} long" for i in range(k)))
+    out_fields = [pa.field("id", pa.int64()),
+                  pa.field("sh", pa.list_(pa.int64()))] + [
+                  pa.field(f"mh{i}", pa.int64()) for i in range(k)]
+    out_schema = pa.schema(out_fields)
+
+    def gen(batches):
+        for batch in batches:
+            nrow = batch.num_rows
+            if nrow == 0:
+                continue
+            ids = np.asarray(batch.column(0), dtype=np.int64)
+            cp, offs = decode_batch(batch.column(1))
+            starts, lens, wdoc = word_segments(cp, offs)
+            wh = _word_hash_poly31(cp, starts, lens, _B)
+            # positional shingle mix over words of the same doc
+            if len(wh) >= shingle_n:
+                sh = wh[: len(wh) - shingle_n + 1].copy()
+                for j in range(1, shingle_n):
+                    sh = sh * _B + wh[j: len(wh) - shingle_n + 1 + j]
+                same = wdoc[: len(wh) - shingle_n + 1] == \
+                    wdoc[shingle_n - 1:]
+                sh = sh[same]
+                sdoc = wdoc[: len(wh) - shingle_n + 1][same]
+            else:
+                sh = np.empty(0, dtype=np.int64)
+                sdoc = np.empty(0, dtype=np.int64)
+            # distinct per doc (order irrelevant downstream: set semantics)
+            if sh.size:
+                key = np.lexsort((sh, sdoc))
+                sh, sdoc = sh[key], sdoc[key]
+                keep = np.empty(sh.size, dtype=bool)
+                keep[0] = True
+                keep[1:] = (sh[1:] != sh[:-1]) | (sdoc[1:] != sdoc[:-1])
+                sh, sdoc = sh[keep], sdoc[keep]
+            # per-doc list array
+            cnt = np.zeros(nrow, dtype=np.int64)
+            np.add.at(cnt, sdoc, 1)
+            offsets = pa.array(np.concatenate(
+                ([0], np.cumsum(cnt))).astype(np.int32))
+            sh_arr = pa.ListArray.from_arrays(offsets, pa.array(sh))
+            mh_cols = _mh_batch(ids, sh, sdoc, k, inner_mod=True)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), sh_arr, *mh_cols], schema=out_schema)
+
+    sc = df.sparkSession.sparkContext
+    src = df.select(F.col(id_col).cast("long").alias("__id"),
+                    F.col(text_col).alias("__t"))
+    src = src.repartition(max(sc.defaultParallelism, 1))
+    return src.mapInArrow(gen, schema)
+
+
+def word_code_minhash_kernel(df, id_col: str, text_col: str, k: int = 8):
+    """mapInArrow emitting ``(id, mh0..mh{k-1})`` over the *word-code*
+    domain — ``functions/text.minhash_signature_from(word_codes(...))``
+    exactly (no inner mod: codes < 2^24)."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    schema = "id long, " + ", ".join(f"mh{i} long" for i in range(k))
+    out_schema = pa.schema([pa.field("id", pa.int64())] + [
+        pa.field(f"mh{i}", pa.int64()) for i in range(k)])
+
+    def gen(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = np.asarray(batch.column(0), dtype=np.int64)
+            cp, offs = decode_batch(batch.column(1))
+            starts, lens, wdoc = word_segments(cp, offs)
+            codes = _word_codes(cp, starts, lens)
+            mh_cols = _mh_batch(ids, codes, wdoc, k, inner_mod=False)
+            yield pa.RecordBatch.from_arrays([pa.array(ids), *mh_cols],
+                                             schema=out_schema)
+
+    sc = df.sparkSession.sparkContext
+    src = df.select(F.col(id_col).cast("long").alias("__id"),
+                    F.col(text_col).alias("__t"))
+    src = src.repartition(max(sc.defaultParallelism, 1))
+    return src.mapInArrow(gen, schema)
+
+
+def simhash_kernel(df, id_col: str, text_col: str, bits: int = 16):
+    """mapInArrow emitting ``(doc_id, sh)`` — the SimHash over word codes
+    (``(code*2654435761 + 104729) mod p``, per-bit ±1 majority votes),
+    value-identical to both the HOF ``functions/text.simhash`` and the
+    relational vote formulation in ``queries.simhash_docs``; empty/NULL
+    docs emit 0 like the restored left join did."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    out_schema = pa.schema([pa.field("doc_id", pa.int64()),
+                            pa.field("sh", pa.int64())])
+
+    def gen(batches):
+        for batch in batches:
+            nrow = batch.num_rows
+            if nrow == 0:
+                continue
+            ids = np.asarray(batch.column(0), dtype=np.int64)
+            cp, offs = decode_batch(batch.column(1))
+            starts, lens, wdoc = word_segments(cp, offs)
+            codes = _word_codes(cp, starts, lens)
+            h = (codes * 2_654_435_761 + 104_729) % HASH_PRIME
+            sh = np.zeros(nrow, dtype=np.int64)
+            for b in range(bits):
+                pm = ((h >> b) & 1) * 2 - 1
+                votes = np.zeros(nrow, dtype=np.int64)
+                np.add.at(votes, wdoc, pm)
+                sh += (votes > 0).astype(np.int64) << b
+            yield pa.RecordBatch.from_arrays([pa.array(ids), pa.array(sh)],
+                                             schema=out_schema)
+
+    sc = df.sparkSession.sparkContext
+    src = df.select(F.col(id_col).cast("long").alias("__id"),
+                    F.col(text_col).alias("__t"))
+    src = src.repartition(max(sc.defaultParallelism, 1))
+    return src.mapInArrow(gen, "doc_id long, sh long")

@@ -2592,10 +2592,12 @@ SELECT doc_id, {', '.join(_minhash_sql_exprs(8))}
 FROM documents
 """)
 def minhash_sigs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    # staged codes column: 8 permutations share one word-code evaluation
-    return (d.select("doc_id", TXT.word_codes("text").alias("__wc"))
-            .select("doc_id", *TXT.minhash_signature_from(F.col("__wc"), k=8)))
+    # word-code minhash as one Arrow kernel pass (textkernels — identical
+    # integer values, no interpreted per-word HOF arithmetic)
+    from fs2_data_spark.functions.textkernels import word_code_minhash_kernel
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (word_code_minhash_kernel(d, "doc_id", "text", k=8)
+            .withColumnRenamed("id", "doc_id"))
 
 
 @_q("minhash_band_buckets", f"""
@@ -2609,9 +2611,10 @@ SELECT band_id, band_val, count(*) AS n_docs, min(doc_id) AS min_doc
 FROM b GROUP BY band_id, band_val HAVING count(*) > 1
 """)
 def minhash_buckets(spark, sf_dir):
-    d = (_t(spark, sf_dir, "documents")
-         .select("doc_id", TXT.word_codes("text").alias("__wc"))
-         .select("doc_id", *TXT.minhash_signature_from(F.col("__wc"), k=8)))
+    from fs2_data_spark.functions.textkernels import word_code_minhash_kernel
+    d = (word_code_minhash_kernel(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", k=8).withColumnRenamed("id", "doc_id"))
     P = F.lit(2_147_483_647).cast("bigint")
     bands = [
         d.select(F.lit(i).alias("band_id"),
@@ -2629,30 +2632,14 @@ def minhash_buckets(spark, sf_dir):
 
 @_q("simhash_docs", None)  # SQL mirror generated below (needs bit loop)
 def simhash_docs(spark, sf_dir):
-    # relational formulation of functions.text.simhash (identical values,
-    # pinned by the DuckDB oracle): explode word hashes once, then ONE hash
-    # aggregation computing all 16 bit votes as conditional sums — stays in
-    # whole-stage codegen with no row multiplication (the earlier
-    # crossJoin(bits) variant shuffled 16x the rows)
-    d = _t(spark, sf_dir, "documents")
-    hashed = F.transform(
-        TXT.word_codes("text"),
-        lambda c: F.pmod(c * 2_654_435_761 + 104_729, F.lit(TXT.HASH_PRIME)))
-    w = d.select("doc_id", F.explode(hashed).alias("h"))
-    votes = w.groupBy("doc_id").agg(*[
-        F.sum(F.shiftright("h", b).cast("bigint") % 2 * 2 - 1).alias(f"v{b}")
-        for b in range(16)
-    ])
-    sh_expr = None
-    for b in range(16):
-        term = F.when(F.col(f"v{b}") > 0,
-                      F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        sh_expr = term if sh_expr is None else sh_expr + term
-    sh = votes.select("doc_id", sh_expr.alias("sh"))
-    # empty/whitespace docs explode to zero rows — restore them with sh=0 so
-    # the relational plan matches the HOF simhash (and the oracle) row-for-row
-    return (d.select("doc_id").join(sh, "doc_id", "left")
-            .select("doc_id", F.coalesce("sh", F.lit(0).cast("bigint")).alias("sh")))
+    # the whole word-code/vote pipeline as ONE numpy mapInArrow pass
+    # (functions/textkernels.simhash_kernel — identical integer values to
+    # the r5 relational vote formulation AND the HOF simhash, empty docs
+    # included): the per-word interpreted arithmetic + explode/groupBy
+    # shuffle are gone
+    from fs2_data_spark.functions.textkernels import simhash_kernel
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_kernel(d, "doc_id", "text", bits=16)
 
 
 def _simhash_sql(bits: int = 16) -> str:

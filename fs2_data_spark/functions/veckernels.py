@@ -237,6 +237,84 @@ def cosine_topk_candidates(
 
 
 # ---------------------------------------------------------------------------
+# integer squared-L2 top-k (quantized ANN)
+# ---------------------------------------------------------------------------
+
+def l2_int_topk_candidates(
+    coded,
+    q_ids: np.ndarray,
+    q_codes: np.ndarray,
+    id_col: str,
+    code_col: str,
+    k: int,
+    dim: int,
+):
+    """Per-batch exact top-k by (int64 squared-L2 ASC, id ASC) of ``coded``
+    rows against the broadcast query code matrix.  All-integer arithmetic:
+    no rounding or fold-order discipline needed at all — any association
+    order yields the identical distances, so per-batch exact top-k is
+    trivially a superset-free candidate set (each batch emits exactly its
+    own top-k under the global comparator).  Emits
+    ``(q_vec_id, n_vec_id, dist_sq)``."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    q_ids = np.ascontiguousarray(q_ids, dtype=np.int64)
+    q_mat = np.ascontiguousarray(q_codes, dtype=np.int64)
+    nq = len(q_ids)
+
+    out_schema = pa.schema([
+        pa.field("q_vec_id", pa.int64()),
+        pa.field("n_vec_id", pa.int64()),
+        pa.field("dist_sq", pa.int64()),
+    ])
+
+    def gen(batches):
+        for batch in batches:
+            nb = batch.num_rows
+            if nb == 0 or nq == 0:
+                continue
+            ids = np.asarray(batch.column(0), dtype=np.int64)
+            col = batch.column(1)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = np.asarray(col.flatten(), dtype=np.int64)
+            if vals.size != nb * dim:
+                raise ValueError("ragged code rows")
+            x = vals.reshape(nb, dim)
+            dist = np.zeros((nb, nq), dtype=np.int64)
+            for j in range(dim):
+                d = x[:, j, None] - q_mat[None, :, j]
+                dist += d * d
+            self_mask = ids[:, None] == q_ids[None, :]
+            big = np.iinfo(np.int64).max
+            dist[self_mask] = big
+            kk = min(k, nb)
+            cut = np.partition(dist, kk - 1, axis=0)[kk - 1]
+            oq, on, oc = [], [], []
+            for qi in range(nq):
+                sel = np.nonzero((dist[:, qi] <= cut[qi])
+                                 & ~self_mask[:, qi])[0]
+                if len(sel) == 0:
+                    continue
+                dd, nid = dist[sel, qi], ids[sel]
+                top = np.lexsort((nid, dd))[:k]
+                oq.append(np.full(len(top), q_ids[qi], dtype=np.int64))
+                on.append(nid[top])
+                oc.append(dd[top])
+            if not oq:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(oq)), pa.array(np.concatenate(on)),
+                 pa.array(np.concatenate(oc))], schema=out_schema)
+
+    sc = coded.sparkSession.sparkContext
+    src = coded.select(F.col(id_col).cast("long").alias("__id"),
+                       F.col(code_col).alias("__q"))
+    src = src.repartition(max(sc.defaultParallelism, 1))
+    return src.mapInArrow(gen, "q_vec_id long, n_vec_id long, dist_sq long")
+
+
+# ---------------------------------------------------------------------------
 # hyperplane LSH signatures
 # ---------------------------------------------------------------------------
 

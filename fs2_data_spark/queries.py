@@ -6716,7 +6716,7 @@ def heaps_curve_docs(spark, sf_dir):
 # 3 rounds at the current 101+ (pinned by tests/test_registry_order.py,
 # which derives the bound from the registry size).
 
-CURRENT_ROUND = 5
+CURRENT_ROUND = 6
 
 # Which registry entries each round's driver harness actually checked
 # (the first 50 of that round's ordering; source: CORRECTNESS_r0N.json).
@@ -6796,28 +6796,104 @@ DRIVER_HISTORY: dict[int, list[str]] = {
         "minhash_signatures", "minhash_band_buckets",
         "simhash_docs", "jaccard_pairs",
         "ann_cosine_topk", "ann_lsh_topk"],
+    5: ["pit_fused_events",
+        "segment_dedup_docs",
+        "emb_near_dups",
+        "asof_join_events",
+        "asof_join_events_pandas",
+        "asof_join_events_strict",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+        "streaming_running_features_smoke",
+        "asof_join_events_forward",
+        "asof_join_events_nearest",
+        "asof_multi_events",
+        "gapfill_locf_events",
+        "gapfill_interp_events",
+        "twa_events",
+        "tok_entropy_docs",
+        "bloom_prune_docs",
+        "ohlc_events",
+        "robust_scale_events",
+        "equidepth_bins_events",
+        "pit_robust_z_events",
+        "seasonal_baseline_events",
+        "interarrival_events",
+        "psi_drift_events",
+        "cusum_events",
+        "kl_source_docs",
+        "edit_pairs_docs",
+        "skipgram_pairs_docs",
+        "k_anonymity_events",
+        "session_transitions_events",
+        "trend_slope_events",
+        "mi_features_events",
+        "future_labels_events",
+        "session_cooccurrence_events",
+        "calibration_events",
+        "ks_drift_events",
+        "funnel_events",
+        "cohort_retention_events",
+        "kaplan_meier_events",
+        "cramers_v_events",
+        "conformal_events",
+        "auc_events",
+        "gini_sources_docs",
+        "benford_docs",
+        "pps_sample_docs",
+        "qnorm_docs",
+        "rrf_events",
+        "posting_lists_docs",
+        "grid_corr_events",
+        "attribution_events"],
 }
 
 _FLAGSHIP = "pit_fused_events"
 
+
+def _computed_force_front() -> list[str]:
+    """Queries whose oracle SQL, query function, or referenced operator
+    modules changed since the last round's end — COMPUTED from fingerprint
+    drift against ``tools/registry_fingerprints.json`` (the snapshot of the
+    driver's round-start tree), per VERDICT r05 #4: the hand-curated list
+    missed oracle-changed rows two rounds running.  Regenerate the snapshot
+    with ``python3 tools/fingerprint_registry.py --write`` as each round's
+    final step."""
+    import json
+    import os
+    snap = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "registry_fingerprints.json")
+    try:
+        with open(snap) as fh:
+            old = json.load(fh)
+    except OSError:
+        return []
+    try:
+        from tools.fingerprint_registry import current_fingerprints
+        cur = current_fingerprints()
+    except Exception:  # noqa: BLE001 — rotation must never break queries()
+        return []
+    return [n for n, fp in cur.items() if old.get(n) != fp]
+
+
 # Queries whose implementation or oracle changed AFTER their last driver row
-# — they need a fresh row this round regardless of staleness.
-FORCE_FRONT: list[str] = [
-    # round 5: the r4 driver hash-fail — state kernel's last_* carry is now
-    # event-time-keyed (streaming/sessions.py _fold_running_state); needs a
-    # fresh driver row to prove the fix under the driver's batching
-    "streaming_running_features_smoke",
-    # round 5 late: every cosine path gained total zero-norm semantics
-    # (similarity.py _cos + the matching CASE in the oracles) after these
-    # queries' last driver rows
-    "ann_cosine_topk", "ann_lsh_topk", "emb_near_dups",
-    # round 5 late: asof.py gained the direction matrix — the backward
-    # trio shares _asof_union/_asof_pandas whose signatures and tolerance
-    # block changed; segment_dedup's segmentation was factored into
-    # _word_segment_rows (shared with drop_boilerplate_segments)
-    "asof_join_events", "asof_join_events_pandas", "asof_join_events_strict",
-    "segment_dedup_docs",
-]
+# — they need a fresh row this round regardless of staleness.  Computed from
+# fingerprint drift; the manual supplement covers rows whose LAST driver row
+# predates the snapshot (the snapshot can only witness changes since the
+# previous round's end): ann_ivf_topk and multimodal_decode_smoke both have
+# r3 ``no_oracle`` errs as their latest rows and were reworked in r5
+# (canonical IVF build ffad90c; stdlib media tier ceab600) — the r5 rotation
+# missed them (VERDICT r05 what's-missing #2).
+FORCE_FRONT: list[str] = sorted(
+    set(_computed_force_front())
+    | {"ann_ivf_topk", "multimodal_decode_smoke",
+       # driver-red in r5 (hash): re-prove after this round's fixes even
+       # where the fingerprint window cannot see the r5-era change
+       "streaming_running_features_smoke", "interarrival_events",
+       # r6: quantile_bucket_map was rewritten (global_cumsum) but is
+       # reached via an intra-module call the function-level fingerprint
+       # cannot see (quantile_buckets -> quantile_bucket_map)
+       "curriculum_buckets_docs"})
 
 DRIVER_WINDOW = 50
 

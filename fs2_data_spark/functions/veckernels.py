@@ -68,6 +68,26 @@ def spark_round(x: float, dp: int) -> float:
     return float(Decimal(repr(x)).quantize(_QUANT[dp], rounding=ROUND_HALF_UP))
 
 
+def spark_round_vec(x: np.ndarray, dp: int) -> np.ndarray:
+    """Vectorized :func:`spark_round`: scaled-double half-away arithmetic
+    for the bulk, with an exact ``Decimal(repr)`` pass only for values whose
+    scaled fraction sits within 1e-7 of a half — the shortest-repr-vs-true
+    deviation is ~1e-12 at these magnitudes, so outside the band the two
+    semantics provably agree."""
+    m = 10.0 ** dp
+    av = np.abs(x) * m
+    f = np.floor(av)
+    frac = av - f
+    r = np.where(frac >= 0.5, f + 1.0, f)
+    out = np.where(x < 0, -r, r) / m
+    near = np.abs(frac - 0.5) < 1e-7
+    if near.any():
+        idx = np.nonzero(near)[0]
+        for i in idx:
+            out[i] = spark_round(float(x[i]), dp)
+    return out
+
+
 def fold_norm(m: np.ndarray) -> np.ndarray:
     """sqrt(aggregate(transform(v, x -> x*x), 0.0, (a,x) -> a+x)) — exact
     fold-order replica, vectorized across rows.  ``m``: (n, d) float64."""
@@ -443,6 +463,94 @@ def ivf_assign_kernel(
     src = df.select(F.col(id_col).cast("long").alias("__id"),
                     F.col(vec_col).alias("__v")).repartition(n_part)
     return src.mapInArrow(gen, "id long, v array<double>, cell int")
+
+
+# ---------------------------------------------------------------------------
+# MMR: cosine-vs-one-vector passes
+# ---------------------------------------------------------------------------
+
+def _cos_vs(x: np.ndarray, nrm: np.ndarray, qv: np.ndarray, qn: float
+            ) -> np.ndarray:
+    """_cos(_dot(row, qv), nrm_row, qn) — fold-order exact, both operand
+    orders as the caller's Catalyst expression has them (multiplication and
+    the fold order make dot symmetric bit-for-bit)."""
+    dot = np.zeros(len(x), dtype=np.float64)
+    for j in range(x.shape[1]):
+        dot += x[:, j] * qv[j]
+    denom = nrm * qn
+    valid = (nrm > 0) & (qn > 0)
+    return np.where(valid, np.divide(dot, denom, out=np.zeros_like(dot),
+                                     where=denom != 0), 0.0)
+
+
+def mmr_rel_kernel(df, id_col: str, vec_col: str, qv: list, dim: int):
+    """mapInArrow emitting ``(vec_id, v array<double>, nrm, rel_raw)`` —
+    the relevance pass of ``mmr_select`` (cosine of every pool row against
+    the query anchor), bit-identical folds."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    q = np.asarray(qv, dtype=np.float64)
+    qn = float(fold_norm(q[None, :])[0])
+
+    def gen(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = np.asarray(batch.column(0), dtype=np.int64)
+            x = list_to_mat(batch.column(1), dim)
+            nrm = fold_norm(x)
+            rel = _cos_vs(x, nrm, q, qn)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), mat_to_list_array(x), pa.array(nrm),
+                 pa.array(rel)],
+                schema=pa.schema([pa.field("vec_id", pa.int64()),
+                                  pa.field("v", pa.list_(pa.float64())),
+                                  pa.field("nrm", pa.float64()),
+                                  pa.field("rel_raw", pa.float64())]))
+
+    sc = df.sparkSession.sparkContext
+    src = df.select(F.col(id_col).cast("long").alias("__id"),
+                    F.col(vec_col).alias("__v"))
+    src = src.repartition(max(sc.defaultParallelism, 1))
+    return src.mapInArrow(
+        gen, "vec_id long, v array<double>, nrm double, rel_raw double")
+
+
+def mmr_ms_update_kernel(cand, sv: list, sn: float, round_dp: int,
+                         dim: int):
+    """One MMR step's running-max-similarity update:
+    ``_ms' = max(_ms, spark_round(cos(v, sv), round_dp))`` over the
+    candidate pool — the greatest-of-already-rounded contract of
+    ``mmr_select``, with :func:`spark_round_vec` supplying the exact JVM
+    rounding for the selection-critical values."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    s = np.asarray(sv, dtype=np.float64)
+    sn = float(sn)
+
+    def gen(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = np.asarray(batch.column(0), dtype=np.int64)
+            x = list_to_mat(batch.column(1), dim)
+            nrm = np.asarray(batch.column(2), dtype=np.float64)
+            rel = np.asarray(batch.column(3), dtype=np.float64)
+            ms = np.asarray(batch.column(4), dtype=np.float64)
+            cos = _cos_vs(x, nrm, s, sn)
+            ms2 = np.maximum(ms, spark_round_vec(cos, round_dp))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), mat_to_list_array(x), pa.array(nrm),
+                 pa.array(rel), pa.array(ms2)],
+                schema=pa.schema([pa.field("vec_id", pa.int64()),
+                                  pa.field("v", pa.list_(pa.float64())),
+                                  pa.field("nrm", pa.float64()),
+                                  pa.field("rel", pa.float64()),
+                                  pa.field("_ms", pa.float64())]))
+
+    return cand.select("vec_id", "v", "nrm", "rel", "_ms").mapInArrow(
+        gen, "vec_id long, v array<double>, nrm double, rel double, "
+             "_ms double")
 
 
 # ---------------------------------------------------------------------------

@@ -571,6 +571,51 @@ def mmr_select(
     """
     lam = float(lam)
     oml = 1.0 - lam
+    if _integral_id(emb, id_col):
+        # all k cosine passes as numpy mapInArrow kernels (guide §4.2) with
+        # the module's round-before-rank contract intact: rel is JVM
+        # F.round over the bit-exact raw cosine; the _ms carry uses
+        # veckernels.spark_round_vec (proven == F.round); each step's top-1
+        # stays a JVM TakeOrdered; per-step collects are 1-row planning
+        # reads (the legacy plan broadcast the same single row)
+        from fs2_data_spark.functions import veckernels as VK
+        spark = emb.sparkSession
+        qrow = (emb.filter(F.col(id_col) == int(query_id))
+                .select(_as_double(F.col(vec_col)).alias("qv")).collect())
+        qv = list(qrow[0][0]) if qrow and qrow[0][0] is not None else None
+        if qv:
+            dim = len(qv)
+            idt = emb.schema[id_col].dataType
+            pool = (emb.filter(F.col(id_col) != int(query_id))
+                    .select(id_col, vec_col))
+            aug = VK.mmr_rel_kernel(pool, id_col, vec_col, qv, dim)
+            cand = aug.select("vec_id", "v", "nrm",
+                              F.round("rel_raw", round_dp).alias("rel"),
+                              F.lit(0.0).alias("_ms"))
+            picks_rows = []
+            for step in range(1, int(k) + 1):
+                c2 = cand.withColumn(
+                    "_mmr",
+                    F.lit(lam) * F.col("rel") - F.lit(oml) * F.col("_ms"))
+                sel = (c2.orderBy(F.col("_mmr").desc(), F.col("vec_id"))
+                       .limit(1)
+                       .select("vec_id", "rel",
+                               F.round("_mmr", 6).alias("mmr"), "v", "nrm")
+                       .collect())
+                if not sel:
+                    break
+                r = sel[0]
+                picks_rows.append((step, int(r["vec_id"]),
+                                   r["rel"], r["mmr"]))
+                if step < int(k):
+                    cand = VK.mmr_ms_update_kernel(
+                        cand.filter(F.col("vec_id") != int(r["vec_id"])),
+                        list(r["v"]), float(r["nrm"]), round_dp, dim)
+            out = spark.createDataFrame(
+                picks_rows, "step int, vec_id long, rel double, mmr double")
+            return out.select("step",
+                              F.col("vec_id").cast(idt).alias("vec_id"),
+                              "rel", "mmr")
     base = emb.select(F.col(id_col).alias("vec_id"),
                       _as_double(F.col(vec_col)).alias("_v"))
     n = base.select("vec_id", "_v", _norm(F.col("_v")).alias("_nrm"))

@@ -557,6 +557,16 @@ def mmr_ms_update_kernel(cand, sv: list, sn: float, round_dp: int,
 # same-cell pair candidates (SemDeDup)
 # ---------------------------------------------------------------------------
 
+def _unpack_tile(col: pa.Array, row: int) -> tuple[np.ndarray, np.ndarray]:
+    """One list<struct<id, v>> cell -> (ids int64, matrix float64)."""
+    structs = col[row].values           # StructArray slice, zero-copy
+    ids = np.asarray(structs.field("id"), dtype=np.int64)
+    if len(ids) == 0:
+        return ids, np.empty((0, 0), dtype=np.float64)
+    flat = np.asarray(structs.field("v").flatten(), dtype=np.float64)
+    return ids, flat.reshape(len(ids), -1)
+
+
 def cell_pair_candidates(
     assigned,
     threshold: float,
@@ -564,47 +574,77 @@ def cell_pair_candidates(
     id_col: str = "id",
     vec_col: str = "v",
     cell_col: str = "cell",
+    block: int = 1024,
 ):
     """Same-cell (j < i) cosine pairs with
-    ``round(cos, round_dp) >= threshold`` — the SemDeDup pair stage as a
-    grouped pandas kernel (one shuffle on the cell id, |cell|^2 work inside,
-    identical to the legacy equi-join's fencing).  Emits
-    ``(i, j, cos_raw)``; caller rounds in JVM and takes best-per-i.
+    ``round(cos, round_dp) >= threshold`` — the SemDeDup / near-dup pair
+    stage, **block-tiled**: each cell's rows are packed into id-ordered
+    blocks of ``block`` rows, and every (block_a <= block_b) tile is one
+    kernel work item, so a skewed mega-cell fans out over
+    ``(|cell|/block)^2 / 2`` parallel tasks instead of serializing through
+    one (measured: one 4-plane bucket held most of sf1's 20k vectors — a
+    single 29-GFLOP straggler before tiling).  The |cell|^2 fencing and the
+    arithmetic are unchanged: same fold-order cosines, so identical values.
+    Emits ``(i, j, cos_raw)``; caller rounds in JVM and re-applies the
+    exact ``>= threshold`` filter.
 
     Candidate guarantee: emits every pair whose raw cosine can round to
-    >= threshold (band ``threshold - 1.5 quanta``) — a superset of the legacy
-    ``F.round(cos, dp) >= threshold`` filter; the caller re-applies the exact
-    JVM-rounded filter.
+    >= threshold (band ``threshold - 1.5 quanta``) — a superset of the
+    legacy ``F.round(cos, dp) >= threshold`` filter.
     """
-    import pandas as pd  # noqa: PLC0415
     import pyspark.sql.functions as F  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
 
     band = threshold - (1.5 * 10.0 ** (-round_dp) if round_dp is not None
                         else 0.0)
 
-    def per_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"i": pd.Series(dtype="int64"),
-                                 "j": pd.Series(dtype="int64"),
-                                 "cos_raw": pd.Series(dtype="float64")})
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-        x = np.asarray([np.asarray(v, dtype=np.float64)
-                        for v in pdf[vec_col]], dtype=np.float64)
-        order = np.argsort(ids, kind="stable")
-        ids, x = ids[order], x[order]
-        nrm = fold_norm(x)
-        dot = fold_dot_mat(x, x)
-        denom = nrm[:, None] * nrm[None, :]
-        valid = (nrm[:, None] > 0) & (nrm[None, :] > 0)
-        cos = np.where(valid, np.divide(dot, denom, out=np.zeros_like(dot),
-                                        where=denom != 0), 0.0)
-        iu, ju = np.nonzero(np.tril(cos >= band, k=-1))  # j < i (ids sorted)
-        return pd.DataFrame({"i": ids[iu], "j": ids[ju],
-                             "cos_raw": cos[iu, ju]})
+    out_schema = pa.schema([pa.field("i", pa.int64()),
+                            pa.field("j", pa.int64()),
+                            pa.field("cos_raw", pa.float64())])
 
-    src = assigned.select(F.col(cell_col).alias(cell_col),
-                          F.col(id_col).cast("long").alias(id_col),
-                          F.col(vec_col).alias(vec_col))
-    return src.groupBy(cell_col).applyInPandas(
-        per_cell, "i long, j long, cos_raw double")
+    def gen(batches):
+        for batch in batches:
+            ra, rb = batch.column(0), batch.column(1)
+            for r in range(batch.num_rows):
+                ids_a, xa = _unpack_tile(ra, r)
+                ids_b, xb = _unpack_tile(rb, r)
+                same = (len(ids_a) == len(ids_b)
+                        and ids_a[0] == ids_b[0]) if len(ids_a) else True
+                na, nb = fold_norm(xa), fold_norm(xb)
+                # i rides the b side (larger ids), j the a side
+                dot = fold_dot_mat(xb, xa)                  # (nb_rows, na)
+                denom = nb[:, None] * na[None, :]
+                valid = (nb[:, None] > 0) & (na[None, :] > 0)
+                cos = np.where(valid,
+                               np.divide(dot, denom,
+                                         out=np.zeros_like(dot),
+                                         where=denom != 0), 0.0)
+                keep = cos >= band
+                if same:
+                    keep &= ids_b[:, None] > ids_a[None, :]
+                iu, ju = np.nonzero(keep)
+                if len(iu) == 0:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids_b[iu]), pa.array(ids_a[ju]),
+                     pa.array(cos[iu, ju])], schema=out_schema)
+
+    d = assigned.select(F.col(cell_col).alias("_c"),
+                        F.col(id_col).cast("long").alias("id"),
+                        F.col(vec_col).alias("v"))
+    d = d.withColumn("_blk", ((F.row_number().over(
+        Window.partitionBy("_c").orderBy("id")) - 1)
+        / F.lit(int(block))).cast("int"))
+    packed = (d.groupBy("_c", "_blk")
+              .agg(F.sort_array(F.collect_list(
+                  F.struct("id", "v"))).alias("rows")))
+    a = packed.select(F.col("_c"), F.col("_blk").alias("_ba"),
+                      F.col("rows").alias("_ra"))
+    b = packed.select(F.col("_c").alias("_c2"), F.col("_blk").alias("_bb"),
+                      F.col("rows").alias("_rb"))
+    tiles = (a.join(b, (F.col("_c") == F.col("_c2"))
+                    & (F.col("_ba") <= F.col("_bb")))
+             .select("_ra", "_rb"))
+    sc = assigned.sparkSession.sparkContext
+    tiles = tiles.repartition(max(sc.defaultParallelism, 1))
+    return tiles.mapInArrow(gen, "i long, j long, cos_raw double")

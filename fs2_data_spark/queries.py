@@ -2926,21 +2926,22 @@ WHERE ROUND(CASE WHEN a.nrm > 0 AND b.nrm > 0 THEN list_dot_product(a.v, b.v) / 
 def emb_near_dups_q(spark, sf_dir):
     """Embedding near-duplicate pairs via hyperplane-LSH bucketing + exact
     cosine verify — the oracle reproduces the deterministic plane weights
-    verbatim."""
-    from fs2_data_spark.operators.similarity import (
-        _as_double, _cos, _dot, _norm, hyperplane_signature,
-    )
-    e = (_t(spark, sf_dir, "embeddings")
-         .select(F.col("vec_id"), _as_double(F.col("embedding")).alias("v"))
-         .select("vec_id", "v", _norm(F.col("v")).alias("nrm"),
-                 hyperplane_signature(F.col("v"), 4, 64, cast=False).alias("sig")))
-    a, b = e.alias("a"), e.alias("b")
-    cos = F.round(_cos(_dot(F.col("a.v"), F.col("b.v")),
-                       F.col("a.nrm"), F.col("b.nrm")), 4)
-    return (a.join(b, (F.col("a.sig") == F.col("b.sig"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .select(F.col("a.vec_id").alias("id1"),
-                    F.col("b.vec_id").alias("id2"), cos.alias("cos_sim"))
+    verbatim.  The bucket-fenced pair arithmetic (~|corpus|^2 / 2^planes
+    interpreted 64-dim cosine folds — 12.5M pairs at sf1, the whole cost of
+    the r5 plan and of downstream ``dedup_cluster_docs``) runs as the
+    grouped numpy kernel (``veckernels.cell_pair_candidates``, bit-exact
+    folds + conservative band); the ``>= 0.4`` filter re-applies the exact
+    JVM rounding."""
+    from fs2_data_spark.functions import veckernels as VK
+    aug = VK.lsh_augment_kernel(
+        _t(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id", "embedding", n_planes=4, dim=64, seed=42)
+    raw = VK.cell_pair_candidates(aug.select("vec_id", "v", "sig"),
+                                  threshold=0.4, round_dp=4,
+                                  id_col="vec_id", vec_col="v",
+                                  cell_col="sig")
+    return (raw.select(F.col("j").alias("id1"), F.col("i").alias("id2"),
+                       F.round("cos_raw", 4).alias("cos_sim"))
             .filter(F.col("cos_sim") >= 0.4))
 
 

@@ -484,3 +484,25 @@ def test_snm_pairs_exactly_once_and_complete(spark):
     got_unordered = sorted((min(a, b), max(a, b)) for a, b in got)
     assert got_unordered == want
     assert all(0 < r.gap < w for r in pairs)
+
+
+def test_connected_components_driver_vs_distributed_parity(spark):
+    """The size-gated driver union-find must produce exactly the labeling
+    the distributed min-label/pointer-jumping loop converges to (r6 fast
+    path) — random multi-component graph with chains, stars and isolates."""
+    import random
+
+    from fs2_data_spark.operators.dedup import connected_components
+
+    rng = random.Random(99)
+    edges = [(i, i + 1) for i in range(0, 40, 1) if i % 7 != 3]
+    edges += [(100, 100 + j) for j in range(1, 9)]
+    edges += [(rng.randint(200, 240), rng.randint(200, 240))
+              for _ in range(30)]
+    pairs = spark.createDataFrame(edges, "id1 bigint, id2 bigint")
+    fast = {r.node: r.component
+            for r in connected_components(pairs).collect()}
+    slow = {r.node: r.component
+            for r in connected_components(
+                pairs, driver_max_edges=0).collect()}
+    assert fast == slow and fast

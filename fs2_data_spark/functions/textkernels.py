@@ -265,6 +265,199 @@ def word_code_minhash_kernel(df, id_col: str, text_col: str, k: int = 8):
     return src.mapInArrow(gen, schema)
 
 
+def _list_array(vals: np.ndarray, counts: np.ndarray) -> pa.ListArray:
+    offsets = pa.array(np.concatenate(
+        ([0], np.cumsum(counts))).astype(np.int32))
+    return pa.ListArray.from_arrays(offsets, pa.array(vals))
+
+
+def _per_doc_distinct_sorted(vals: np.ndarray, doc: np.ndarray, nrow: int
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted distinct values per doc concatenated, per-doc counts)."""
+    cnt = np.zeros(nrow, dtype=np.int64)
+    if vals.size == 0:
+        return vals, cnt
+    key = np.lexsort((vals, doc))
+    v, d = vals[key], doc[key]
+    keep = np.empty(v.size, dtype=bool)
+    keep[0] = True
+    keep[1:] = (v[1:] != v[:-1]) | (d[1:] != d[:-1])
+    v, d = v[keep], d[keep]
+    np.add.at(cnt, d, 1)
+    return v, cnt
+
+
+def _positional_shingles(wh: np.ndarray, wdoc: np.ndarray, n: int, mult: int,
+                         mod: int | None
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling ``n``-gram mixes of per-word hashes in position order,
+    fenced to same-doc windows: ``fold (a*mult + x) [mod]``."""
+    if len(wh) < n:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    m = len(wh) - n + 1
+    g = wh[:m].copy()
+    for j in range(1, n):
+        g = g * mult + wh[j: m + j]
+        if mod is not None:
+            g %= mod
+    same = wdoc[:m] == wdoc[n - 1:]
+    return g[same], wdoc[:m][same]
+
+
+def winnow_fp_kernel(df, id_col: str, text_col: str, k: int = 3, w: int = 4):
+    """mapInArrow emitting ``(doc_id, fp array<bigint>)`` — the winnowing
+    fingerprint set of ``functions/text.winnow_fingerprints_from`` exactly:
+    positional ``k``-gram shingle hashes (no distinct), per-``w``-window
+    minima (docs with 0 < |grams| < w keep one global min), then distinct
+    ascending.  Pure int64 arithmetic."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    out_schema = pa.schema([pa.field("doc_id", pa.int64()),
+                            pa.field("fp", pa.list_(pa.int64()))])
+
+    def gen(batches):
+        for batch in batches:
+            nrow = batch.num_rows
+            if nrow == 0:
+                continue
+            ids = np.asarray(batch.column(0), dtype=np.int64)
+            cp, offs = decode_batch(batch.column(1))
+            starts, lens, wdoc = word_segments(cp, offs)
+            wh = _word_hash_poly31(cp, starts, lens, _B)
+            hs, hdoc = _positional_shingles(wh, wdoc, k, _B, None)
+            # per-doc gram counts
+            ghn = np.zeros(nrow, dtype=np.int64)
+            np.add.at(ghn, hdoc, 1)
+            mins_list = []
+            doc_list = []
+            if hs.size:
+                # full windows: min over w consecutive same-doc grams
+                if hs.size >= w:
+                    mw = hs[: hs.size - w + 1].copy()
+                    for j in range(1, w):
+                        np.minimum(mw, hs[j: hs.size - w + 1 + j], out=mw)
+                    full = hdoc[: hs.size - w + 1] == hdoc[w - 1:]
+                    mins_list.append(mw[full])
+                    doc_list.append(hdoc[: hs.size - w + 1][full])
+                # short docs (0 < |grams| < w): one global min
+                short_docs = np.nonzero((ghn > 0) & (ghn < w))[0]
+                if short_docs.size:
+                    gmin = np.full(nrow, np.iinfo(np.int64).max,
+                                   dtype=np.int64)
+                    np.minimum.at(gmin, hdoc, hs)
+                    mins_list.append(gmin[short_docs])
+                    doc_list.append(short_docs.astype(np.int64))
+            if mins_list:
+                mv = np.concatenate(mins_list)
+                md = np.concatenate(doc_list)
+            else:
+                mv = np.empty(0, dtype=np.int64)
+                md = np.empty(0, dtype=np.int64)
+            fv, fc = _per_doc_distinct_sorted(mv, md, nrow)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), _list_array(fv, fc)], schema=out_schema)
+
+    sc = df.sparkSession.sparkContext
+    src = df.select(F.col(id_col).cast("long").alias("__id"),
+                    F.col(text_col).alias("__t"))
+    src = src.repartition(max(sc.defaultParallelism, 1))
+    return src.mapInArrow(gen, "doc_id long, fp array<bigint>")
+
+
+def shingles_kernel(df, text_col: str, keep: list[str], n: int = 3):
+    """mapInArrow emitting ``(keep..., sh array<bigint>)`` — the DISTINCT
+    word-``n``-gram shingle set of ``functions/text.shingle_hashes``
+    (first-occurrence distinct is a set downstream; emitted ascending).
+    Passthrough columns keep their types."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    keep_schema = df.select(*keep).schema
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in keep_schema.fields) + ", sh array<bigint>"
+
+    def gen(batches):
+        for batch in batches:
+            nrow = batch.num_rows
+            if nrow == 0:
+                continue
+            cp, offs = decode_batch(batch.column(len(keep)))
+            starts, lens, wdoc = word_segments(cp, offs)
+            wh = _word_hash_poly31(cp, starts, lens, _B)
+            sh, sdoc = _positional_shingles(wh, wdoc, n, _B, None)
+            sv, sc_ = _per_doc_distinct_sorted(sh, sdoc, nrow)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(len(keep))]
+                + [_list_array(sv, sc_)],
+                schema=pa.schema(list(batch.schema)[: len(keep)]
+                                 + [pa.field("sh", pa.list_(pa.int64()))]))
+
+    sc = df.sparkSession.sparkContext
+    src = df.select(*[F.col(c) for c in keep], F.col(text_col).alias("__t"))
+    src = src.repartition(max(sc.defaultParallelism, 1))
+    return src.mapInArrow(gen, ddl)
+
+
+_TOPGRAM_P = 1_000_000_007
+
+
+def top_ngram_kernel(df, id_col: str, text_col: str,
+                     ns: tuple[int, ...] = (2, 3, 4)):
+    """mapInArrow emitting ``(doc_id, n_words, top{n}_count ...)`` — the
+    per-document most-frequent-n-gram counts of
+    ``operators/quality.top_ngram_fraction`` (rolling-hash grams
+    ``fold (a*1000003 + x) mod 1e9+7``, max run count over the sorted gram
+    list).  All-integer; the caller derives the fractions with the same
+    JVM expressions as before."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    fields = [pa.field("doc_id", pa.int64()), pa.field("n_words", pa.int32())]
+    for n in ns:
+        fields.append(pa.field(f"top{n}_count", pa.int32()))
+    out_schema = pa.schema(fields)
+    ddl = ("doc_id long, n_words int, "
+           + ", ".join(f"top{n}_count int" for n in ns))
+
+    def _seg_max_runs(g: np.ndarray, gd: np.ndarray, nrow: int) -> np.ndarray:
+        best = np.zeros(nrow, dtype=np.int64)
+        if g.size == 0:
+            return best
+        key = np.lexsort((g, gd))
+        v, d = g[key], gd[key]
+        new_run = np.empty(v.size, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (v[1:] != v[:-1]) | (d[1:] != d[:-1])
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        run_doc = d[new_run]
+        np.maximum.at(best, run_doc, run_len)
+        return best
+
+    def gen(batches):
+        for batch in batches:
+            nrow = batch.num_rows
+            if nrow == 0:
+                continue
+            ids = np.asarray(batch.column(0), dtype=np.int64)
+            cp, offs = decode_batch(batch.column(1))
+            starts, lens, wdoc = word_segments(cp, offs)
+            wh = _word_hash_poly31(cp, starts, lens, _B)
+            nw = np.zeros(nrow, dtype=np.int64)
+            np.add.at(nw, wdoc, 1)
+            cols = [pa.array(ids), pa.array(nw.astype(np.int32))]
+            for n in ns:
+                g, gd = _positional_shingles(wh, wdoc, n, _B, _TOPGRAM_P)
+                best = _seg_max_runs(g, gd, nrow)
+                cols.append(pa.array(best.astype(np.int32)))
+            yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
+
+    sc = df.sparkSession.sparkContext
+    src = df.select(F.col(id_col).cast("long").alias("__id"),
+                    F.col(text_col).alias("__t"))
+    src = src.repartition(max(sc.defaultParallelism, 1))
+    return src.mapInArrow(gen, ddl)
+
+
 def simhash_kernel(df, id_col: str, text_col: str, bits: int = 16):
     """mapInArrow emitting ``(doc_id, sh)`` — the SimHash over word codes
     (``(code*2654435761 + 104729) mod p``, per-bit ±1 majority votes),

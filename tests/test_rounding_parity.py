@@ -70,3 +70,46 @@ def test_interarrival_uses_replica_not_f_round(spark):
     fn, _ = REGISTRY["interarrival_events"]
     out = fn(spark, "/root/testdata/sf0.001").limit(0)
     assert {"mean_dt4", "burst4"} <= set(out.columns)
+
+
+def test_banded_levenshtein_matches_spark(spark):
+    """The r6 banded-DP kernel in blocked_edit_pairs must reproduce
+    F.levenshtein exactly on every surviving pair (and drop the same
+    over-threshold pairs)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fs2_data_spark.operators.linkage import blocked_edit_pairs
+
+    rng = random.Random(5)
+    base = "abcdefgh " * 8
+    rows = []
+    for i in range(120):
+        s = list(base)
+        for _ in range(rng.randint(0, 24)):
+            p = rng.randrange(len(s))
+            op = rng.random()
+            if op < 0.4:
+                s[p] = rng.choice("abcxyz ")
+            elif op < 0.7:
+                s.insert(p, rng.choice("qrs"))
+            elif s:
+                del s[p]
+        rows.append((i, "".join(s)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.lev
+           for r in blocked_edit_pairs(df, prefix_len=4, max_dist=12)
+           .collect()}
+    n = df.select("doc_id", F.col("text"),
+                  F.substring("text", 1, 4).alias("blk"),
+                  F.length("text").alias("ln"))
+    ref_pairs = (n.alias("a").join(
+        n.alias("b"),
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.ln") - F.col("b.ln")) <= 12))
+        .select(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"),
+                F.levenshtein(F.col("a.text"), F.col("b.text")).alias("d")))
+    want = {(r.ia, r.ib): r.d for r in ref_pairs.collect() if r.d <= 12}
+    assert got == want and want

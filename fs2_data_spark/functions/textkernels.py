@@ -458,6 +458,183 @@ def top_ngram_kernel(df, id_col: str, text_col: str,
     return src.mapInArrow(gen, ddl)
 
 
+def _token_codes(cp: np.ndarray, starts: np.ndarray, lens: np.ndarray
+                 ) -> np.ndarray:
+    """``tables.tokens_col``: len(word)*256 + first codepoint, int."""
+    if len(starts) == 0:
+        return np.empty(0, dtype=np.int64)
+    return lens * 256 + cp[starts].astype(np.int64)
+
+
+def token_spans_kernel(df, id_col: str, text_col: str, k: int = 8):
+    """mapInArrow emitting ``(doc_id, pos, span_h)`` for every ``k``-token
+    window — the rolling span hash of ``operators/dedup._token_spans``
+    (``fold (a*31 + x) mod 1e9+7`` over ``tokens_col`` codes), pure int64."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    out_schema = pa.schema([pa.field("doc_id", pa.int64()),
+                            pa.field("pos", pa.int32()),
+                            pa.field("span_h", pa.int64())])
+
+    def gen(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = np.asarray(batch.column(0), dtype=np.int64)
+            cp, offs = decode_batch(batch.column(1))
+            starts, lens, wdoc = word_segments(cp, offs)
+            codes = _token_codes(cp, starts, lens)
+            if len(codes) < k:
+                continue
+            m = len(codes) - k + 1
+            g = codes[:m].copy()
+            for j in range(1, k):
+                g = (g * 31 + codes[j: m + j]) % 1_000_000_007
+            same = wdoc[:m] == wdoc[k - 1:]
+            gidx = np.nonzero(same)[0]
+            if gidx.size == 0:
+                continue
+            gdoc = wdoc[gidx]
+            nwords = np.zeros(batch.num_rows, dtype=np.int64)
+            np.add.at(nwords, wdoc, 1)
+            doc_start = np.concatenate(([0], np.cumsum(nwords)[:-1]))
+            pos = gidx - doc_start[gdoc]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids[gdoc]), pa.array(pos.astype(np.int32)),
+                 pa.array(g[gidx])], schema=out_schema)
+
+    sc = df.sparkSession.sparkContext
+    src = df.select(F.col(id_col).cast("long").alias("__id"),
+                    F.col(text_col).alias("__t"))
+    src = src.repartition(max(sc.defaultParallelism, 1))
+    return src.mapInArrow(gen, "doc_id long, pos int, span_h long")
+
+
+def skipgram_partial_kernel(df, text_col: str, window: int = 2):
+    """mapInArrow emitting per-batch partial ``(center, context, c)``
+    counts — the skip-gram pair multiset of
+    ``operators/seqops.skipgram_pairs`` over ``tokens_col`` codes, doc-
+    fenced, distances 1..window both sides.  Caller sums the partials
+    (one map-side-combined aggregation, same key space)."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    out_schema = pa.schema([pa.field("center", pa.int32()),
+                            pa.field("context", pa.int32()),
+                            pa.field("c", pa.int64())])
+
+    def gen(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            cp, offs = decode_batch(batch.column(0))
+            starts, lens, wdoc = word_segments(cp, offs)
+            codes = _token_codes(cp, starts, lens)
+            if codes.size == 0:
+                continue
+            cs, xs = [], []
+            for dist in range(1, window + 1):
+                if codes.size <= dist:
+                    break
+                same = wdoc[dist:] == wdoc[:-dist]
+                # right context: center i, context i+dist
+                cs.append(codes[:-dist][same])
+                xs.append(codes[dist:][same])
+                # left context: center i, context i-dist
+                cs.append(codes[dist:][same])
+                xs.append(codes[:-dist][same])
+            if not cs:
+                continue
+            center = np.concatenate(cs)
+            context = np.concatenate(xs)
+            key = center * (1 << 32) + context
+            uniq, cnt = np.unique(key, return_counts=True)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array((uniq >> 32).astype(np.int32)),
+                 pa.array((uniq & ((1 << 32) - 1)).astype(np.int32)),
+                 pa.array(cnt.astype(np.int64))], schema=out_schema)
+
+    sc = df.sparkSession.sparkContext
+    src = df.select(F.col(text_col).alias("__t"))
+    src = src.repartition(max(sc.defaultParallelism, 1))
+    return src.mapInArrow(gen, "center int, context int, c long")
+
+
+def token_entropy_kernel(df, id_col: str, text_col: str):
+    """mapInArrow emitting ``(doc_id, n_tok, n_distinct, max_freq,
+    entropy_raw)`` — the per-row unigram triplet of ``tok_entropy_docs``
+    over the corpus ``tokens_col`` codes (``len(word)*256 + ascii(word)``):
+    counts exact; ``entropy_raw`` replicates the Catalyst fold bit-for-bit
+    — terms ``(c/n) * log(n/c)`` accumulated over the ASCENDING distinct
+    codes with scalar libm ``log`` (the values the DuckDB oracle pins).
+    ``max_freq`` is NULL for wordless docs like the legacy
+    ``array_max(empty)``."""
+    import math  # noqa: PLC0415
+
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    out_schema = pa.schema([
+        pa.field("doc_id", pa.int64()), pa.field("n_tok", pa.int32()),
+        pa.field("n_distinct", pa.int32()), pa.field("max_freq", pa.int32()),
+        pa.field("entropy_raw", pa.float64())])
+
+    def gen(batches):
+        for batch in batches:
+            nrow = batch.num_rows
+            if nrow == 0:
+                continue
+            ids = np.asarray(batch.column(0), dtype=np.int64)
+            cp, offs = decode_batch(batch.column(1))
+            starts, lens, wdoc = word_segments(cp, offs)
+            codes = (lens * 256 + cp[starts].astype(np.int64)
+                     if len(starts) else np.empty(0, dtype=np.int64))
+            nt = np.zeros(nrow, dtype=np.int64)
+            np.add.at(nt, wdoc, 1)
+            # sorted distinct codes + run counts per doc
+            key = np.lexsort((codes, wdoc))
+            v, d = codes[key], wdoc[key]
+            new = np.empty(v.size, dtype=bool)
+            if v.size:
+                new[0] = True
+                new[1:] = (v[1:] != v[:-1]) | (d[1:] != d[:-1])
+            run_id = np.cumsum(new) - 1 if v.size else new.astype(np.int64)
+            run_cnt = np.bincount(run_id) if v.size else run_id
+            run_doc = d[new] if v.size else d
+            nd = np.zeros(nrow, dtype=np.int64)
+            mf = np.zeros(nrow, dtype=np.int64)
+            if v.size:
+                np.add.at(nd, run_doc, 1)
+                np.maximum.at(mf, run_doc, run_cnt)
+            ent = np.zeros(nrow, dtype=np.float64)
+            # left-fold per doc over the ascending-code runs (scalar libm
+            # log — the summation order and per-term bits of the Catalyst
+            # fold); run_doc is non-decreasing, so runs per doc are
+            # contiguous
+            pos = 0
+            nruns = len(run_cnt)
+            while pos < nruns:
+                doc = run_doc[pos]
+                nf = float(nt[doc])
+                acc = 0.0
+                while pos < nruns and run_doc[pos] == doc:
+                    c = float(run_cnt[pos])
+                    acc += (c / nf) * math.log(nf / c)
+                    pos += 1
+                ent[doc] = acc
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(nt.astype(np.int32)),
+                 pa.array(nd.astype(np.int32)),
+                 pa.array(mf.astype(np.int32), mask=(nt == 0)),
+                 pa.array(ent)], schema=out_schema)
+
+    sc = df.sparkSession.sparkContext
+    src = df.select(F.col(id_col).cast("long").alias("__id"),
+                    F.col(text_col).alias("__t"))
+    src = src.repartition(max(sc.defaultParallelism, 1))
+    return src.mapInArrow(
+        gen, "doc_id long, n_tok int, n_distinct int, max_freq int, "
+             "entropy_raw double")
+
+
 def simhash_kernel(df, id_col: str, text_col: str, bits: int = 16):
     """mapInArrow emitting ``(doc_id, sh)`` — the SimHash over word codes
     (``(code*2654435761 + 104729) mod p``, per-bit ±1 majority votes),

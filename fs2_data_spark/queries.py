@@ -715,17 +715,18 @@ def tok_entropy_docs(spark, sf_dir):
     repetition/diversity triplet for LLM corpus filtering. Per-row
     Catalyst fold over the SORTED distinct list (summation order pinned,
     so the DuckDB mirror reproduces the same IEEE bits); zero shuffle."""
-    from fs2_data_spark.functions.tokens import token_entropy
-    d = _doc_tokens(spark, sf_dir)
-    t, n = F.col("tokens"), F.size("tokens").cast("double")
-    dt = F.array_distinct(t)
-    cnt = lambda x: F.size(F.filter(t, lambda v: v == x))  # noqa: E731
-    return d.select(
-        "doc_id", F.size(t).alias("n_tok"),
-        F.size(dt).alias("n_distinct"),
-        F.array_max(F.transform(dt, cnt)).alias("max_freq"),
-        F.round(token_entropy(t), 4).alias("entropy4"),
-        F.when(n > 0, F.round(F.size(dt).cast("double") / n, 4))
+    # r6: the O(distinct x n) interpreted counting fold runs as one Arrow
+    # kernel (textkernels.token_entropy_kernel — identical counts, identical
+    # sorted-fold entropy bits); the rounded outputs keep JVM F.round
+    from fs2_data_spark.functions.textkernels import token_entropy_kernel
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = token_entropy_kernel(d, "doc_id", "text")
+    n = F.col("n_tok").cast("double")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tok", "n_distinct", "max_freq",
+        F.round("entropy_raw", 4).alias("entropy4"),
+        F.when(n > 0, F.round(F.col("n_distinct").cast("double") / n, 4))
          .otherwise(F.lit(0.0)).alias("distinct_ratio4"))
 
 
@@ -1259,9 +1260,14 @@ def skipgram_pairs_docs(spark, sf_dir):
     agg on a vocab^2-bounded key space); the oracle states the naive
     positional self-join — a value match certifies the HOF
     decomposition."""
-    from fs2_data_spark.operators.seqops import skipgram_pairs
-    docs = _doc_tokens(spark, sf_dir)
-    return skipgram_pairs(docs, tokens="tokens", window=2)
+    # r6: pair construction + per-batch partial counts as one Arrow
+    # kernel (identical integer pair multiset); the final sum keeps the
+    # same vocab^2-bounded map-side-combined aggregation
+    from fs2_data_spark.functions.textkernels import skipgram_partial_kernel
+    d = _t(spark, sf_dir, "documents").select("text")
+    part = skipgram_partial_kernel(d, "text", window=2)
+    return (part.groupBy("center", "context")
+            .agg(F.sum("c").alias("cnt")))
 
 
 @_q("k_anonymity_events", """
@@ -5526,9 +5532,18 @@ def dup_token_spans(spark, sf_dir):
     oracle recomputes the identical rolling hash with DuckDB list ops
     (list_reduce seeds with the first element, which equals the 0-seeded
     fold for ``a*31+x``)."""
-    from fs2_data_spark.operators.dedup import duplicate_spans
-    d = _doc_tokens(spark, sf_dir).select("doc_id", "tokens")
-    return duplicate_spans(d, k=8, min_docs=2)
+    # r6: the rolling span hashes come from the Arrow token kernel
+    # (identical int64 hashes); counts + join back stay JVM
+    from fs2_data_spark.functions.textkernels import token_spans_kernel
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = (token_spans_kernel(d, "doc_id", "text", k=8)
+             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                     "pos", "span_h"))
+    counts = (spans.groupBy("span_h")
+              .agg(F.countDistinct("doc_id").alias("n_docs"))
+              .filter(F.col("n_docs") >= 2))
+    return (spans.join(counts, "span_h")
+            .select("doc_id", "pos", "span_h", "n_docs"))
 
 
 @_q("tok_repetition_docs", f"""

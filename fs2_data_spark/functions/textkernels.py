@@ -559,6 +559,42 @@ def skipgram_partial_kernel(df, text_col: str, window: int = 2):
     return src.mapInArrow(gen, "center int, context int, c long")
 
 
+def hashed_bow_kernel(df, id_col: str, text_col: str, dim: int = 32):
+    """mapInArrow emitting ``(doc_id, n_words, vec array<bigint>)`` — the
+    hashing-trick BoW of ``functions/text.hashed_bow`` over poly-31 word
+    hashes (bucket ``d`` counts words with ``hash mod dim == d``)."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    out_schema = pa.schema([pa.field("doc_id", pa.int64()),
+                            pa.field("n_words", pa.int64()),
+                            pa.field("vec", pa.list_(pa.int64()))])
+
+    def gen(batches):
+        for batch in batches:
+            nrow = batch.num_rows
+            if nrow == 0:
+                continue
+            ids = np.asarray(batch.column(0), dtype=np.int64)
+            cp, offs = decode_batch(batch.column(1))
+            starts, lens, wdoc = word_segments(cp, offs)
+            wh = _word_hash_poly31(cp, starts, lens, _B)
+            nw = np.zeros(nrow, dtype=np.int64)
+            np.add.at(nw, wdoc, 1)
+            vec = np.zeros((nrow, dim), dtype=np.int64)
+            if wh.size:
+                np.add.at(vec, (wdoc, wh % dim), 1)
+            counts = np.full(nrow, dim, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(nw),
+                 _list_array(vec.reshape(-1), counts)], schema=out_schema)
+
+    sc = df.sparkSession.sparkContext
+    src = df.select(F.col(id_col).cast("long").alias("__id"),
+                    F.col(text_col).alias("__t"))
+    src = src.repartition(max(sc.defaultParallelism, 1))
+    return src.mapInArrow(gen, "doc_id long, n_words long, vec array<bigint>")
+
+
 def token_entropy_kernel(df, id_col: str, text_col: str):
     """mapInArrow emitting ``(doc_id, n_tok, n_distinct, max_freq,
     entropy_raw)`` — the per-row unigram triplet of ``tok_entropy_docs``

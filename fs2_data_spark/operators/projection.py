@@ -93,6 +93,56 @@ def jl_project(
     scaled sign-projection of ``vec_col``, rounded to ``round_dp``."""
     signs = jl_signs(dim, out_dim, seed)
     scale = 1.0 / math.sqrt(out_dim)
+    try:
+        # r6: the out_dim x dim ±-chains run as a numpy mapInArrow kernel.
+        # Bit-exactness: the left-associated ± chain equals
+        # ``acc = s_0*x_0; acc += s_i*x_i`` elementwise (x - y is exactly
+        # x + (-y), and ±1.0 multiplication is an exact sign flip), and the
+        # final ``* scale`` is the same single multiply; JVM F.round
+        # produces the output.  Beyond the per-row win, this removes the
+        # ~dim*out_dim-node expression tree whose generated code measured
+        # 5x slower inside the full bench batch than standalone (JIT
+        # code-cache pressure after ~100 plans, BASELINE.md r5).
+        import numpy as np  # noqa: PLC0415
+        import pyarrow as pa  # noqa: PLC0415
+
+        from fs2_data_spark.functions.veckernels import list_to_mat
+
+        smat = np.asarray(signs, dtype=np.float64)        # (out_dim, dim)
+        in_fields = df.schema.fields
+        ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                        for f in in_fields)
+        ddl += ", " + ", ".join(f"__jlraw_{j} double"
+                                for j in range(out_dim))
+        vec_idx = df.columns.index(vec_col)
+
+        def gen(batches):
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                x = list_to_mat(batch.column(vec_idx), dim)
+                outs = []
+                for j in range(out_dim):
+                    acc = x[:, 0] * smat[j, 0]
+                    for i in range(1, dim):
+                        acc += x[:, i] * smat[j, i]
+                    outs.append(pa.array(acc * scale))
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(i) for i in range(batch.num_columns)]
+                    + outs,
+                    names=[f.name for f in in_fields]
+                    + [f"__jlraw_{j}" for j in range(out_dim)])
+
+        sc = df.sparkSession.sparkContext
+        out = (df.repartition(max(sc.defaultParallelism, 1))
+               .mapInArrow(gen, ddl))
+        cols = [F.col(f.name) for f in in_fields]
+        for j in range(out_dim):
+            cols.append(F.round(F.col(f"__jlraw_{j}"), round_dp)
+                        .alias(f"{prefix}_{j}"))
+        return out.select(*cols)
+    except Exception:  # noqa: BLE001 — fall back to the Catalyst chains
+        pass
     cols = [F.col(c) for c in df.columns]
     for j in range(out_dim):
         cols.append(F.round(_chain(vec_col, signs[j]) * F.lit(scale),

@@ -4558,14 +4558,14 @@ def hashed_bow_docs(spark, sf_dir):
     broadcast). The word-hash array is materialized once per row (the
     interpreted-HOF CSE rule); the oracle rebuilds every bucket count by
     brute force."""
-    from fs2_data_spark.functions.text import hashed_bow, word_hashes
-    d = (_t(spark, sf_dir, "documents")
-         .select("doc_id", word_hashes("text").alias("wh")))
-    vec = hashed_bow(F.col("wh"), dim=32)
-    out = d.select("doc_id", F.size("wh").cast("bigint").alias("n_words"),
-                   vec.alias("vec"))
+    # r6: word hashes + bucket counts as one Arrow kernel (identical
+    # integers); nnz/vec_str keep their JVM expressions over the 32-wide
+    # kernel vector
+    from fs2_data_spark.functions.textkernels import hashed_bow_kernel
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = hashed_bow_kernel(d, "doc_id", "text", dim=32)
     return out.select(
-        "doc_id", "n_words",
+        F.col("doc_id").cast("bigint").alias("doc_id"), "n_words",
         F.size(F.filter(F.col("vec"), lambda c: c > 0)).alias("nnz"),
         _arr_str(F.col("vec")).alias("vec_str"))
 
@@ -5599,10 +5599,24 @@ def decontaminate_docs(spark, sf_dir):
     set; corpus docs sharing any 8-token span with it are flagged with their
     overlapping-span counts.  Benchmark span hashes are broadcast (map-side
     semi-join — no corpus-side shuffle)."""
-    from fs2_data_spark.operators.dedup import decontaminate
-    d = _doc_tokens(spark, sf_dir).select("doc_id", "tokens")
-    bench = d.filter(F.col("doc_id") % 17 == 0)
-    return decontaminate(d, bench, k=8)
+    # r6: span hashes via the Arrow token kernel; the broadcast semi-join
+    # + counts + left restore keep the exact decontaminate() shape
+    from fs2_data_spark.functions.textkernels import token_spans_kernel
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = (token_spans_kernel(d, "doc_id", "text", k=8)
+             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                     "span_h"))
+    b = (spans.filter(F.col("doc_id") % 17 == 0)
+         .select("span_h").distinct())
+    hits = (spans.join(F.broadcast(b), "span_h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_contaminated_spans")))
+    return (d.select("doc_id").distinct()
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_contaminated_spans", F.lit(0))
+                    .alias("n_contaminated_spans"))
+            .withColumn("contaminated", F.col("n_contaminated_spans") > 0))
 
 
 # ---------------------------------------------------------------------------

@@ -559,6 +559,99 @@ def skipgram_partial_kernel(df, text_col: str, window: int = 2):
     return src.mapInArrow(gen, "center int, context int, c long")
 
 
+def cdc_chunks_kernel(df, id_col: str, text_col: str, k: int = 4,
+                      divisor: int = 16):
+    """mapInArrow emitting ``(doc_id, chunk_no, start_pos, chunk_len,
+    chunk_h)`` — ``operators/dedup.cdc_chunks`` over ``tokens_col`` codes:
+    cut after end positions ``i`` in ``[k-1, n-2]`` whose ``k``-window
+    31-fold hash (mod 1e9+7) is ``% divisor == 0``; chunk hashes are the
+    same fold over each chunk's tokens.  Pure int64."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    P = 1_000_000_007
+    out_schema = pa.schema([
+        pa.field("doc_id", pa.int64()), pa.field("chunk_no", pa.int32()),
+        pa.field("start_pos", pa.int32()), pa.field("chunk_len", pa.int32()),
+        pa.field("chunk_h", pa.int64())])
+
+    def gen(batches):
+        for batch in batches:
+            nrow = batch.num_rows
+            if nrow == 0:
+                continue
+            ids = np.asarray(batch.column(0), dtype=np.int64)
+            cp, offs = decode_batch(batch.column(1))
+            starts, lens, wdoc = word_segments(cp, offs)
+            codes = _token_codes(cp, starts, lens)
+            nwords = np.zeros(nrow, dtype=np.int64)
+            np.add.at(nwords, wdoc, 1)
+            doc_start = np.concatenate(([0], np.cumsum(nwords)[:-1]))
+            # window hashes (gram start p covers p..p+k-1, end i = p+k-1)
+            g, gdoc = _positional_shingles(codes, wdoc, k, 31, P)
+            # recover each gram's global start index to derive its end pos
+            if len(codes) >= k:
+                m = len(codes) - k + 1
+                same = wdoc[:m] == wdoc[k - 1:]
+                gidx = np.nonzero(same)[0]
+            else:
+                gidx = np.empty(0, dtype=np.int64)
+            end_in_doc = gidx + (k - 1) - doc_start[gdoc]
+            # cuts: hash % divisor == 0 AND end <= n-2 for that doc
+            is_cut = (g % divisor == 0) & (end_in_doc <= nwords[gdoc] - 2)
+            cut_doc = gdoc[is_cut]
+            cut_end = end_in_doc[is_cut]
+            # chunk segment starts per doc: 0 plus (cut+1)s; ends: next
+            # start or n — assemble per doc in order
+            ch_doc, ch_start, ch_len, ch_no = [], [], [], []
+            # group cuts by doc (cut_doc is non-decreasing)
+            docs_with_words = np.nonzero(nwords > 0)[0]
+            cut_ptr = 0
+            n_cuts = len(cut_doc)
+            for d in docs_with_words:
+                cs = []
+                while cut_ptr < n_cuts and cut_doc[cut_ptr] == d:
+                    cs.append(cut_end[cut_ptr])
+                    cut_ptr += 1
+                bounds = [0] + [c + 1 for c in cs] + [int(nwords[d])]
+                for cno in range(len(bounds) - 1):
+                    ch_doc.append(d)
+                    ch_start.append(bounds[cno])
+                    ch_len.append(bounds[cno + 1] - bounds[cno])
+                    ch_no.append(cno)
+            if not ch_doc:
+                continue
+            ch_doc = np.asarray(ch_doc, dtype=np.int64)
+            ch_start_g = (doc_start[ch_doc]
+                          + np.asarray(ch_start, dtype=np.int64))
+            ch_len_a = np.asarray(ch_len, dtype=np.int64)
+            # chunk hashes: 31-fold over each chunk's codes — same
+            # shrinking-active-set fold as the word hash
+            nchunk = len(ch_doc)
+            h = np.zeros(nchunk, dtype=np.int64)
+            maxlen = int(ch_len_a.max())
+            active = np.arange(nchunk)
+            p = 0
+            while p < maxlen:
+                active = active[ch_len_a[active] > p]
+                h[active] = (h[active] * 31
+                             + codes[ch_start_g[active] + p]) % P
+                p += 1
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids[ch_doc]),
+                 pa.array(np.asarray(ch_no, dtype=np.int32)),
+                 pa.array(np.asarray(ch_start, dtype=np.int32)),
+                 pa.array(ch_len_a.astype(np.int32)),
+                 pa.array(h)], schema=out_schema)
+
+    sc = df.sparkSession.sparkContext
+    src = df.select(F.col(id_col).cast("long").alias("__id"),
+                    F.col(text_col).alias("__t"))
+    src = src.repartition(max(sc.defaultParallelism, 1))
+    return src.mapInArrow(
+        gen, "doc_id long, chunk_no int, start_pos int, chunk_len int, "
+             "chunk_h long")
+
+
 def hashed_bow_kernel(df, id_col: str, text_col: str, dim: int = 32):
     """mapInArrow emitting ``(doc_id, n_words, vec array<bigint>)`` — the
     hashing-trick BoW of ``functions/text.hashed_bow`` over poly-31 word

@@ -4054,9 +4054,23 @@ def cdc_dedup_stats_docs(spark, sf_dir):
     over chunk hashes measures the tokens a content-addressed chunk store
     would save. Chunking rides the scan (zero shuffle, per-row O(n*k));
     the DuckDB oracle rebuilds every boundary and chunk hash verbatim."""
-    from fs2_data_spark.operators.dedup import cdc_dedup_stats
-    d = _doc_tokens(spark, sf_dir).select("doc_id", "tokens")
-    return cdc_dedup_stats(d, k=4, divisor=16)
+    # r6: boundary detection + chunk hashing via the Arrow token kernel
+    # (identical int64 hashes/boundaries); the audit aggregations unchanged
+    from fs2_data_spark.functions.textkernels import cdc_chunks_kernel
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = cdc_chunks_kernel(d, "doc_id", "text", k=4, divisor=16)
+    per = (ch.groupBy("chunk_h")
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.max("chunk_len").alias("clen")))
+    return per.agg(
+        F.sum("cnt").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.sum(F.col("cnt") * F.col("clen")).alias("total_tokens"),
+        F.sum((F.col("cnt") - 1) * F.col("clen")).alias("dup_tokens"),
+    ).select(
+        "n_chunks", "n_distinct_chunks", "total_tokens", "dup_tokens",
+        (F.col("dup_tokens").cast("double")
+         / F.col("total_tokens").cast("double")).alias("dedup_ratio"))
 
 
 @_q("negative_pairs_docs", """

@@ -33,8 +33,8 @@ AUDITED = [
     # r4 additions
     ("xpath_fast_texts", ["no_python", "pruned_scan"]),
     ("csv_roundtrip_docs", ["pruned_scan"]),
-    ("dup_token_spans", ["no_python", "no_cartesian", "pruned_scan"]),
-    ("decontaminate_docs", ["no_python", "broadcast", "pruned_scan"]),
+    ("dup_token_spans", ["arrow_kernel", "no_cartesian", "pruned_scan"]),
+    ("decontaminate_docs", ["arrow_kernel", "broadcast", "pruned_scan"]),
     ("tok_repetition_docs", ["no_python", "pruned_scan"]),
     # r5 additions
     ("mix_sample_docs", ["no_python", "no_exchange", "pruned_scan"]),
@@ -44,11 +44,13 @@ AUDITED = [
     # IVF scores every vector against the 16-row broadcast centroid table —
     # the BroadcastNestedLoop there is the design (bounded dim side), so
     # no_cartesian does not apply; assert the broadcast + no Python instead
-    ("ann_ivf_topk", ["no_python", "broadcast"]),
+    ("ann_ivf_topk", ["arrow_kernel", "broadcast"]),
     ("multimodal_decode_docs", ["pruned_scan"]),
     ("split_assign_docs", ["no_python", "no_exchange", "pruned_scan"]),
-    ("curriculum_buckets_docs", ["no_python", "broadcast", "no_cartesian",
-                                 "pruned_scan"]),
+    # the 1-row grand-total side is a bounded broadcast-NL cross by design
+    # (r6 global_cumsum rewrite), so no_cartesian no longer applies
+    ("curriculum_buckets_docs", ["no_python", "broadcast", "pruned_scan",
+                                 "ecdf_parallel"]),
     # the 1-row total_words side is a broadcast-NL cross join by design
     # (bounded), so no_cartesian does not apply; the vocab join must
     # broadcast and the whole pipeline stays JVM-side
@@ -65,17 +67,17 @@ AUDITED = [
                                   "pruned_scan"]),
     ("resample_docs", ["no_python", "no_exchange", "pruned_scan"]),
     ("vocab_merge_docs", ["no_python", "no_cartesian", "pruned_scan"]),
-    ("winnow_fp_docs", ["no_python", "no_exchange", "pruned_scan"]),
+    ("winnow_fp_docs", ["arrow_kernel", "pruned_scan"]),
     ("bigram_quality_docs", ["no_python", "broadcast", "pruned_scan"]),
     # the shingle-frequency join side grows with the corpus: shuffle hash
     # join by design, no broadcast assert
-    ("novelty_docs", ["no_python", "no_cartesian", "pruned_scan"]),
+    ("novelty_docs", ["arrow_kernel", "no_cartesian", "pruned_scan"]),
     # r5 late additions: sketches + heuristic filter + corpus rewrite
     ("gopher_rules_docs", ["no_python", "no_exchange", "pruned_scan"]),
     ("segment_dedup_docs", ["no_python", "no_cartesian", "pruned_scan"]),
     # per-group top-k over distinct hashes; the exact-count side joins the
     # 20-row sketch output, so the join must not plan as cartesian
-    ("kmv_distinct_docs", ["no_python", "no_cartesian", "pruned_scan"]),
+    ("kmv_distinct_docs", ["arrow_kernel", "no_cartesian", "pruned_scan"]),
     # the 96-row finished sketch broadcasts into the probe join
     ("cms_counts_docs", ["no_python", "broadcast", "no_cartesian",
                          "pruned_scan"]),
@@ -97,12 +99,12 @@ AUDITED = [
                                     "pruned_scan"]),
     # the 1-row global max joins as a bounded broadcast-NL by design
     ("length_buckets_docs", ["no_python", "pruned_scan"]),
-    ("negative_pairs_docs", ["no_python", "no_cartesian", "pruned_scan"]),
+    ("negative_pairs_docs", ["arrow_kernel", "no_cartesian", "pruned_scan"]),
     # IVF centroid broadcasts are bounded broadcast-NLs by design (as in
     # ann_ivf_topk); the pair stage must hash-join on the cell
-    ("semantic_dedup_emb", ["no_python", "broadcast", "pruned_scan"]),
-    ("cdc_dedup_stats_docs", ["no_python", "no_cartesian", "pruned_scan"]),
-    ("top_ngram_docs", ["no_python", "no_exchange", "pruned_scan"]),
+    ("semantic_dedup_emb", ["arrow_kernel", "no_cartesian", "pruned_scan"]),
+    ("cdc_dedup_stats_docs", ["arrow_kernel", "no_cartesian", "pruned_scan"]),
+    ("top_ngram_docs", ["arrow_kernel", "pruned_scan"]),
     # all three expanding accumulators share one partition sort
     ("pit_zscore_events", ["no_python", "single_group_shuffle",
                            "pruned_scan"]),
@@ -115,7 +117,7 @@ AUDITED = [
     ("hist_quantiles_docs", ["no_python", "no_cartesian", "pruned_scan"]),
     # projection is zero-shuffle per-row; the consecutive-id audit pair
     # join is an equi-join (broadcast at this SF, hash at scale)
-    ("emb_jl_project", ["no_python", "no_cartesian", "pruned_scan"]),
+    ("emb_jl_project", ["arrow_kernel", "no_cartesian", "pruned_scan"]),
     # the 1-row min/max stats side is a bounded broadcast-NL by design;
     # zero hash exchanges otherwise
     ("time_folds_events", ["no_python", "pruned_scan"]),
@@ -124,7 +126,7 @@ AUDITED = [
                           "pruned_scan"]),
     ("scd2_intervals_events", ["no_python", "single_group_shuffle",
                                "pruned_scan"]),
-    ("hashed_bow_docs", ["no_python", "no_exchange", "pruned_scan"]),
+    ("hashed_bow_docs", ["arrow_kernel", "pruned_scan"]),
     ("loss_mask_docs", ["no_python", "no_exchange", "pruned_scan"]),
     ("fim_docs", ["no_python", "no_exchange", "pruned_scan"]),
     # three point-in-time dimension attachments fused into ONE WindowExec
@@ -136,7 +138,7 @@ AUDITED = [
     ("gapfill_locf_events", ["no_python", "no_cartesian", "pruned_scan"]),
     ("gapfill_interp_events", ["no_python", "no_cartesian", "pruned_scan"]),
     ("twa_events", ["no_python", "no_cartesian", "pruned_scan"]),
-    ("tok_entropy_docs", ["no_python", "no_exchange", "pruned_scan"]),
+    ("tok_entropy_docs", ["arrow_kernel", "pruned_scan"]),
     # SNM: rank-distance pairs via bucket equi-join (never a range join);
     # the P-row offset table broadcasts
     ("snm_pairs_docs", ["no_python", "no_cartesian", "broadcast",
@@ -180,11 +182,10 @@ AUDITED = [
     ("kl_source_docs", ["no_python", "broadcast", "pruned_scan"]),
     # blocked linkage: block-key equi-join (broadcast at this SF, SMJ at
     # scale); the banded levenshtein is a post-join filter
-    ("edit_pairs_docs", ["no_python", "no_cartesian", "pruned_scan"]),
-    # context lists built by array HOFs: the one exchange is the final
-    # vocab^2-bounded count agg
-    ("skipgram_pairs_docs", ["no_python", "single_group_shuffle",
-                             "pruned_scan"]),
+    ("edit_pairs_docs", ["arrow_kernel", "no_cartesian", "pruned_scan"]),
+    # r6: pair construction + partial counts in the Arrow kernel; the
+    # final vocab^2-bounded count agg is the one hash exchange
+    ("skipgram_pairs_docs", ["arrow_kernel", "pruned_scan"]),
     # exact count-distinct plans as the standard two-phase expand (2
     # exchanges on the bounded quasi-identifier key)
     ("k_anonymity_events", ["no_python", "no_cartesian", "pruned_scan"]),
@@ -217,7 +218,8 @@ AUDITED = [
                                  "pruned_scan"]),
     # 1-row study-end broadcast is a bounded broadcast-NL by design;
     # curve windows run over the distinct-duration table
-    ("kaplan_meier_events", ["no_python", "broadcast", "pruned_scan"]),
+    ("kaplan_meier_events", ["no_python", "broadcast", "pruned_scan",
+                             "ecdf_parallel"]),
     # the r x c dim-grid cross join is two bounded DISTINCT sides by
     # design; everything downstream is cell-table sized
     ("cramers_v_events", ["no_python", "pruned_scan"]),
@@ -226,7 +228,8 @@ AUDITED = [
     ("conformal_events", ["no_python", "broadcast", "no_cartesian",
                           "pruned_scan"]),
     # tie-count agg + one ordered pass over distinct scores + 1-row fold
-    ("auc_events", ["no_python", "no_cartesian", "pruned_scan"]),
+    ("auc_events", ["no_python", "no_cartesian", "pruned_scan",
+                    "ecdf_parallel"]),
     # one group-partitioned window pass (rank + both running sums)
     ("gini_sources_docs", ["no_python", "no_cartesian",
                            "single_group_shuffle", "pruned_scan"]),
@@ -254,7 +257,10 @@ AUDITED = [
     ("snapshot_features_events", ["no_python", "no_cartesian",
                                   "single_group_shuffle", "pruned_scan"]),
     # rank window + OLS fold run over the vocab-bounded aggregate
-    ("zipf_slope_docs", ["no_python", "no_cartesian", "pruned_scan"]),
+    # the residual no-partition rank window is bounded by the constant
+    # top_v (rows arrive through TakeOrderedAndProject — asserted)
+    ("zipf_slope_docs", ["no_python", "no_cartesian", "pruned_scan",
+                         "top_k_not_sort"]),
     # vocab x source grid: bounded dim cross joins by design (KL shape)
     ("js_source_docs", ["no_python", "pruned_scan"]),
     # sessionize + both struct leads share one key Exchange + Sort;
@@ -291,7 +297,9 @@ AUDITED = [
                          "pruned_scan"]),
     # greedy steps: broadcast the 1 selected vector, top-1 must plan as
     # TakeOrderedAndProject (never a global sort)
-    ("mmr_select_emb", ["no_python", "top_k_not_sort", "pruned_scan"]),
+    # r6 kernel path materializes the k greedy picks as a local result
+    # (each step ran as a TakeOrdered job during construction)
+    ("mmr_select_emb", ["local_result"]),
     # one agg to |sources| rows; scalars broadcast back
     ("temperature_mix_docs", ["no_python", "broadcast", "pruned_scan"]),
     # range partition + per-partition cumsum + broadcast offsets — the
@@ -358,6 +366,28 @@ def check(name: str, plan: str, props: list[str]) -> list[str]:
     if "top_k_not_sort" in props and "TakeOrderedAndProject" not in plan:
         problems.append("top-k planned as a global sort, not "
                         "TakeOrderedAndProject")
+    if "arrow_kernel" in props:
+        # the sanctioned Python tier is the vectorized Arrow batch family;
+        # row-pickled BatchEvalPython stays banned
+        if not any(m in plan for m in ("MapInArrow", "FlatMapGroupsInPandas",
+                                       "ArrowEvalPython", "MapInPandas")):
+            problems.append("expected an Arrow kernel node in plan")
+        if "BatchEvalPython" in plan:
+            problems.append("row-pickled BatchEvalPython in plan")
+    if "ecdf_parallel" in props:
+        # r6 global_cumsum contract: cumulative windows are partitioned by
+        # the range-partition id; any remaining no-partition window may only
+        # run over the P-row offsets table (its sort key is __pid)
+        if "SPARK_PARTITION_ID()" not in plan:
+            problems.append("no spark_partition_id: global_cumsum missing")
+        for m in re.finditer(r"windowspecdefinition\((\w+)#\d+L? (?:ASC|DESC)",
+                             plan):
+            if not m.group(1).startswith("__pid"):
+                problems.append("unbounded no-partition window over "
+                                f"{m.group(1)}")
+    if "local_result" in props and not (
+            "LocalTableScan" in plan or "Scan ExistingRDD" in plan):
+        problems.append("expected a local result scan")
     if "single_fused_window" in props:
         # N window carries over one (partition, order, frame) spec must
         # plan as exactly ONE WindowExec (the dimension-side struct-max

@@ -589,9 +589,13 @@ def mmr_select(
             pool = (emb.filter(F.col(id_col) != int(query_id))
                     .select(id_col, vec_col))
             aug = VK.mmr_rel_kernel(pool, id_col, vec_col, qv, dim)
+            # localCheckpoint per stage: each greedy step both collects a
+            # 1-row top and feeds the next kernel — without truncation the
+            # k-step lineage re-runs every earlier kernel per step (O(k^2)
+            # pool passes, measured slower than the interpreted plan)
             cand = aug.select("vec_id", "v", "nrm",
                               F.round("rel_raw", round_dp).alias("rel"),
-                              F.lit(0.0).alias("_ms"))
+                              F.lit(0.0).alias("_ms")).localCheckpoint()
             picks_rows = []
             for step in range(1, int(k) + 1):
                 c2 = cand.withColumn(
@@ -610,7 +614,8 @@ def mmr_select(
                 if step < int(k):
                     cand = VK.mmr_ms_update_kernel(
                         cand.filter(F.col("vec_id") != int(r["vec_id"])),
-                        list(r["v"]), float(r["nrm"]), round_dp, dim)
+                        list(r["v"]), float(r["nrm"]), round_dp,
+                        dim).localCheckpoint()
             out = spark.createDataFrame(
                 picks_rows, "step int, vec_id long, rel double, mmr double")
             return out.select("step",

@@ -652,6 +652,46 @@ def cdc_chunks_kernel(df, id_col: str, text_col: str, k: int = 4,
              "chunk_h long")
 
 
+def word_segment_rows_kernel(df, id_col: str, text_col: str,
+                             seg_words: int = 8):
+    """mapInArrow emitting ``(doc_id, seg_no, seg)`` — the non-overlapping
+    ``seg_words``-word segments of ``operators/dedup._word_segment_rows``
+    (words = split-on-' ' with empties dropped, segment text = the words
+    re-joined with single spaces, final segment may be shorter; wordless
+    docs emit no rows)."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    out_schema = pa.schema([pa.field("doc_id", pa.int64()),
+                            pa.field("seg_no", pa.int32()),
+                            pa.field("seg", pa.string())])
+
+    def gen(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            oi, on, os_ = [], [], []
+            for did, tx in zip(ids, texts):
+                words = [w for w in (tx or "").split(" ") if w]
+                for sno in range(0, (len(words) + seg_words - 1)
+                                 // seg_words):
+                    oi.append(did)
+                    on.append(sno)
+                    os_.append(" ".join(
+                        words[sno * seg_words:(sno + 1) * seg_words]))
+            if oi:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(oi, pa.int64()), pa.array(on, pa.int32()),
+                     pa.array(os_, pa.string())], schema=out_schema)
+
+    sc = df.sparkSession.sparkContext
+    src = df.select(F.col(id_col).cast("long").alias("__id"),
+                    F.col(text_col).alias("__t"))
+    src = src.repartition(max(sc.defaultParallelism, 1))
+    return src.mapInArrow(gen, "doc_id long, seg_no int, seg string")
+
+
 def hashed_bow_kernel(df, id_col: str, text_col: str, dim: int = 32):
     """mapInArrow emitting ``(doc_id, n_words, vec array<bigint>)`` — the
     hashing-trick BoW of ``functions/text.hashed_bow`` over poly-31 word

@@ -6920,8 +6920,15 @@ def _computed_force_front() -> list[str]:
     except OSError:
         return []
     try:
-        from tools.fingerprint_registry import current_fingerprints
-        cur = current_fingerprints()
+        # path-based load: must work regardless of the caller's cwd /
+        # sys.path (the driver imports __spark_entry__ from anywhere)
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "fs2ds_fingerprint_registry",
+            os.path.join(os.path.dirname(snap), "fingerprint_registry.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        cur = mod.current_fingerprints()
     except Exception:  # noqa: BLE001 — rotation must never break queries()
         return []
     return [n for n, fp in cur.items() if old.get(n) != fp]
